@@ -1,0 +1,157 @@
+"""Multimodal (image) column operators.
+
+Images travel as opaque ``binary`` columns with typed metadata
+(``w, h, fmt``) — the input_hint schema. All pixel work happens inside
+``mapInPandas`` (Arrow batches of ~10k rows, one Python invocation per
+batch — never row-at-a-time Python UDFs). The codec itself is
+``lbf_spark.functions.codec``: real PNG, deterministic fake lossy codec
+standing in for JPEG (no libjpeg in this container — see codec module
+docstring; the Spark-side plumbing — schema, batching, UDF signatures —
+is exactly what production would use with PIL/libjpeg swapped in).
+
+Audio/video decode are stubbed with ``NotImplementedError`` as the build
+contract requires; their Spark plumbing (binary column + metadata +
+mapInPandas signature) is identical to the image path.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F, types as T
+
+from lbf_spark.functions.codec import decode_image, encode_image, psnr
+
+STATS_FIELDS = [
+    T.StructField("pixel_mean", T.DoubleType(), True),
+    T.StructField("pixel_std", T.DoubleType(), True),
+    T.StructField("r_mean", T.DoubleType(), True),
+    T.StructField("g_mean", T.DoubleType(), True),
+    T.StructField("b_mean", T.DoubleType(), True),
+]
+
+
+def decode_stats(df: DataFrame, keep_bytes: bool = False) -> DataFrame:
+    """Decode each image and append per-channel pixel statistics.
+
+    The graft analog of the reference's per-read signal extraction
+    (``signal_transformer.py:31-47``): the decoded scalar stream that
+    the windowed feature stages aggregate. Dropping ``bytes`` right
+    here (default) keeps the heavy payload out of every downstream
+    shuffle — only the few-bytes stats columns move.
+    """
+    out_cols = [c for c in df.columns if keep_bytes or c != "bytes"]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name in out_cols] + STATS_FIELDS
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            n = len(pdf)
+            means = np.full(n, np.nan)
+            stds = np.full(n, np.nan)
+            chan = np.full((n, 3), np.nan)
+            for i, (data, fmt) in enumerate(zip(pdf["bytes"], pdf["fmt"])):
+                if data is None:
+                    continue
+                img = decode_image(bytes(data), fmt).astype(np.float64)
+                means[i] = img.mean()
+                stds[i] = img.std()
+                chan[i] = img.mean(axis=(0, 1))
+            out = pdf[out_cols].copy()
+            out["pixel_mean"] = means
+            out["pixel_std"] = stds
+            out["r_mean"] = chan[:, 0]
+            out["g_mean"] = chan[:, 1]
+            out["b_mean"] = chan[:, 2]
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
+    """Nearest-neighbor resize; re-encodes in the row's own format."""
+    schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ys = None
+        for pdf in it:
+            new_bytes = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    new_bytes.append(None)
+                    continue
+                img = decode_image(bytes(data), fmt)
+                h, w, _ = img.shape
+                yi = (np.arange(out_h) * h // out_h)
+                xi = (np.arange(out_w) * w // out_w)
+                new_bytes.append(encode_image(img[yi][:, xi], fmt))
+            out = pdf.copy()
+            out["bytes"] = new_bytes
+            out["w"] = np.int32(out_w)
+            out["h"] = np.int32(out_h)
+            yield out
+        _ = ys
+
+    return df.mapInPandas(batches, schema)
+
+
+def image_fidelity(df: DataFrame, ref: DataFrame, key: str = "image_id") -> DataFrame:
+    """Row-level fidelity vs a reference table: decoded-pixel PSNR and
+    exact caption equality (the per-row invariant in BASELINE.json
+    input_hint: PSNR ≥ 40 dB for lossy rows, ∞ for lossless)."""
+    r = ref.select(
+        F.col(key),
+        F.col("bytes").alias("ref_bytes"),
+        F.col("fmt").alias("ref_fmt"),
+        F.col("caption").alias("ref_caption"),
+    )
+    joined = df.select(key, "bytes", "fmt", "caption").join(r, key)
+    schema = T.StructType(
+        [
+            T.StructField(key, T.StringType(), False),
+            T.StructField("psnr_db", T.DoubleType(), True),
+            T.StructField("caption_equal", T.BooleanType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            vals = []
+            for row in pdf.itertuples(index=False):
+                a = decode_image(bytes(row.bytes), row.fmt)
+                b = decode_image(bytes(row.ref_bytes), row.ref_fmt)
+                p = psnr(a, b) if a.shape == b.shape else 0.0
+                vals.append((getattr(row, key), p, row.caption == row.ref_caption))
+            yield pd.DataFrame(vals, columns=[key, "psnr_db", "caption_equal"])
+
+    return joined.mapInPandas(batches, schema)
+
+
+def decode_audio_stub(df: DataFrame) -> DataFrame:
+    """Audio decode — STUB: no audio libs in this container. The Spark
+    plumbing (binary column → mapInPandas → waveform stats) mirrors
+    ``decode_stats``; plug a real codec into the batch loop."""
+    raise NotImplementedError("audio decode requires an audio codec library")
+
+
+def sample_video_frames_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
+    """Video frame sampling — STUB: no video libs in this container."""
+    raise NotImplementedError("video frame sampling requires a video codec library")
+
+
+def phash_band_features(
+    df: DataFrame, col: str = "phash", bands: int = 4, out_prefix: str = "phash_band"
+) -> DataFrame:
+    """Split a 64-bit perceptual hash into `bands` integer bands — the
+    LSH building block for near-duplicate bucketing (band-join)."""
+    width = 64 // bands
+    mask = (1 << width) - 1
+    for b in range(bands):
+        df = df.withColumn(
+            f"{out_prefix}{b}",
+            F.shiftright(F.col(col), b * width).bitwiseAND(F.lit(mask)),
+        )
+    return df

@@ -1,0 +1,80 @@
+"""Baseline normalization operators.
+
+Flanking-mean normalization is the reference's signature post-step
+(``/root/reference/src/lbfextract/fextract/lib.py:220-229``): every
+per-position vector is divided by the mean of its flanking (edge)
+positions, with a zero-mean guard that leaves the vector unscaled when
+the baseline is zero. Expressed here as pure JVM window arithmetic over
+the long-form (group, position, value) frame — no Python in the path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def flanking_normalize(
+    df: DataFrame,
+    value: str,
+    position: str,
+    n_positions: int,
+    flank_n: int,
+    by: list[str] | str,
+    out: str | None = None,
+    sides: str = "right",
+) -> DataFrame:
+    """Divide `value` by the mean of the flanking positions per group.
+
+    ``sides``: "right" = oldest `flank_n` positions only (point-in-time
+    windows have no future flank), "both" = first and last `flank_n`
+    (the reference's symmetric variant, ``fextract/lib.py:222-224``).
+    Zero-baseline guard: if the flanking mean is 0 (or null), the value
+    passes through unscaled (``fextract/lib.py:227-229``).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    if sides == "right":
+        in_flank = F.col(position) >= F.lit(n_positions - flank_n)
+    elif sides == "both":
+        in_flank = (F.col(position) < F.lit(flank_n)) | (
+            F.col(position) >= F.lit(n_positions - flank_n)
+        )
+    else:
+        raise ValueError("sides must be 'right' or 'both'")
+    w = Window.partitionBy(*by)
+    fm = F.avg(F.when(in_flank, F.col(value))).over(w)
+    normalized = F.when(
+        fm.isNotNull() & (fm != 0), F.col(value) / fm
+    ).otherwise(F.col(value).cast("double"))
+    return df.withColumn(out or value, normalized)
+
+
+def zscore(
+    df: DataFrame, value: str, by: list[str] | str, out: str | None = None
+) -> DataFrame:
+    """Per-group z-score (population std; 0-std guard passes through 0)."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by)
+    mu = F.avg(value).over(w)
+    sd = F.stddev_pop(value).over(w)
+    return df.withColumn(
+        out or value,
+        F.when(sd > 0, (F.col(value) - mu) / sd).otherwise(F.lit(0.0)),
+    )
+
+
+def distribution_normalize(
+    df: DataFrame, value: str, by: list[str] | str, out: str | None = None,
+    epsilon: float = 0.0,
+) -> DataFrame:
+    """Normalize values to a probability distribution per group
+    (column-normalize analog, ``fextract_fragment_length_distribution/
+    plugin.py:172-177``; the entropy plugin adds +1e-10 first,
+    ``fextract_entropy/plugin.py:31``)."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by)
+    v = F.col(value) + F.lit(epsilon)
+    total = F.sum(v).over(w)
+    return df.withColumn(
+        out or value,
+        F.when(total != 0, v / total).otherwise(F.lit(0.0)),
+    )

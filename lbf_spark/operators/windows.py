@@ -1,0 +1,145 @@
+"""Windowed feature operators over per-entity ordered streams.
+
+Re-expresses the reference's positional kernels (SURVEY.md §2.4/2.5):
+rolling mean with ``min_count=1`` (``signal_transformer.py:176``),
+rolling median (``signal_transformer.py:276``), lag/lead fragment-end
+offsets (A3/A4/A7), dyad-gap segmentation → sessionize
+(``signal_transformer.py:50-113``), and the backfill/ffill stage of the
+north_rule. Everything that Spark's JVM window machinery can express
+stays JVM-side (whole-stage codegen); only the exact rolling median
+drops to an Arrow-batched grouped pandas UDF.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def _w(by, order):
+    by = [by] if isinstance(by, str) else list(by)
+    return Window.partitionBy(*by).orderBy(order)
+
+
+def rolling_mean(
+    df: DataFrame, col: str, out: str, window: int,
+    by="entity", order="ts",
+) -> DataFrame:
+    """Trailing rolling mean over the last `window` rows (min_count=1)."""
+    w = _w(by, order).rowsBetween(-(window - 1), 0)
+    return df.withColumn(out, F.avg(col).over(w))
+
+
+def rolling_sum(df, col, out, window, by="entity", order="ts"):
+    w = _w(by, order).rowsBetween(-(window - 1), 0)
+    return df.withColumn(out, F.sum(col).over(w))
+
+
+def rolling_count_range(
+    df: DataFrame, out: str, span: int, by="entity", order="ts"
+) -> DataFrame:
+    """Events in the trailing time range [ts - span, ts] (coverage analog A1)."""
+    w = _w(by, order).rangeBetween(-span, 0)
+    return df.withColumn(out, F.count(F.lit(1)).over(w))
+
+
+def rolling_min_max(df, col, out_min, out_max, window, by="entity", order="ts"):
+    w = _w(by, order).rowsBetween(-(window - 1), 0)
+    return df.withColumn(out_min, F.min(col).over(w)).withColumn(
+        out_max, F.max(col).over(w)
+    )
+
+
+def lag_lead(
+    df: DataFrame, col: str, offsets: list[int], by="entity", order="ts",
+    prefix: str | None = None,
+) -> DataFrame:
+    """Add `{col}_lag{k}` / `{col}_lead{k}` columns (A3/A4 offset analog)."""
+    w = _w(by, order)
+    p = prefix or col
+    for k in offsets:
+        if k == 0:
+            continue
+        if k > 0:
+            df = df.withColumn(f"{p}_lead{k}", F.lead(col, k).over(w))
+        else:
+            df = df.withColumn(f"{p}_lag{-k}", F.lag(col, -k).over(w))
+    return df
+
+
+def ffill(df: DataFrame, col: str, out: str | None = None, by="entity", order="ts"):
+    """Forward-fill nulls with the last non-null value (backfill stage)."""
+    w = _w(by, order).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out or col, F.last(col, ignorenulls=True).over(w))
+
+
+def bfill(df: DataFrame, col: str, out: str | None = None, by="entity", order="ts"):
+    """Backward-fill nulls with the next non-null value."""
+    w = _w(by, order).rowsBetween(0, Window.unboundedFollowing)
+    return df.withColumn(out or col, F.first(col, ignorenulls=True).over(w))
+
+
+def sessionize(
+    df: DataFrame, gap: int, out: str = "session_id", by="entity", order="ts"
+) -> DataFrame:
+    """Session ids via timestamp-gap cumsum (dyad segmentation analog,
+    ``signal_transformer.py:50-113``): a new session starts whenever
+    ``ts - lag(ts) > gap``. Pure JVM window ops — no Python."""
+    w = _w(by, order)
+    wc = _w(by, order).rowsBetween(Window.unboundedPreceding, 0)
+    is_new = F.when(
+        (F.col(order) - F.lag(order, 1).over(w)) > gap, F.lit(1)
+    ).otherwise(F.lit(0))
+    # first row of each entity: lag is null ⇒ otherwise(0) ⇒ session 0
+    return df.withColumn(out, F.sum(is_new).over(wc))
+
+
+def session_bounds(
+    df: DataFrame, gap: int, by="entity", order="ts", session_col="session_id"
+) -> DataFrame:
+    """Per-session aggregate frame (start/end/n_events/duration)."""
+    by = [by] if isinstance(by, str) else list(by)
+    s = sessionize(df, gap, out=session_col, by=by, order=order)
+    return s.groupBy(*by, session_col).agg(
+        F.min(order).alias("session_start"),
+        F.max(order).alias("session_end"),
+        F.count(F.lit(1)).alias("n_events"),
+        (F.max(order) - F.min(order)).alias("session_span"),
+    )
+
+
+def rolling_median(
+    df: DataFrame, col: str, out: str, window: int, by="entity", order="ts"
+) -> DataFrame:
+    """Exact trailing rolling median (WPS smoothing analog,
+    ``signal_transformer.py:276``). Spark has no exact rolling-median
+    kernel, so this is a grouped Arrow-batched pandas UDF — the
+    sanctioned slow path (SURVEY.md §7 hard-part e). Skewed entities:
+    combine with time-slicing upstream if a single entity exceeds a
+    task's memory."""
+    by = [by] if isinstance(by, str) else list(by)
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order, kind="mergesort", ignore_index=True)
+        pdf[out] = (
+            pdf[col].astype("float64").rolling(window, min_periods=1).median()
+        )
+        return pdf
+
+    return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def hamming_to_prev(
+    df: DataFrame, col: str = "phash", out: str = "phash_drift", by="entity", order="ts"
+) -> DataFrame:
+    """Hamming distance of a 64-bit hash to the previous row's value —
+    the rolling-phash feature of the north_rule. JVM-side bit_count."""
+    w = _w(by, order)
+    prev = F.lag(col, 1).over(w)
+    return df.withColumn(
+        out,
+        F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+            F.bit_count(F.col(col).bitwiseXOR(prev))
+        ),
+    )

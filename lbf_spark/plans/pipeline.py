@@ -1,0 +1,237 @@
+"""The flagship feature-extraction plan + run lineage.
+
+This is the distributed restatement of the reference's fixed 8-stage
+hook pipeline (``/root/reference/src/lbfextract/core.py:263-298``):
+
+  scan → decode stats → per-entity windowed features → anchor
+  interval/as-of join → per-position aggregation → flanking
+  normalization → strand flip → cross-anchor summary → sink
+
+expressed as one declarative DataFrame plan so Catalyst handles
+pushdown/pruning/reordering; we control only partitioning and the two
+places Python is genuinely required (pixel decode, exact medians).
+
+Lineage: ``run_id = sha1(canonical-config-json)`` mirrors the
+reference's resumable cache id (``core.py:141-153``); checkpoints are
+parquet dirs keyed by run_id with JSON manifests, and re-runs reuse any
+stage whose manifest is already present (``skip_read_fetching`` analog,
+``core.py:266-275``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import hashlib
+import json
+import os
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from lbf_spark.operators import windows as W
+from lbf_spark.operators.asof import asof_join, interval_join
+from lbf_spark.operators.images import decode_stats
+from lbf_spark.operators.normalize import flanking_normalize
+
+
+@dataclasses.dataclass(frozen=True)
+class FeatureConfig:
+    """Window geometry — the analog of the reference's
+    ``window/flanking_region_window/extra_bases`` defaults
+    (``fextract_batch_coverage/plugin.py:432-441``), on the time axis."""
+
+    span: int = 2000          # lookback per anchor, ts units (window+flank)
+    bucket_w: int = 100       # position-bucket width → n_buckets positions
+    flank_n: int = 5          # oldest buckets forming the baseline
+    rolling_w: int = 16       # event-level trailing rolling window (rows)
+    session_gap: int = 1000   # sessionization gap
+    value_col: str = "pixel_mean"
+    summary: str = "mean"     # mean | median | max | min | skip
+
+    @property
+    def n_buckets(self) -> int:
+        return self.span // self.bucket_w
+
+
+def run_id(cfg: FeatureConfig) -> str:
+    """sha1 of the canonical config JSON (``core.py:141-153`` analog)."""
+    blob = json.dumps(dataclasses.asdict(cfg), sort_keys=True).encode()
+    return hashlib.sha1(blob).hexdigest()[:16]
+
+
+# ---------------------------------------------------------------- stages
+
+
+def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Stage 1-2: decode pixel stats, then per-entity ordered features
+    (rolling mean, phash drift, session id). All JVM window ops after
+    the single Arrow decode pass."""
+    has_bytes = "bytes" in events.columns
+    df = decode_stats(events) if has_bytes else events
+    df = W.rolling_mean(df, cfg.value_col, "roll_mean", cfg.rolling_w)
+    df = W.rolling_count_range(df, "roll_count", cfg.span)
+    df = W.hamming_to_prev(df, "phash", "phash_drift")
+    df = W.sessionize(df, cfg.session_gap, "session_id")
+    return df
+
+
+def anchor_point_in_time(
+    feats: DataFrame, anchors: DataFrame, cfg: FeatureConfig
+) -> DataFrame:
+    """Stage 3a: as-of join — the latest feature row at each anchor_ts
+    (strictly ts ≤ anchor_ts: zero temporal leakage)."""
+    cols = [cfg.value_col, "roll_mean", "roll_count", "phash_drift", "session_id", "ts"]
+    return asof_join(feats, anchors, select=cols, tolerance=None, direction="backward")
+
+
+def anchor_window_matrix(
+    feats: DataFrame, anchors: DataFrame, cfg: FeatureConfig
+) -> DataFrame:
+    """Stage 3b-6: per-anchor positional matrix.
+
+    Interval-join past events into each anchor's lookback span, bucket
+    by age, aggregate per bucket, densify all buckets, strand-flip,
+    flanking-normalize. Output: one row per
+    (entity, anchor_ts, name, strand, bucket) with `cov` (count, the
+    coverage analog A1) and `val_mean` (bucket mean of value_col).
+    """
+    nb = cfg.n_buckets
+    joined = interval_join(
+        feats.select("entity", "ts", cfg.value_col),
+        anchors,
+        lower=-(cfg.span - 1),
+        upper=0,
+    )
+    age_bucket = F.floor((F.col("anchor_ts") - F.col("ts")) / F.lit(cfg.bucket_w))
+    agg = (
+        joined.withColumn("bucket", age_bucket)
+        .groupBy("entity", "anchor_ts", "name", "strand", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("double").alias("cov"),
+            F.avg(cfg.value_col).alias("val_mean"),
+        )
+    )
+    # densify: every anchor × every bucket (positions with no events = 0,
+    # like empty coverage positions in the reference's dense tensors)
+    dense = anchors.select(
+        "entity", "anchor_ts", "name", "strand",
+        F.explode(F.sequence(F.lit(0), F.lit(nb - 1))).alias("bucket"),
+    )
+    full = (
+        dense.join(agg, ["entity", "anchor_ts", "name", "strand", "bucket"], "left")
+        .fillna({"cov": 0.0, "val_mean": 0.0})
+    )
+    # strand flip (np.fliplr analog, fextract/lib.py:194-197)
+    full = full.withColumn(
+        "bucket",
+        F.when(F.col("strand") == "-", F.lit(nb - 1) - F.col("bucket")).otherwise(
+            F.col("bucket")
+        ),
+    )
+    full = flanking_normalize(
+        full, "cov", "bucket", nb, cfg.flank_n,
+        by=["entity", "anchor_ts", "name"], out="cov_norm",
+    )
+    return full
+
+
+_SUMMARY = {
+    "mean": lambda c: F.avg(c),
+    "max": lambda c: F.max(c),
+    "min": lambda c: F.min(c),
+    "median": lambda c: F.median(c),
+}
+
+
+def summarize(matrix: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Stage 7: cross-anchor summary per (entity, name, bucket) —
+    ``np.nanmean/median/max/min`` analog (``fextract/lib.py:213-230``);
+    'skip' returns the matrix unchanged."""
+    if cfg.summary == "skip":
+        return matrix
+    agg = _SUMMARY[cfg.summary]
+    return (
+        matrix.groupBy("entity", "name", "bucket")
+        .agg(agg(F.col("cov_norm")).alias("signal"))
+    )
+
+
+def summary_vectors(summary: DataFrame) -> DataFrame:
+    """Stage 8: assemble the per-(entity, name) feature vector (bucket-
+    ordered array<double>) — the Signal the allclose gate runs on."""
+    return (
+        summary.groupBy("entity", "name")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("bucket", "signal"))),
+                lambda s: s["signal"],
+            ).alias("vector")
+        )
+    )
+
+
+def extract_features(
+    events: DataFrame, anchors: DataFrame, cfg: FeatureConfig | None = None
+) -> dict[str, DataFrame]:
+    """Full pipeline; returns every materializable stage."""
+    cfg = cfg or FeatureConfig()
+    feats = event_features(events, cfg)
+    pit = anchor_point_in_time(feats, anchors, cfg)
+    matrix = anchor_window_matrix(feats, anchors, cfg)
+    summ = summarize(matrix, cfg)
+    vectors = summary_vectors(summ)
+    return {
+        "event_features": feats,
+        "point_in_time": pit,
+        "matrix": matrix,
+        "summary": summ,
+        "vectors": vectors,
+    }
+
+
+# ------------------------------------------------------- checkpoint/lineage
+
+
+def checkpoint(
+    df: DataFrame,
+    base_dir: str,
+    rid: str,
+    stage: str,
+    spark: SparkSession | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Materialize a stage to parquet with a lineage manifest; on re-run
+    with the same run_id, the stage is *reused, not recomputed* — the
+    ``skip_read_fetching`` resume path (``core.py:266-275``)."""
+    spark = spark or df.sparkSession
+    path = os.path.join(base_dir, rid, stage)
+    manifest_path = os.path.join(path, "_MANIFEST.json")
+    if not os.path.exists(manifest_path):
+        t0 = time.time()
+        writer = df.write.mode("overwrite")
+        if partition_by:
+            writer = writer.partitionBy(*partition_by)
+        writer.parquet(path)
+        files = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        ) if not partition_by else sorted(os.listdir(path))
+        manifest = {
+            "run_id": rid,
+            "stage": stage,
+            "schema": df.schema.json(),
+            "partition_by": partition_by or [],
+            "files": files,
+            "wall_sec": round(time.time() - t0, 3),
+        }
+        with open(manifest_path + ".tmp", "w") as fh:
+            json.dump(manifest, fh, indent=1)
+        os.replace(manifest_path + ".tmp", manifest_path)
+    return spark.read.parquet(path)
+
+
+def load_manifest(base_dir: str, rid: str, stage: str) -> dict | None:
+    p = os.path.join(base_dir, rid, stage, "_MANIFEST.json")
+    if os.path.exists(p):
+        with open(p) as fh:
+            return json.load(fh)
+    return None

@@ -1,0 +1,68 @@
+"""SparkSession factory with scale-oriented defaults.
+
+The reference parallelizes nothing but a samtools subprocess
+(``/root/reference/src/lbfextract/utils.py:187-190``); every knob here
+exists to make the same logical pipeline run on a 1000-executor cluster:
+AQE for runtime re-planning + skew-join splitting, Arrow for every
+pandas-UDF boundary, and shuffle-partition counts sized to cores rather
+than the 200 default.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_SHUFFLE_PARTITIONS = 32
+
+
+def get_spark(
+    app_name: str = "lbf_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) a SparkSession tuned for this engine.
+
+    ``master`` defaults to ``local[$SPARK_GRAFT_CPUS]`` (or ``local[*]``)
+    in the sandbox; on a real cluster the caller passes nothing and
+    spark-submit supplies the master.
+    """
+    if master is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        master = f"local[{cpus}]" if cpus else "local[*]"
+    if shuffle_partitions is None:
+        shuffle_partitions = int(
+            os.environ.get("LBF_SHUFFLE_PARTITIONS", DEFAULT_SHUFFLE_PARTITIONS)
+        )
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        # AQE: runtime coalescing of small shuffle partitions and skew-join
+        # splitting — the distributed answer to the reference's hand-tuned
+        # single-pass samtools scan (SURVEY.md §4).
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Arrow on both directions of every pandas UDF; batch size sized so
+        # a (rows × image-bytes) batch stays well under executor memory.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Timestamps in the engine are int64 event-times; keep session TZ
+        # fixed so timestamp-typed test tables hash identically everywhere.
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.driver.memory", os.environ.get("LBF_DRIVER_MEM", "8g"))
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    # ship the package to executors (spark-submit --py-files equivalent),
+    # so UDFs unpickle no matter where the driver was launched from
+    from lbf_spark.packaging import ship_package
+
+    ship_package(spark)
+    return spark

@@ -1,0 +1,115 @@
+"""Engine vs numpy-oracle allclose gates for the flagship pipeline."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from lbf_spark import fixtures, oracle
+from lbf_spark.plans import pipeline as P
+
+
+CFG = P.FeatureConfig(span=2000, bucket_w=100, flank_n=5, rolling_w=16, session_gap=1000)
+
+
+@pytest.fixture(scope="module")
+def spark_inputs(spark, tiny_events, tiny_anchors):
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    return ev, an
+
+
+@pytest.fixture(scope="module")
+def engine(spark_inputs):
+    ev, an = spark_inputs
+    return P.extract_features(ev, an, CFG)
+
+
+@pytest.fixture(scope="module")
+def golden(tiny_events, tiny_anchors):
+    return oracle.extract_features_oracle(tiny_events, tiny_anchors, CFG)
+
+
+def test_event_features_allclose(engine, golden):
+    got = (
+        engine["event_features"]
+        .toPandas()
+        .sort_values(["entity", "ts"], ignore_index=True)
+    )
+    exp = golden["event_features"].sort_values(["entity", "ts"], ignore_index=True)
+    assert len(got) == len(exp)
+    for col in ["pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean", "roll_mean"]:
+        assert np.allclose(got[col], exp[col], rtol=1e-9, atol=1e-12), col
+    assert np.array_equal(got["roll_count"], exp["roll_count"])
+    assert np.array_equal(got["session_id"], exp["session_id"])
+    assert np.allclose(
+        got["phash_drift"].astype(float), exp["phash_drift"], equal_nan=True
+    )
+
+
+def test_point_in_time_allclose(engine, golden):
+    keys = ["entity", "anchor_ts", "name"]
+    got = engine["point_in_time"].toPandas().sort_values(keys, ignore_index=True)
+    exp = golden["point_in_time"].sort_values(keys, ignore_index=True)
+    assert len(got) == len(exp)
+    for col in ["pixel_mean", "roll_mean", "ts"]:
+        assert np.allclose(
+            got[col].astype(float), exp[col].astype(float),
+            rtol=1e-9, atol=1e-12, equal_nan=True,
+        ), col
+
+
+def test_matrix_allclose(engine, golden):
+    keys = ["entity", "anchor_ts", "name", "bucket"]
+    got = engine["matrix"].toPandas().sort_values(keys, ignore_index=True)
+    exp = golden["matrix"].sort_values(keys, ignore_index=True)
+    assert len(got) == len(exp)
+    for col in ["cov", "val_mean", "cov_norm"]:
+        assert np.allclose(got[col], exp[col], rtol=1e-9, atol=1e-12), col
+
+
+def test_summary_vectors_allclose(engine, golden):
+    got = engine["vectors"].toPandas().sort_values(["entity", "name"], ignore_index=True)
+    exp = golden["vectors"].sort_values(["entity", "name"], ignore_index=True)
+    assert len(got) == len(exp)
+    for gv, ev_ in zip(got["vector"], exp["vector"]):
+        assert np.allclose(np.asarray(gv, dtype=float), ev_, rtol=1e-9, atol=1e-12)
+
+
+def test_zero_temporal_leakage_full_pipeline(spark, tiny_events, tiny_anchors, golden):
+    """Append strictly-future events; every summary vector must be
+    unchanged (north_rule zero-leakage gate)."""
+    future = tiny_events.copy()
+    future["ts"] = future["ts"] + int(tiny_anchors["anchor_ts"].max()) + 50_000
+    future["image_id"] = "future_" + future["image_id"]
+    both = pd.concat([tiny_events, future], ignore_index=True)
+    ev = fixtures.events_to_spark(spark, both)
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    got = (
+        P.extract_features(ev, an, CFG)["vectors"]
+        .toPandas()
+        .sort_values(["entity", "name"], ignore_index=True)
+    )
+    exp = golden["vectors"].sort_values(["entity", "name"], ignore_index=True)
+    assert len(got) == len(exp)
+    for gv, ev_ in zip(got["vector"], exp["vector"]):
+        assert np.allclose(np.asarray(gv, dtype=float), ev_, rtol=1e-9, atol=1e-12)
+
+
+def test_median_summary_allclose(spark_inputs, tiny_events, tiny_anchors):
+    cfg = P.FeatureConfig(summary="median")
+    ev, an = spark_inputs
+    got = (
+        P.extract_features(ev, an, cfg)["summary"]
+        .toPandas()
+        .sort_values(["entity", "name", "bucket"], ignore_index=True)
+    )
+    exp = (
+        oracle.extract_features_oracle(tiny_events, tiny_anchors, cfg)["summary"]
+        .sort_values(["entity", "name", "bucket"], ignore_index=True)
+    )
+    assert np.allclose(got["signal"], exp["signal"], rtol=1e-9, atol=1e-12)
+
+
+def test_run_id_stable():
+    assert P.run_id(CFG) == P.run_id(P.FeatureConfig(**CFG.__dict__))
+    assert P.run_id(CFG) != P.run_id(P.FeatureConfig(span=4000))
