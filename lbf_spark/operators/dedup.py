@@ -1,0 +1,287 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Not present in the reference (its dedup need is satisfied by BAM flag
+filters); these are the first-class data-pipeline additions required by
+the build contract: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup (see similarity.py for the ANN side).
+
+Portability note: MinHash permutations are implemented as
+``md5(f"{i}:" + shingle)`` with *lexicographic* min — md5 is identical
+in every engine, so a DuckDB/ANSI-SQL oracle reproduces signatures
+exactly (no engine-specific hash like xxhash64 in any correctness
+path). At scale: shingling+hashing is embarrassingly parallel; the LSH
+band join is an equi-join on (band_id, band_hash) — shuffle on a
+well-distributed key, broadcast-free, skew-safe by construction.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+TOKEN_RE = "[^a-z0-9]+"
+
+
+def tokens_col(text_col: str):
+    """lower → split on non-alphanumerics → drop empties. Matches the
+    DuckDB oracle expression list_filter(string_split_regex(lower(t))…)."""
+    return F.filter(
+        F.split(F.lower(F.col(text_col)), TOKEN_RE), lambda x: x != ""
+    )
+
+
+def shingles_col(tokens, n: int):
+    """Distinct word n-gram shingles from a token array column."""
+    ngrams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
+        lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
+    )
+    return F.array_distinct(ngrams)
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Exact duplicate groups by md5(text): keeper = min id, n_dups."""
+    return (
+        df.select(F.col(id_col), F.md5(F.col(text_col)).alias("text_hash"))
+        .groupBy("text_hash")
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def with_shingles(
+    df: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    return df.select(
+        F.col(id_col), shingles_col(tokens_col(text_col), n).alias("shingles")
+    )
+
+
+def minhash_signature(
+    shingled: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
+) -> DataFrame:
+    """k-permutation MinHash over md5 — portable across engines.
+
+    signature[i] = min over shingles s of md5(concat(i, ':', s)),
+    lexicographic min over the 32-char hex digest.
+    """
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
+                )
+            )
+            for i in range(num_hashes)
+        ]
+    )
+    return shingled.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature, equi-join on (band_id, band_hash) → candidate
+    pairs (a < b). One shuffle; hot buckets are real near-dup clusters."""
+    num_hashes = None  # derived from rows; bands must divide signature length
+    sig_len_col = F.size("signature")
+    rows_per_band = (sig_len_col / bands).cast("int")
+    banded = signed.select(
+        F.col(id_col),
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(bands - 1)),
+                lambda b: F.struct(
+                    b.alias("band_id"),
+                    F.md5(
+                        F.concat_ws(
+                            "|", F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                        )
+                    ).alias("band_hash"),
+                ),
+            )
+        ).alias("band"),
+    ).select(id_col, "band.band_id", "band.band_hash")
+    a = banded.alias("a")
+    b = banded.alias("b")
+    _ = num_hashes
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def jaccard_pairs(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    candidates: DataFrame | None = None,
+) -> DataFrame:
+    """Exact n-gram Jaccard ≥ threshold pairs.
+
+    Without `candidates`: inverted-index join on shingle (the exact,
+    scalable path — |pairs sharing a shingle| ≪ n²). With `candidates`
+    (e.g. from LSH): verify only those. Output: (id_a, id_b, jaccard).
+    """
+    sh = shingled.select(
+        F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
+    )
+    if candidates is None:
+        inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
+        pairs = (
+            inv.alias("x")
+            .join(
+                inv.alias("y"),
+                (F.col("x.sh") == F.col("y.sh"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .groupBy(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+            .agg(F.count(F.lit(1)).alias("n_common"))
+        )
+    else:
+        pairs = (
+            candidates.join(
+                sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sh.select(F.col(id_col).alias("id_b"), F.col("shingles").alias("sh_b")),
+                "id_b",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
+            )
+        )
+    sizes = sh.select(F.col(id_col), F.col("n_sh"))
+    out = (
+        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
+        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def minhash_dedup_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 4,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """MinHash-LSH candidate generation + exact-Jaccard verification —
+    the scale path for near-dup dedup (LSH prunes n² to near-linear;
+    the verify join keeps precision exact)."""
+    shingled = with_shingles(df, id_col, text_col, n)
+    signed = minhash_signature(shingled, num_hashes, id_col)
+    cands = lsh_candidate_pairs(signed, bands, id_col)
+    return jaccard_pairs(shingled, threshold, id_col, candidates=cands)
+
+
+def simhash64(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text"
+) -> DataFrame:
+    """64-bit SimHash fingerprint from md5(token) bits (portable).
+
+    bit b of the fingerprint = 1 iff Σ_tokens (±1 for token-bit b) > 0,
+    counting token multiplicity. Computed JVM-side: tokens → md5 →
+    conv(hex,16,10 per half) → per-bit vote via aggregate().
+    """
+    toks = tokens_col(text_col)
+    # two 32-bit halves of the first 16 hex chars (64 bits) of md5(token)
+    h = F.transform(toks, lambda t: F.md5(t))
+    hi = F.transform(h, lambda x: F.conv(F.substring(x, 1, 8), 16, 10).cast("long"))
+    lo = F.transform(h, lambda x: F.conv(F.substring(x, 9, 8), 16, 10).cast("long"))
+    exploded = df.select(
+        F.col(id_col),
+        F.explode(F.arrays_zip(hi.alias("hi"), lo.alias("lo"))).alias("tb"),
+    ).select(id_col, F.col("tb.hi").alias("hi"), F.col("tb.lo").alias("lo"))
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("hi" if b < 32 else "lo"), b % 32).bitwiseAND(1) == 1, 1)
+            .otherwise(-1)
+        ).alias(f"v{b}")
+        for b in range(64)
+    ]
+    voted = exploded.groupBy(id_col).agg(*votes)
+    fp = None
+    for b in range(64):
+        bit = F.when(F.col(f"v{b}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = bit * F.lit(2**b if b < 63 else -(2**63)).cast("long")
+        fp = term if fp is None else (fp + term)
+    return voted.select(F.col(id_col), fp.alias("simhash"))
+
+
+def simhash_near_dup_pairs(
+    df: DataFrame,
+    max_hamming: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bands: int = 4,
+) -> DataFrame:
+    """SimHash near-dup: band the 64-bit fingerprint into `bands`
+    16-bit keys (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
+    join per band, verify exact hamming ≤ max_hamming."""
+    fps = simhash64(df, id_col, text_col)
+    width = 64 // bands
+    mask = (1 << width) - 1
+    banded = fps.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_id"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "simhash", "bk.band_id", "bk.band_key")
+    a, b = banded.alias("a"), banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.bit_count(
+                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )

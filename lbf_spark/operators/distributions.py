@@ -1,0 +1,187 @@
+"""Distribution operators over (group, position) frames.
+
+Re-expresses SURVEY.md §2.4 A8-A16: the reference builds dense
+(fragment-length × position) tensors and normalizes/summarizes them
+with numpy (``fextract_fragment_length_distribution/...``,
+``fextract_entropy/plugin.py``). Here the tensor is long-form
+``(group…, bin_x, bin_y, value)`` — sparse, shuffle-friendly, and every
+formula is JVM column arithmetic (partial aggregation map-side; one
+shuffle per groupBy).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+def histogram2d(
+    df: DataFrame,
+    x: str,
+    y: str,
+    x_width: float,
+    y_width: float,
+    by: list[str] | None = None,
+    x_min: float = 0.0,
+    y_min: float = 0.0,
+) -> DataFrame:
+    """Sparse 2-D histogram: counts per (floor((x-x_min)/xw), floor((y-y_min)/yw)).
+
+    The (fragment_length × position) tensor analog
+    (``fextract_fragment_length_distribution/plugin.py:134-147``) —
+    kept long-form so a 10^12-row input aggregates with one shuffle.
+    """
+    by = by or []
+    return (
+        df.withColumn("bin_x", F.floor((F.col(x) - F.lit(x_min)) / F.lit(x_width)))
+        .withColumn("bin_y", F.floor((F.col(y) - F.lit(y_min)) / F.lit(y_width)))
+        .groupBy(*by, "bin_x", "bin_y")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def shannon_entropy(
+    df: DataFrame,
+    value: str,
+    by: list[str] | str,
+    out: str = "entropy",
+    epsilon: float = 0.0,
+) -> DataFrame:
+    """Shannon entropy of the per-group value distribution:
+    H = -Σ p·ln(p), p = (v+ε)/Σ(v+ε)  (``fextract_entropy/plugin.py:31-40``;
+    the reference adds ε=1e-10 before normalizing)."""
+    by = [by] if isinstance(by, str) else list(by)
+    v = F.col(value) + F.lit(epsilon)
+    w = Window.partitionBy(*by)
+    p = v / F.sum(v).over(w)
+    plogp = F.when(p > 0, p * F.log(p)).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("_plogp", plogp)
+        .groupBy(*by)
+        .agg((-F.sum("_plogp")).alias(out))
+    )
+
+
+def kl_to_flanking(
+    df: DataFrame,
+    value: str,
+    position: str,
+    n_positions: int,
+    flank_n: int,
+    dist_key: str,
+    by: list[str] | str,
+    out: str = "kl",
+    epsilon: float = 1e-10,
+) -> DataFrame:
+    """KL divergence of each position's distribution (over `dist_key`)
+    to the flanking baseline distribution — A10
+    (``fextract_relative_entropy_to_flanking/plugin.py:33-44``).
+
+    Input: long-form (by…, position, dist_key, value). Output:
+    (by…, position, kl). Baseline = mean of the first/last `flank_n`
+    positions' distributions, all renormalized with ε smoothing.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    in_flank = (F.col(position) < F.lit(flank_n)) | (
+        F.col(position) >= F.lit(n_positions - flank_n)
+    )
+    # p(position, k): normalize within (by, position)
+    wp = Window.partitionBy(*by, position)
+    p = (F.col(value) + F.lit(epsilon)) / F.sum(F.col(value) + F.lit(epsilon)).over(wp)
+    dfp = df.withColumn("_p", p)
+    # baseline q(k): mean of flanking p over positions, renormalized
+    q = (
+        dfp.filter(in_flank)
+        .groupBy(*by, dist_key)
+        .agg(F.avg("_p").alias("_q_raw"))
+    )
+    wq = Window.partitionBy(*by)
+    q = q.withColumn("_q", F.col("_q_raw") / F.sum("_q_raw").over(wq)).drop("_q_raw")
+    joined = dfp.join(q, by + [dist_key], "left").fillna({"_q": epsilon})
+    term = F.when(F.col("_p") > 0, F.col("_p") * F.log(F.col("_p") / F.col("_q"))).otherwise(
+        F.lit(0.0)
+    )
+    return (
+        joined.withColumn("_term", term)
+        .groupBy(*by, position)
+        .agg(F.sum("_term").alias(out))
+    )
+
+
+def band_ratio(
+    df: DataFrame,
+    value: str,
+    band_col: str,
+    num_band: tuple[float, float],
+    den_band: tuple[float, float],
+    by: list[str] | str,
+    out: str = "ratio",
+) -> DataFrame:
+    """Σ value in [num) band / Σ value in [den) band per group, with the
+    reference's zero-denominator guard → null
+    (``fextract_fragment_length_ratios/plugin.py:30-46``)."""
+    by = [by] if isinstance(by, str) else list(by)
+    b = F.col(band_col)
+    num = F.sum(F.when((b >= num_band[0]) & (b < num_band[1]), F.col(value)))
+    den = F.sum(F.when((b >= den_band[0]) & (b < den_band[1]), F.col(value)))
+    return df.groupBy(*by).agg(
+        F.when(den != 0, num / den).otherwise(F.lit(None)).alias(out)
+    )
+
+
+def positional_binning(
+    df: DataFrame,
+    position: str,
+    value: str,
+    bin_width: int,
+    by: list[str] | str,
+    out_bin: str = "bin",
+    out: str = "value",
+) -> DataFrame:
+    """Sum values into coarse positional bins — ``np.add.reduceat``
+    analog (``fextract_fragment_length_distribution_in_batch/
+    plugin.py:124-132``)."""
+    by = [by] if isinstance(by, str) else list(by)
+    return (
+        df.withColumn(out_bin, F.floor(F.col(position) / F.lit(bin_width)))
+        .groupBy(*by, out_bin)
+        .agg(F.sum(value).alias(out))
+    )
+
+
+def multinomial_subsample(
+    df: DataFrame,
+    count_col: str,
+    n_draws: int,
+    by: list[str] | str,
+    key_cols: list[str],
+    seed: int = 42,
+) -> DataFrame:
+    """Resample each group's count distribution to exactly `n_draws`
+    multinomial draws — A15 (``fextract_fragment_length_distribution/
+    plugin.py:44-58``). The reference uses *unseeded* np.random; we
+    derive a per-group seed from (seed, group key) so results are
+    deterministic and partition-order independent."""
+    by = [by] if isinstance(by, str) else list(by)
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name in by + key_cols]
+        + [T.StructField("subsampled", T.LongType(), False)]
+    )
+    out_cols = by + key_cols + ["subsampled"]
+
+    def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(key_cols, kind="mergesort", ignore_index=True)
+        counts = pdf[count_col].to_numpy(dtype=np.float64)
+        total = counts.sum()
+        if total <= 0:
+            draws = np.zeros(len(pdf), dtype=np.int64)
+        else:
+            gseed = abs(hash((seed,) + tuple(str(k) for k in keys))) % (2**32)
+            rng = np.random.default_rng(gseed)
+            draws = rng.multinomial(n_draws, counts / total)
+        out = pdf[by + key_cols].copy()
+        out["subsampled"] = draws.astype(np.int64)
+        return out[out_cols]
+
+    return df.groupBy(*by).applyInPandas(fn, schema)

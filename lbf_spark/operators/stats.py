@@ -1,0 +1,241 @@
+"""Group-contrast analysis layer (SURVEY.md §2.4 A17-A21).
+
+The reference's downstream module
+(``/root/reference/src/lbfextract/transcription_factor_analysis/
+differential_signal_analysis.py:313-478``) runs per-interval
+Mann-Whitney U / Kruskal-Wallis tests with multiple-testing correction.
+scipy is not available in this container, so the test statistics and
+p-values are implemented directly (normal approximation with tie
+correction for MWU; χ² survival via regularized incomplete gamma for
+KW; Benjamini-Hochberg for FDR) — standard published formulas.
+
+Execution shape: per-group tests run inside grouped Arrow batches
+(one key = one test, thousands in parallel); the global BH correction
+needs every p-value and runs on the (tiny) collected result.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F, types as T
+
+
+# ------------------------------------------------------ numeric kernels
+
+
+def _gammainc_upper_reg(a: float, x: float) -> float:
+    """Regularized upper incomplete gamma Q(a, x) — series/continued
+    fraction (Numerical Recipes-style, public formulas)."""
+    if x < 0 or a <= 0:
+        return float("nan")
+    if x == 0:
+        return 1.0
+    if x < a + 1.0:  # series for P, return 1-P
+        ap, summ, delta = a, 1.0 / a, 1.0 / a
+        for _ in range(500):
+            ap += 1.0
+            delta *= x / ap
+            summ += delta
+            if abs(delta) < abs(summ) * 1e-15:
+                break
+        return 1.0 - summ * math.exp(-x + a * math.log(x) - math.lgamma(a))
+    # continued fraction for Q
+    tiny = 1e-300
+    b, c, d = x + 1.0 - a, 1.0 / tiny, 1.0 / (x + 1.0 - a)
+    h = d
+    for i in range(1, 500):
+        an = -i * (i - a)
+        b += 2.0
+        d = an * d + b
+        d = tiny if abs(d) < tiny else d
+        c = b + an / c
+        c = tiny if abs(c) < tiny else c
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < 1e-15:
+            break
+    return h * math.exp(-x + a * math.log(x) - math.lgamma(a))
+
+
+def chi2_sf(x: float, df: int) -> float:
+    return _gammainc_upper_reg(df / 2.0, x / 2.0)
+
+
+def mannwhitney_u(x: np.ndarray, y: np.ndarray) -> tuple[float, float]:
+    """Two-sided MWU with normal approximation + tie correction."""
+    n1, n2 = len(x), len(y)
+    if n1 == 0 or n2 == 0:
+        return float("nan"), float("nan")
+    allv = np.concatenate([x, y])
+    ranks = pd.Series(allv).rank(method="average").to_numpy()
+    r1 = ranks[:n1].sum()
+    u1 = r1 - n1 * (n1 + 1) / 2.0
+    u = min(u1, n1 * n2 - u1)
+    n = n1 + n2
+    _, counts = np.unique(allv, return_counts=True)
+    tie_term = (counts**3 - counts).sum()
+    var = n1 * n2 / 12.0 * ((n + 1) - tie_term / (n * (n - 1))) if n > 1 else 0.0
+    if var <= 0:
+        return u1, 1.0
+    z = (u - n1 * n2 / 2.0 + 0.5) / math.sqrt(var)  # continuity correction
+    p = min(1.0, math.erfc(-z / math.sqrt(2.0)))  # 2*cdf(z) for z<0
+    return u1, p
+
+
+def kruskal_wallis(groups: list[np.ndarray]) -> tuple[float, float]:
+    groups = [g for g in groups if len(g)]
+    k = len(groups)
+    if k < 2:
+        return float("nan"), float("nan")
+    allv = np.concatenate(groups)
+    n = len(allv)
+    ranks = pd.Series(allv).rank(method="average").to_numpy()
+    h, start = 0.0, 0
+    for g in groups:
+        r = ranks[start : start + len(g)]
+        h += r.sum() ** 2 / len(g)
+        start += len(g)
+    h = 12.0 / (n * (n + 1)) * h - 3 * (n + 1)
+    _, counts = np.unique(allv, return_counts=True)
+    tie = 1.0 - (counts**3 - counts).sum() / (n**3 - n) if n > 1 else 1.0
+    if tie > 0:
+        h /= tie
+    return h, chi2_sf(h, k - 1)
+
+
+def benjamini_hochberg(p: np.ndarray) -> np.ndarray:
+    """BH-adjusted p-values (statsmodels 'fdr_bh' analog,
+    ``differential_signal_analysis.py:424-478``)."""
+    p = np.asarray(p, dtype=float)
+    n = len(p)
+    order = np.argsort(p, kind="mergesort")
+    ranked = p[order] * n / np.arange(1, n + 1)
+    ranked = np.minimum.accumulate(ranked[::-1])[::-1]
+    out = np.empty(n)
+    out[order] = np.minimum(ranked, 1.0)
+    return out
+
+
+# --------------------------------------------------------- Spark stages
+
+
+def amplitude(
+    df: DataFrame,
+    value: str,
+    position: str,
+    n_positions: int,
+    center_n: int,
+    by: list[str] | str,
+    out: str = "amplitude",
+) -> DataFrame:
+    """Accessibility amplitude: center-window mean − flanking mean,
+    sign-flipped for dips (``accessibility_extraction.py:6-27``,
+    ``plotting_functions.py:172-189``)."""
+    by = [by] if isinstance(by, str) else list(by)
+    mid = n_positions // 2
+    in_center = (F.col(position) >= mid - center_n // 2) & (
+        F.col(position) < mid + (center_n + 1) // 2
+    )
+    center = F.avg(F.when(in_center, F.col(value)))
+    flank = F.avg(F.when(~in_center, F.col(value)))
+    return df.groupBy(*by).agg((center - flank).alias(out))
+
+
+def group_test_2(
+    df: DataFrame,
+    value: str,
+    group_col: str,
+    by: list[str] | str,
+) -> DataFrame:
+    """Per-key two-group Mann-Whitney U (A18) in grouped Arrow batches."""
+    by = [by] if isinstance(by, str) else list(by)
+    key_fields = [f for f in df.schema.fields if f.name in by]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("u_stat", T.DoubleType(), True),
+            T.StructField("p_value", T.DoubleType(), True),
+            T.StructField("mean_a", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+        ]
+    )
+
+    def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        gs = sorted(pdf[group_col].dropna().unique())
+        if len(gs) != 2:
+            return pd.DataFrame(columns=[f.name for f in schema.fields])
+        x = pdf.loc[pdf[group_col] == gs[0], value].to_numpy(dtype=float)
+        y = pdf.loc[pdf[group_col] == gs[1], value].to_numpy(dtype=float)
+        u, p = mannwhitney_u(x, y)
+        row = dict(zip(by, keys))
+        row.update(u_stat=u, p_value=p, mean_a=float(x.mean()), mean_b=float(y.mean()))
+        return pd.DataFrame([row])
+
+    return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def group_test_k(
+    df: DataFrame, value: str, group_col: str, by: list[str] | str
+) -> DataFrame:
+    """Per-key k-group Kruskal-Wallis (A19)."""
+    by = [by] if isinstance(by, str) else list(by)
+    key_fields = [f for f in df.schema.fields if f.name in by]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("h_stat", T.DoubleType(), True),
+            T.StructField("p_value", T.DoubleType(), True),
+            T.StructField("n_groups", T.IntegerType(), True),
+        ]
+    )
+
+    def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        groups = [
+            g[value].to_numpy(dtype=float)
+            for _, g in pdf.dropna(subset=[group_col]).groupby(group_col)
+        ]
+        h, p = kruskal_wallis(groups)
+        row = dict(zip(by, keys))
+        row.update(h_stat=h, p_value=p, n_groups=len(groups))
+        return pd.DataFrame([row])
+
+    return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def adjust_pvalues(
+    df: DataFrame, p_col: str = "p_value", out: str = "p_adj"
+) -> DataFrame:
+    """Global BH correction (A20). Needs every p-value at once — the
+    result set is per-key (small), so it runs in a single partition."""
+    schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.copy()
+        mask = pdf[p_col].notna()
+        adj = np.full(len(pdf), np.nan)
+        if mask.any():
+            adj[mask.to_numpy()] = benjamini_hochberg(pdf.loc[mask, p_col].to_numpy())
+        pdf[out] = adj
+        return pdf
+
+    return df.coalesce(1).mapInPandas(lambda it: (fn(pd.concat(list(it))),), schema)
+
+
+def iqr_clamp(
+    df: DataFrame, value: str, by: list[str] | str, factor: float = 1.5,
+    out: str | None = None,
+) -> DataFrame:
+    """Clamp outliers to [q1 − f·IQR, q3 + f·IQR] per group (A21,
+    ``transcription_factor_analysis/utils.py:12-26``). Exact
+    percentiles via JVM percentile()."""
+    by = [by] if isinstance(by, str) else list(by)
+    w = Window.partitionBy(*by)
+    q1 = F.expr(f"percentile({value}, 0.25)").over(w)
+    q3 = F.expr(f"percentile({value}, 0.75)").over(w)
+    lo = q1 - factor * (q3 - q1)
+    hi = q3 + factor * (q3 - q1)
+    return df.withColumn(out or value, F.greatest(lo, F.least(hi, F.col(value))))

@@ -1,0 +1,133 @@
+"""Text-analysis operators for training-data curation.
+
+All formulas are deliberately expressible in ANSI SQL (the DuckDB
+oracle reproduces each one exactly): stopword-vote language ID, quality
+scoring from length/punctuation/stopword ratios, whitespace + regex
+token counting, and an md5-based document fingerprint. JVM-side column
+expressions throughout — zero Python in any of these paths.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lbf_spark.operators.dedup import tokens_col
+
+# tiny stopword inventories — enough for a vote, deliberately small so
+# the oracle SQL stays readable
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "it", "that", "for", "with"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "zu"],
+    "fr": ["le", "la", "et", "les", "des", "est", "pas", "que", "une", "dans"],
+    "es": ["el", "la", "los", "que", "es", "una", "por", "con", "para", "del"],
+}
+
+
+def _vote(tokens, words: list[str]):
+    quoted = ", ".join(f"'{w}'" for w in words)
+    return F.expr(f"size(filter(__toks, t -> t in ({quoted})))")
+
+
+def lang_id(
+    df: DataFrame, text_col: str = "text", out: str = "lang_pred"
+) -> DataFrame:
+    """Stopword-vote language ID. Ties/zero votes → 'und'. The argmax is
+    decided by (votes desc, language code asc) — deterministic."""
+    df = df.withColumn("__toks", tokens_col(text_col))
+    langs = sorted(STOPWORDS)
+    pairs = [
+        F.struct(
+            _vote(F.col("__toks"), STOPWORDS[lang]).alias("votes"),
+            F.lit(lang).alias("lang"),
+        )
+        for lang in langs
+    ]
+    # array_max on struct = lexicographic (votes, lang); we want max votes
+    # with *ascending* lang tiebreak → compare on (votes, reversed-lang)
+    best = F.aggregate(
+        F.array(*pairs),
+        F.struct(F.lit(-1).alias("votes"), F.lit("zzz").alias("lang")),
+        lambda acc, x: F.when(
+            (x["votes"] > acc["votes"])
+            | ((x["votes"] == acc["votes"]) & (x["lang"] < acc["lang"])),
+            x,
+        ).otherwise(acc),
+    )
+    return (
+        df.withColumn("__best", best)
+        .withColumn(
+            out,
+            F.when(F.col("__best.votes") > 0, F.col("__best.lang")).otherwise(
+                F.lit("und")
+            ),
+        )
+        .drop("__toks", "__best")
+    )
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Two token counts: whitespace split and word-regex split (a cheap
+    BPE-proxy: alnum runs count 1 each, so punctuation-heavy text shows
+    a regex/ws ratio > 1)."""
+    ws = F.size(F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != ""))
+    rx = F.size(tokens_col(text_col))
+    return df.withColumn("n_tokens_ws", ws).withColumn("n_tokens_regex", rx)
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", out: str = "quality"
+) -> DataFrame:
+    """Heuristic document quality in [0, 1]:
+    0.25·len_ok + 0.25·(1 − punct_ratio·5 clamped) + 0.3·stopword_ratio·3
+    clamped + 0.2·word_len_ok. Components:
+
+    - len_ok: 1 if 200 ≤ n_chars ≤ 20000 else n_chars/200 (short) or 0.5 (long)
+    - punct_ratio: non-alnum-non-space chars / chars
+    - stop_ratio: english stopword tokens / tokens
+    - word_len_ok: 1 if 3 ≤ mean token length ≤ 10 else 0.5
+    """
+    n_chars = F.length(F.col(text_col)).cast("double")
+    punct = (
+        F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+        / F.greatest(n_chars, F.lit(1.0))
+    )
+    toks = tokens_col(text_col)
+    n_tok = F.size(toks).cast("double")
+    quoted = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    stop_ratio = F.expr(
+        f"size(filter(filter(split(lower({text_col}), '[^a-z0-9]+'), t -> t != ''),"
+        f" t -> t in ({quoted})))"
+    ).cast("double") / F.greatest(n_tok, F.lit(1.0))
+    mean_wlen = F.aggregate(
+        toks, F.lit(0.0), lambda acc, t: acc + F.length(t)
+    ) / F.greatest(n_tok, F.lit(1.0))
+    len_ok = (
+        F.when((n_chars >= 200) & (n_chars <= 20000), 1.0)
+        .when(n_chars < 200, n_chars / 200.0)
+        .otherwise(0.5)
+    )
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 10), 1.0).otherwise(0.5)
+    score = (
+        0.25 * len_ok
+        + 0.25 * (1.0 - F.least(punct * 5.0, F.lit(1.0)))
+        + 0.3 * F.least(stop_ratio * 3.0, F.lit(1.0))
+        + 0.2 * wlen_ok
+    )
+    return df.withColumn(out, F.round(score, 6))
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", out: str = "fingerprint", k: int = 4
+) -> DataFrame:
+    """Winnowing-style fingerprint: the k lexicographically smallest
+    md5(token-trigram) digests, joined with '|'. Rolling-hash analog
+    that any engine reproduces (md5 + sorts only)."""
+    toks = tokens_col(text_col)
+    tris = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1))),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
+    )
+    fp = F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(tris)), 1, k))
+    return df.withColumn(out, fp)

@@ -18,7 +18,8 @@ from pyspark.sql import DataFrame, Window, functions as F, types as T
 
 def _w(by, order):
     by = [by] if isinstance(by, str) else list(by)
-    return Window.partitionBy(*by).orderBy(order)
+    order = [order] if isinstance(order, str) else list(order)
+    return Window.partitionBy(*by).orderBy(*order)
 
 
 def rolling_mean(
@@ -80,15 +81,20 @@ def bfill(df: DataFrame, col: str, out: str | None = None, by="entity", order="t
 
 
 def sessionize(
-    df: DataFrame, gap: int, out: str = "session_id", by="entity", order="ts"
+    df: DataFrame, gap: int, out: str = "session_id", by="entity", order="ts",
+    ts_col: str | None = None,
 ) -> DataFrame:
     """Session ids via timestamp-gap cumsum (dyad segmentation analog,
     ``signal_transformer.py:50-113``): a new session starts whenever
-    ``ts - lag(ts) > gap``. Pure JVM window ops — no Python."""
+    ``ts - lag(ts) > gap``. Pure JVM window ops — no Python.
+
+    ``order`` may be a list (tie-broken ordering); the gap is measured
+    on ``ts_col`` (default: the first order column)."""
+    ts_col = ts_col or (order if isinstance(order, str) else order[0])
     w = _w(by, order)
     wc = _w(by, order).rowsBetween(Window.unboundedPreceding, 0)
     is_new = F.when(
-        (F.col(order) - F.lag(order, 1).over(w)) > gap, F.lit(1)
+        (F.col(ts_col) - F.lag(ts_col, 1).over(w)) > gap, F.lit(1)
     ).otherwise(F.lit(0))
     # first row of each entity: lag is null ⇒ otherwise(0) ⇒ session 0
     return df.withColumn(out, F.sum(is_new).over(wc))
@@ -120,8 +126,10 @@ def rolling_median(
     by = [by] if isinstance(by, str) else list(by)
     schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
 
+    order_cols = [order] if isinstance(order, str) else list(order)
+
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(order, kind="mergesort", ignore_index=True)
+        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
         pdf[out] = (
             pdf[col].astype("float64").rolling(window, min_periods=1).median()
         )

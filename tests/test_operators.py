@@ -1,0 +1,214 @@
+"""Operator-family tests vs plain-python ground truth."""
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lbf_spark.operators import dedup, distributions as D, similarity as S, stats, text
+
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy cat"),
+    (3, "the quick brown fox jumps over the lazy dog"),  # exact dup of 1
+    (4, "completely different content about der die und das nicht"),
+    (5, "le chat est sur la table et les livres sont dans le sac"),
+    (6, "el gato es una mascota que vive con los humanos para siempre"),
+    (7, "numbers 123 symbols !!! only ??? 456"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    got = dedup.exact_dedup(docs, "doc_id", "text").toPandas()
+    dup_groups = got[got.n_copies > 1]
+    assert len(dup_groups) == 1
+    assert dup_groups.iloc[0]["keeper_id"] == 1 and dup_groups.iloc[0]["n_copies"] == 2
+
+
+def test_jaccard_pairs_exact(spark, docs):
+    got = dedup.jaccard_pairs(
+        dedup.with_shingles(docs, "doc_id", "text", 3), threshold=0.5
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in got.itertuples()}
+    assert pairs[(1, 3)] == 1.0
+    # doc 2 differs in last word: shingles 7, shared 6 → 6/8 = 0.75
+    assert abs(pairs[(1, 2)] - 0.75) < 1e-12
+    assert (4, 5) not in pairs
+
+
+def test_minhash_lsh_finds_near_dups(spark, docs):
+    got = dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.7
+    ).toPandas()
+    found = {(r.id_a, r.id_b) for r in got.itertuples()}
+    assert (1, 3) in found and (1, 2) in found and (2, 3) in found
+    assert all(a < b for a, b in found)
+
+
+def test_simhash_dup_detection(spark, docs):
+    fps = dedup.simhash64(docs, "doc_id", "text").toPandas().set_index("doc_id")
+    assert fps.loc[1, "simhash"] == fps.loc[3, "simhash"]
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=8).toPandas()
+    assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(1, 3)}
+
+
+def test_lang_id(spark, docs):
+    got = text.lang_id(docs).toPandas().set_index("doc_id")["lang_pred"]
+    assert got[1] == "en" and got[4] == "de" and got[5] == "fr"
+    assert got[6] == "es" and got[7] == "und"
+
+
+def test_token_count(spark, docs):
+    got = text.token_count(docs).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_tokens_ws"] == 9 and got.loc[1, "n_tokens_regex"] == 9
+    assert got.loc[7, "n_tokens_ws"] == 7 and got.loc[7, "n_tokens_regex"] == 5
+
+
+def test_quality_and_fingerprint_deterministic(spark, docs):
+    q1 = text.quality_score(docs).toPandas().set_index("doc_id")["quality"]
+    q2 = text.quality_score(docs).toPandas().set_index("doc_id")["quality"]
+    assert (q1 == q2).all() and ((q1 >= 0) & (q1 <= 1)).all()
+    fp = text.doc_fingerprint(docs).toPandas().set_index("doc_id")["fingerprint"]
+    assert fp[1] == fp[3] and fp[1] != fp[4]
+
+
+def test_entropy_matches_numpy(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 4 + ["b"] * 3, "v": [1.0, 1.0, 2.0, 4.0, 5.0, 5.0, 0.0]}
+    )
+    got = (
+        D.shannon_entropy(spark.createDataFrame(pdf), "v", "g")
+        .toPandas()
+        .set_index("g")["entropy"]
+    )
+    for g, grp in pdf.groupby("g"):
+        p = grp.v.to_numpy() / grp.v.sum()
+        exp = -np.sum([x * math.log(x) for x in p if x > 0])
+        assert abs(got[g] - exp) < 1e-12
+
+
+def test_band_ratio_and_binning(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 6, "band": [100, 150, 200, 250, 300, 350], "v": [1.0] * 6}
+    )
+    df = spark.createDataFrame(pdf)
+    r = D.band_ratio(df, "v", "band", (100, 200), (200, 400), "g").toPandas()
+    assert abs(r.iloc[0]["ratio"] - 2 / 4) < 1e-12
+    b = D.positional_binning(df, "band", "v", 100, "g").toPandas()
+    assert dict(zip(b.bin, b.value)) == {1: 2.0, 2: 2.0, 3: 2.0}
+
+
+def test_histogram2d(spark):
+    pdf = pd.DataFrame({"x": [0, 5, 15, 15], "y": [0, 0, 10, 11]})
+    got = D.histogram2d(spark.createDataFrame(pdf), "x", "y", 10, 10).toPandas()
+    m = {(r.bin_x, r.bin_y): r.n for r in got.itertuples()}
+    assert m == {(0, 0): 2, (1, 1): 2}
+
+
+def test_multinomial_subsample_deterministic_and_total(spark):
+    pdf = pd.DataFrame(
+        {"g": ["a"] * 5 + ["b"] * 5, "k": list(range(5)) * 2,
+         "n": [10, 20, 30, 40, 0, 1, 1, 1, 1, 96]}
+    )
+    df = spark.createDataFrame(pdf)
+    a = D.multinomial_subsample(df, "n", 50, "g", ["k"]).toPandas()
+    b = D.multinomial_subsample(df, "n", 50, "g", ["k"]).toPandas()
+    assert a.sort_values(["g", "k"]).equals(b.sort_values(["g", "k"]))
+    assert a.groupby("g")["subsampled"].sum().eq(50).all()
+
+
+def test_kl_to_flanking_zero_for_uniform(spark):
+    rows = [("a", p, k, 1.0) for p in range(10) for k in range(4)]
+    df = spark.createDataFrame(rows, "g string, pos int, k int, v double")
+    got = D.kl_to_flanking(df, "v", "pos", 10, 2, "k", "g").toPandas()
+    assert np.allclose(got["kl"], 0.0, atol=1e-12)
+
+
+def test_mwu_and_kw_sane():
+    x = np.array([1.0, 2.0, 3.0, 4.0, 5.0] * 4)
+    y = x + 10.0
+    u, p = stats.mannwhitney_u(x, y)
+    assert p < 1e-5
+    _, p_same = stats.mannwhitney_u(x, x)
+    assert p_same > 0.9
+    h, pk = stats.kruskal_wallis([x, y, x + 20])
+    assert pk < 1e-6
+    assert abs(stats.chi2_sf(3.84, 1) - 0.05) < 2e-3  # textbook value
+
+
+def test_bh_matches_known():
+    p = np.array([0.01, 0.04, 0.03, 0.005])
+    adj = stats.benjamini_hochberg(p)
+    assert np.allclose(adj, [0.02, 0.04, 0.04, 0.02])
+
+
+def test_group_tests_spark(spark):
+    rows = []
+    rng = np.random.default_rng(3)
+    for interval in ["i1", "i2"]:
+        for g, shift in [("ctrl", 0.0), ("case", 5.0 if interval == "i1" else 0.0)]:
+            for v in rng.normal(shift, 1.0, 20):
+                rows.append((interval, g, float(v)))
+    df = spark.createDataFrame(rows, "interval string, grp string, v double")
+    res = stats.group_test_2(df, "v", "grp", "interval").toPandas().set_index("interval")
+    assert res.loc["i1", "p_value"] < 0.001 and res.loc["i2", "p_value"] > 0.05
+    adj = stats.adjust_pvalues(stats.group_test_2(df, "v", "grp", "interval")).toPandas()
+    assert "p_adj" in adj.columns and len(adj) == 2
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(5)
+    vecs = rng.standard_normal((30, 8)).astype(np.float32)
+    pdf = pd.DataFrame({"vec_id": range(30), "embedding": list(vecs)})
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in zip(pdf.vec_id, pdf.embedding)],
+        "vec_id long, embedding array<float>",
+    )
+    got = S.brute_force_topk(df, df.filter("vec_id < 3"), k=4).toPandas()
+    v64 = vecs.astype(np.float64)
+    sims = (v64 @ v64.T) / (
+        np.linalg.norm(v64, axis=1)[:, None] * np.linalg.norm(v64, axis=1)[None, :]
+    )
+    for pid in range(3):
+        s = np.round(sims[pid], 4)
+        order = sorted(
+            [(float(-s[j]), j) for j in range(30) if j != pid]
+        )[:4]
+        exp = [j for _, j in order]
+        g = got[got.probe_id == pid].sort_values("rnk")["neighbor_id"].tolist()
+        assert g == exp, (pid, g, exp)
+
+
+def test_lsh_near_dup_pairs_finds_planted(spark):
+    rng = np.random.default_rng(6)
+    base = rng.standard_normal((20, 16))
+    vecs = np.vstack([base, base[:3] + rng.standard_normal((3, 16)) * 0.01])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    got = S.lsh_near_dup_pairs(df, dim=16, threshold=0.98, n_planes=8, n_tables=6)
+    pairs = {(r.id_a, r.id_b) for r in got.toPandas().itertuples()}
+    assert {(0, 20), (1, 21), (2, 22)} <= pairs
+
+
+def test_iqr_clamp(spark):
+    pdf = pd.DataFrame({"g": ["a"] * 6, "v": [1.0, 2.0, 3.0, 4.0, 5.0, 100.0]})
+    got = stats.iqr_clamp(spark.createDataFrame(pdf), "v", "g", out="c").toPandas()
+    assert got["c"].max() < 100.0 and got["c"].min() == 1.0
+
+
+def test_amplitude(spark):
+    rows = [("a", p, 10.0 if 4 <= p < 6 else 2.0) for p in range(10)]
+    df = spark.createDataFrame(rows, "g string, pos int, v double")
+    got = stats.amplitude(df, "v", "pos", 10, 2, "g").toPandas()
+    assert abs(got.iloc[0]["amplitude"] - 8.0) < 1e-12
