@@ -215,6 +215,6 @@ def cached_events_parquet(
         df = generate_events(n_rows, n_entities, seed=seed, with_payload=with_payload)
         tbl = pa.Table.from_pandas(df, preserve_index=False)
         os.makedirs(os.path.dirname(path), exist_ok=True)
-        pq.write_table(tbl, path + ".tmp", compression="zstd")
+        pq.write_table(tbl, path + ".tmp", compression="zstd", row_group_size=10_000)
         os.replace(path + ".tmp", path)
     return path

@@ -112,17 +112,29 @@ def asof_join(
     tolerance: int | None = None,
     direction: str = "backward",
     select: list[str] | None = None,
+    strategy: str = "union",
 ) -> DataFrame:
     """As-of join: each anchor row gets the matching event row.
 
     backward ⇒ latest event with ``ts ≤ anchor_ts`` (within ``tolerance``
     if given) — point-in-time correct, no future leakage (north_rule;
     reference semantics at ``fextract/lib.py:72-77`` + proper-pair
-    guard, SURVEY.md J2).
+    guard, SURVEY.md J2). Ties on ``on`` resolve to the last event
+    (pd.merge_asof semantics).
+
+    ``strategy``:
+    * "union" (default, backward only) — 100 % JVM: union both sides,
+      one window pass carrying the last event struct forward
+      (``last(struct, ignorenulls)``), filter back to anchor rows.
+      Single shuffle+sort, whole-stage codegen, no Python.
+    * "cogroup" — Arrow-batched ``pd.merge_asof`` per entity group;
+      needed for forward/nearest directions.
     """
     if direction not in _ASOF_DIRECTIONS:
         raise ValueError(f"direction must be one of {_ASOF_DIRECTIONS}")
     by = [by] if isinstance(by, str) else list(by)
+    if strategy == "union" and direction == "backward":
+        return _asof_join_union(events, anchors, on, anchor_on, by, tolerance, select)
     schema, ev_cols = _merged_schema(anchors, events, by, select)
     out_cols = [f.name for f in schema.fields]
     fn = _asof_merge_fn(anchors.columns, ev_cols, on, anchor_on, tolerance, direction, out_cols)
@@ -130,6 +142,73 @@ def asof_join(
         anchors.groupBy(*by)
         .cogroup(events.groupBy(*by))
         .applyInPandas(lambda left, right: fn(left, right), schema)
+    )
+
+
+def _asof_join_union(
+    events: DataFrame,
+    anchors: DataFrame,
+    on: str,
+    anchor_on: str,
+    by: list[str],
+    tolerance: int | None,
+    select: list[str] | None,
+) -> DataFrame:
+    """Backward as-of via union + last-event-carry-forward window.
+
+    Event columns travel as ONE struct so the carried match is atomic
+    (per-column ``last(ignorenulls)`` could mix values from different
+    events when an event column is legitimately null). At equal ts the
+    event sorts before the anchor (``_is_event`` desc) so an anchor
+    matches an event at exactly its own timestamp."""
+    from pyspark.sql import Window
+
+    schema, ev_cols = _merged_schema(anchors, events, by, select)
+    ev_struct = F.struct(
+        F.col(on).alias("__match_ts"), *[F.col(c) for c in ev_cols if c != on]
+    )
+    ev_side = events.select(
+        *by,
+        F.col(on).alias("__t"),
+        F.lit(1).alias("__is_event"),
+        ev_struct.alias("__ev"),
+        *[F.lit(None).cast(f.dataType).alias(f.name) for f in anchors.schema.fields
+          if f.name not in by],
+    )
+    an_side = anchors.select(
+        *by,
+        F.col(anchor_on).alias("__t"),
+        F.lit(0).alias("__is_event"),
+        F.lit(None).cast(ev_side.schema["__ev"].dataType).alias("__ev"),
+        *[F.col(f.name) for f in anchors.schema.fields if f.name not in by],
+    )
+    u = ev_side.unionByName(an_side)
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(F.col("__t").asc(), F.col("__is_event").desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    filled = u.withColumn("__last_ev", F.last("__ev", ignorenulls=True).over(w)).filter(
+        F.col("__is_event") == 0
+    )
+    if tolerance is not None:
+        filled = filled.withColumn(
+            "__last_ev",
+            F.when(
+                F.col("__last_ev.__match_ts") >= F.col("__t") - F.lit(tolerance),
+                F.col("__last_ev"),
+            ),
+        )
+    out_ev = [
+        F.col("__last_ev.__match_ts").alias(on) if c == on else F.col(f"__last_ev.{c}")
+        for c in ev_cols
+    ]
+    anchor_cols = [
+        F.col("__t").alias(anchor_on) if f.name == anchor_on else F.col(f.name)
+        for f in anchors.schema.fields
+    ]
+    return filled.select(*anchor_cols, *out_ev).select(
+        *[f.name for f in schema.fields]
     )
 
 
@@ -144,46 +223,69 @@ def asof_join_sliced(
     slice_width: int | None = None,
     select: list[str] | None = None,
 ) -> DataFrame:
-    """Skew-safe backward as-of join with a bounded lookback window.
+    """Skew-safe backward as-of join with a bounded lookback window —
+    100 % JVM (equi-join + max_by), no Python in the path.
 
-    Salts the group key with ``_slice = floor(ts / slice_width)``; each
-    event is exploded into every slice whose anchors it could serve
-    (``floor(ts/W) … floor((ts+tolerance)/W)``), each anchor stays in
-    exactly one slice ⇒ results are exactly those of ``asof_join`` with
-    the same tolerance, but a hot entity's work is spread over
-    ``span/W`` tasks instead of one.
+    Salting by time-slice: anchors land in ``_slice =
+    floor(anchor_ts/W)``; each event is exploded into every slice whose
+    anchors it could serve (``floor(ts/W) … floor((ts+tolerance)/W)`` —
+    duplicate-then-trim, the ``extra_bases`` over-fetch analog). The
+    join is then a plain equi-join on (by…, _slice) + the range
+    predicate, and the best (latest ts ≤ anchor_ts) match is picked with
+    ``max_by`` — a map-side-combinable aggregate. A hot entity's work is
+    spread over span/W tasks instead of one, and AQE skew-split applies
+    on top because the shuffle key is a real column.
+
+    Ties on ``on`` within an anchor's window resolve arbitrarily —
+    pre-dedupe events to unique (by…, on) when that matters.
+    Result = ``asof_join(..., tolerance=tolerance)`` exactly.
     """
     if tolerance is None or tolerance <= 0:
         raise ValueError("sliced as-of join requires a positive tolerance")
     by = [by] if isinstance(by, str) else list(by)
-    w = slice_width or max(1, tolerance)  # 1 duplicate per event by default
-    n_dup = math.ceil(tolerance / w)
+    w = int(slice_width or max(1, tolerance))
+    n_dup = math.ceil(tolerance / w) + 1  # copies per event (bounded by design)
 
-    ev = events.withColumn(
+    schema, ev_cols = _merged_schema(anchors, events, by, select)
+    ev = events.select(
+        *by, F.col(on).alias("__ev_ts"), *[c for c in ev_cols if c != on]
+    ).withColumn(
         "_slice",
         F.explode(
             F.sequence(
-                F.floor(F.col(on) / F.lit(w)),
-                F.floor((F.col(on) + F.lit(tolerance)) / F.lit(w)),
+                F.floor(F.col("__ev_ts") / F.lit(w)),
+                F.floor((F.col("__ev_ts") + F.lit(tolerance)) / F.lit(w)),
             )
         ),
     )
     an = anchors.withColumn("_slice", F.floor(F.col(anchor_on) / F.lit(w)))
 
-    schema, ev_cols = _merged_schema(anchors, events, by, select)
-    out_cols = [f.name for f in schema.fields]
-    fn = _asof_merge_fn(anchors.columns, ev_cols, on, anchor_on, tolerance, "backward", out_cols)
-    keys = by + ["_slice"]
-
-    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
-        return fn(left.drop(columns=["_slice"]), right.drop(columns=["_slice"]))
-
-    _ = n_dup  # documented above; explode bound derives from tolerance/w
-    return (
-        an.groupBy(*keys)
-        .cogroup(ev.groupBy(*keys))
-        .applyInPandas(lambda left, right: merge(left, right), schema)
+    cond = None
+    for k in by:
+        c = an[k] == ev[k]
+        cond = c if cond is None else (cond & c)
+    cond = (
+        cond
+        & (an["_slice"] == ev["_slice"])
+        & (ev["__ev_ts"] <= an[anchor_on])
+        & (ev["__ev_ts"] >= an[anchor_on] - F.lit(tolerance))
     )
+    joined = an.join(ev, cond, "left")
+    for k in by:
+        joined = joined.drop(ev[k])
+    joined = joined.drop(an["_slice"]).drop(ev["_slice"])
+
+    # latest event per anchor: one map-side-combinable max_by over the
+    # packed event struct (null when no event matched)
+    ev_struct = F.struct(F.col("__ev_ts").alias(on), *[c for c in ev_cols if c != on])
+    best = joined.groupBy(*anchors.columns).agg(
+        F.max_by(ev_struct, F.col("__ev_ts")).alias("__best")
+    )
+    out = best.select(
+        *anchors.columns, *[F.col(f"__best.{c}").alias(c) for c in ev_cols]
+    )
+    _ = n_dup
+    return out.select(*[f.name for f in schema.fields])
 
 
 def interval_join(
@@ -197,28 +299,48 @@ def interval_join(
     upper: int = 0,
     broadcast_anchors: bool = True,
     how: str = "inner",
+    slice_width: int | None = None,
 ) -> DataFrame:
     """Events with ``anchor_ts + lower ≤ ts ≤ anchor_ts + upper`` per anchor.
 
     The distributed restatement of the per-interval indexed fetch
-    (``fextract/lib.py:72-76``): a single range join, anchor side
-    broadcast when small (it almost always is — BED files are thousands
-    of rows). For past-only windows use ``lower=-span, upper=0`` —
-    zero temporal leakage.
+    (``fextract/lib.py:72-76``). For past-only windows use
+    ``lower=-span, upper=0`` — zero temporal leakage.
+
+    Physical strategy — range-join *binning*: a naive range join with a
+    broadcast side compiles to BroadcastNestedLoopJoin (events × anchors
+    condition evaluations — 10⁹+ even at bench scale, unusable at 10¹²).
+    Instead both sides get an equi key ``_slice = floor(t / W)``: each
+    event is exploded into the few slices whose anchors it could match,
+    anchors keep exactly one slice, and the join becomes a
+    BroadcastHashJoin (or shuffled hash join for huge anchor sets) with
+    the exact range predicate evaluated only within a bucket. W defaults
+    to the window width ⇒ ≤ 2 copies per event.
     """
     by = [by] if isinstance(by, str) else list(by)
-    a = F.broadcast(anchors) if broadcast_anchors else anchors
-    cond = None
+    if upper < lower:
+        raise ValueError("upper must be ≥ lower")
+    w = int(slice_width or max(1, upper - lower + 1))
+    ev = events.withColumn(
+        "_slice",
+        F.explode(
+            F.sequence(
+                F.floor((F.col(on) - F.lit(upper)) / F.lit(w)),
+                F.floor((F.col(on) - F.lit(lower)) / F.lit(w)),
+            )
+        ),
+    )
+    an = anchors.withColumn("_slice", F.floor(F.col(anchor_on) / F.lit(w)))
+    a = F.broadcast(an) if broadcast_anchors else an
+    cond = a["_slice"] == ev["_slice"]
     for k in by:
-        c = events[k] == a[k]
-        cond = c if cond is None else (cond & c)
+        cond = cond & (ev[k] == a[k])
     cond = (
         cond
-        & (events[on] >= a[anchor_on] + F.lit(lower))
-        & (events[on] <= a[anchor_on] + F.lit(upper))
+        & (ev[on] >= a[anchor_on] + F.lit(lower))
+        & (ev[on] <= a[anchor_on] + F.lit(upper))
     )
-    joined = a.join(events, cond, how=how)
-    # drop the duplicated key columns from the event side
+    joined = a.join(ev, cond, how=how)
     for k in by:
-        joined = joined.drop(events[k])
-    return joined
+        joined = joined.drop(ev[k])
+    return joined.drop(a["_slice"]).drop(ev["_slice"])

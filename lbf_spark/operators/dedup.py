@@ -30,12 +30,16 @@ def tokens_col(text_col: str):
 
 
 def shingles_col(tokens, n: int):
-    """Distinct word n-gram shingles from a token array column."""
+    """Distinct word n-gram shingles from a token array column.
+    (< n tokens ⇒ empty array — guard needed because F.sequence(0, -1)
+    would produce a *descending* sequence, not an empty one.)"""
     ngrams = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(tokens) - n, F.lit(-1))),
+        F.sequence(F.lit(0), F.size(tokens) - n),
         lambda i: F.concat_ws(" ", F.slice(tokens, i + 1, n)),
     )
-    return F.array_distinct(ngrams)
+    return F.when(F.size(tokens) >= n, F.array_distinct(ngrams)).otherwise(
+        F.array().cast("array<string>")
+    )
 
 
 def exact_dedup(
@@ -135,7 +139,15 @@ def jaccard_pairs(
     Without `candidates`: inverted-index join on shingle (the exact,
     scalable path — |pairs sharing a shingle| ≪ n²). With `candidates`
     (e.g. from LSH): verify only those. Output: (id_a, id_b, jaccard).
+
+    The shingle index is persisted: it feeds the self-join (twice) and
+    both size lookups — recomputing the regex/shingle expression 4-6×
+    costs far more than caching it (at warehouse scale this is the
+    materialized shingle index every near-dup system builds anyway).
     """
+    from pyspark import StorageLevel
+
+    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
     sh = shingled.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
@@ -196,8 +208,13 @@ def minhash_dedup_pairs(
 ) -> DataFrame:
     """MinHash-LSH candidate generation + exact-Jaccard verification —
     the scale path for near-dup dedup (LSH prunes n² to near-linear;
-    the verify join keeps precision exact)."""
-    shingled = with_shingles(df, id_col, text_col, n)
+    the verify join keeps precision exact). The shingle index is
+    persisted once and feeds signatures, banding, and verification."""
+    from pyspark import StorageLevel
+
+    shingled = with_shingles(df, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     signed = minhash_signature(shingled, num_hashes, id_col)
     cands = lsh_candidate_pairs(signed, bands, id_col)
     return jaccard_pairs(shingled, threshold, id_col, candidates=cands)
@@ -245,8 +262,15 @@ def simhash_near_dup_pairs(
     bands: int = 4,
 ) -> DataFrame:
     """SimHash near-dup: band the 64-bit fingerprint into `bands`
-    16-bit keys (pigeonhole: hamming ≤ bands-1 ⇒ ≥1 identical band),
-    join per band, verify exact hamming ≤ max_hamming."""
+    disjoint keys, join per band, verify exact hamming ≤ max_hamming.
+
+    Pigeonhole completeness: ≤ bands-1 differing bits cannot touch every
+    band, so recall is EXACT iff ``max_hamming ≤ bands - 1`` — callers
+    wanting hamming ≤ h must pass ``bands ≥ h + 1``."""
+    if max_hamming > bands - 1:
+        raise ValueError(
+            f"recall incomplete: max_hamming={max_hamming} needs bands ≥ {max_hamming + 1}"
+        )
     fps = simhash64(df, id_col, text_col)
     width = 64 // bands
     mask = (1 << width) - 1

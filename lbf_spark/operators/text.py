@@ -125,9 +125,12 @@ def doc_fingerprint(
     md5(token-trigram) digests, joined with '|'. Rolling-hash analog
     that any engine reproduces (md5 + sorts only)."""
     toks = tokens_col(text_col)
-    tris = F.transform(
-        F.sequence(F.lit(0), F.greatest(F.size(toks) - 3, F.lit(-1))),
-        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
-    )
+    tris = F.when(
+        F.size(toks) >= 3,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - 3),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 3))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     fp = F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(tris)), 1, k))
     return df.withColumn(out, fp)

@@ -65,9 +65,28 @@ def run_id(cfg: FeatureConfig) -> str:
 def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     """Stage 1-2: decode pixel stats, then per-entity ordered features
     (rolling mean, phash drift, session id). All JVM window ops after
-    the single Arrow decode pass."""
+    the single Arrow decode pass.
+
+    Physical shape: the decode pass only needs *parallelism* (it is
+    row-local), so it gets a cheap round-robin repartition to all cores;
+    the per-entity windows then do exactly ONE hash exchange + sort on
+    (entity, ts) — Catalyst fuses all four window features into two
+    Window operators over a single sort (verified via explain). A
+    range-partition here would not satisfy the Window's hash-clustering
+    requirement and would just add a second shuffle."""
+    n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     has_bytes = "bytes" in events.columns
-    df = decode_stats(events) if has_bytes else events
+    df = decode_stats(events.repartition(n_part)) if has_bytes else events
+    # drop payload metadata before the window exchange — caption/fmt/w/h
+    # are fidelity-check columns, not features; no reason to shuffle them
+    keep = [
+        c
+        for c in ["image_id", "entity", "ts", "duration", "phash",
+                  "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean"]
+        if c in df.columns
+    ] + ([cfg.value_col] if cfg.value_col not in (
+        "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean") else [])
+    df = df.select(*dict.fromkeys(keep))
     df = W.rolling_mean(df, cfg.value_col, "roll_mean", cfg.rolling_w)
     df = W.rolling_count_range(df, "roll_count", cfg.span)
     df = W.hamming_to_prev(df, "phash", "phash_drift")
@@ -171,11 +190,23 @@ def summary_vectors(summary: DataFrame) -> DataFrame:
 
 
 def extract_features(
-    events: DataFrame, anchors: DataFrame, cfg: FeatureConfig | None = None
+    events: DataFrame,
+    anchors: DataFrame,
+    cfg: FeatureConfig | None = None,
+    persist_features: bool = False,
 ) -> dict[str, DataFrame]:
-    """Full pipeline; returns every materializable stage."""
+    """Full pipeline; returns every materializable stage.
+
+    ``persist_features`` caches the decoded+windowed event stage
+    (MEMORY_AND_DISK) — it feeds both the point-in-time join and the
+    positional matrix, and the pixel decode is the most expensive step;
+    at cluster scale use ``checkpoint()`` instead for a durable cut."""
     cfg = cfg or FeatureConfig()
     feats = event_features(events, cfg)
+    if persist_features:
+        from pyspark import StorageLevel
+
+        feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
     pit = anchor_point_in_time(feats, anchors, cfg)
     matrix = anchor_window_matrix(feats, anchors, cfg)
     summ = summarize(matrix, cfg)

@@ -514,3 +514,505 @@ def q15(spark, sf_dir):
             F.sum(F.col("value").cast("decimal(18,6)")).cast("double"), 4
         ).alias("sum_value"),
     )
+
+
+# =====================================================================
+# normalization / distribution family
+# =====================================================================
+
+_DAY_US = 86_400_000_000
+_EPOCH_DAY_BASE = 19723  # 2024-01-01, the events table's first day
+
+
+@q(
+    "q16_flanking_normalize",
+    f"""
+    with b as (
+      select user_id,
+             cast(ts_us // {_DAY_US} - {_EPOCH_DAY_BASE} as bigint) as bucket,
+             cast(sum(cast(value as decimal(18,6))) as double) as v
+      from {_EVENTS_SQL} group by 1, 2
+    ),
+    fm as (
+      select *, avg(case when bucket >= 25 then v end)
+                  over (partition by user_id) as flank_mean
+      from b
+    )
+    select user_id, bucket,
+           round(case when flank_mean is not null and flank_mean <> 0
+                      then v / flank_mean else v end, 6) as v_norm
+    from fm
+    """,
+)
+def q16(spark, sf_dir):
+    """Flanking-mean baseline normalization (A12, `fextract/lib.py:220-229`)
+    on per-user daily buckets; flank = last 5 of 30 days."""
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.withColumn(
+            "bucket",
+            (F.floor(F.col("ts_us") / _DAY_US) - _EPOCH_DAY_BASE).cast("long"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    )
+    normed = flanking_normalize(
+        b, "v", "bucket", n_positions=30, flank_n=5, by="user_id", out="v_norm"
+    )
+    return normed.select("user_id", "bucket", F.round("v_norm", 6).alias("v_norm"))
+
+
+@q(
+    "q17_entropy",
+    """
+    with c as (
+      select user_id, event_type, count(*) as cnt from events group by 1, 2
+    ),
+    p as (
+      select user_id, cnt * 1.0 / sum(cnt) over (partition by user_id) as p
+      from c
+    )
+    select user_id, round(-sum(case when p > 0 then p * ln(p) else 0 end), 6) as entropy
+    from p group by user_id
+    """,
+)
+def q17(spark, sf_dir):
+    """Shannon entropy of the per-user event-type distribution (A9,
+    `fextract_entropy/plugin.py:31-40`)."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("cnt"))
+    ent = D.shannon_entropy(counts, "cnt", "user_id")
+    return ent.select("user_id", F.round("entropy", 6).alias("entropy"))
+
+
+@q(
+    "q18_histogram2d",
+    """
+    select cast(floor(l_quantity / 5) as bigint) as bin_x,
+           cast(floor(l_extendedprice / 10000) as bigint) as bin_y,
+           count(*) as n
+    from lineitem group by 1, 2
+    """,
+)
+def q18(spark, sf_dir):
+    """Sparse 2-D histogram (A8 fragment-length × position tensor analog)."""
+    return D.histogram2d(
+        t(spark, sf_dir, "lineitem"), "l_quantity", "l_extendedprice", 5, 10000
+    )
+
+
+@q(
+    "q19_band_ratio",
+    """
+    select user_id,
+           round(sum(case when value >= 10 and value < 50 then value end)
+                 / sum(case when value >= 50 and value < 100 then value end), 6) as ratio
+    from events
+    group by user_id
+    having sum(case when value >= 50 and value < 100 then value end) <> 0
+    """,
+)
+def q19(spark, sf_dir):
+    """Band-mass ratio with zero-denominator guard (A11,
+    `fextract_fragment_length_ratios/plugin.py:30-46`)."""
+    ev = t(spark, sf_dir, "events")
+    r = D.band_ratio(ev, "value", "value", (10, 50), (50, 100), "user_id")
+    return r.filter(F.col("ratio").isNotNull()).select(
+        "user_id", F.round("ratio", 6).alias("ratio")
+    )
+
+
+@q(
+    "q20_binning",
+    f"""
+    select user_id, cast(floor(ts_us / {_DAY_US}) as bigint) as bin,
+           round(cast(sum(cast(value as decimal(18,6))) as double), 4) as value
+    from {_EVENTS_SQL}
+    group by 1, 2
+    """,
+)
+def q20(spark, sf_dir):
+    """Positional binning (A14, np.add.reduceat analog)."""
+    ev = _events(spark, sf_dir).withColumn(
+        "value", F.col("value").cast("decimal(18,6)")
+    )
+    b = D.positional_binning(ev, "ts_us", "value", _DAY_US, "user_id")
+    return b.select(
+        "user_id", "bin", F.round(F.col("value").cast("double"), 4).alias("value")
+    )
+
+
+@q(
+    "q21_topk_per_group",
+    """
+    select o_custkey, o_orderkey, rnk from (
+      select o_custkey, o_orderkey,
+             row_number() over (partition by o_custkey
+                                order by o_totalprice desc, o_orderkey asc) as rnk
+      from orders
+    ) where rnk <= 3
+    """,
+)
+def q21(spark, sf_dir):
+    """Per-group top-k ranking (top/bottom-k intervals analog,
+    `plotting_functions.py:182-191`)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+    )
+    return (
+        o.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("o_custkey", "o_orderkey", "rnk")
+    )
+
+
+# =====================================================================
+# training-data pipeline: dedup / similarity / text analysis
+# =====================================================================
+
+_TOKS_SQL = "list_filter(string_split_regex(lower(text), '[^a-z0-9]+'), t -> t <> '')"
+_SHINGLES_SQL = f"""
+  with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+  sh as (
+    select doc_id,
+           case when len(tk) >= 3
+                then list_distinct([array_to_string(tk[i:i+2], ' ')
+                                    for i in range(1, len(tk) - 1)])
+                else [] end as shingles
+    from toks
+  )
+"""
+
+
+@q(
+    "q22_dedup_exact",
+    """
+    select md5(text) as text_hash, min(doc_id) as keeper_id, count(*) as n_copies
+    from documents group by 1
+    """,
+)
+def q22(spark, sf_dir):
+    """Exact dedup by content hash."""
+    return dedup.exact_dedup(t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+@q(
+    "q23_jaccard_pairs",
+    _SHINGLES_SQL
+    + """
+    , sizes as (select doc_id, len(shingles) as n from sh),
+    inv as (select doc_id, unnest(shingles) as s from sh),
+    pairs as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+      from inv a join inv b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) as jaccard
+    from pairs
+    join sizes sa on id_a = sa.doc_id
+    join sizes sb on id_b = sb.doc_id
+    where c * 1.0 / (sa.n + sb.n - c) >= 0.1
+    """,
+)
+def q23(spark, sf_dir):
+    """Exact n-gram Jaccard near-dup pairs via inverted-index join —
+    the |pairs sharing a shingle| ≪ n² scale path."""
+    sh = dedup.with_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.1)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.1):
+    rpb = num_hashes // bands
+    sig = ", ".join(
+        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+        for i in range(num_hashes)
+    )
+    band_rows = ", ".join(
+        f"({b}, md5(array_to_string(signature[{b * rpb + 1}:{b * rpb + rpb}], '|')))"
+        for b in range(bands)
+    )
+    return (
+        _SHINGLES_SQL
+        + f"""
+    , sig as (
+      select doc_id, shingles, [{sig}] as signature from sh
+    ),
+    banded as (
+      select doc_id, bb.band_id, bb.band_hash
+      from sig, lateral (select * from (values {band_rows}) v(band_id, band_hash)) bb
+    ),
+    cands as (
+      select distinct a.doc_id as id_a, b.doc_id as id_b
+      from banded a join banded b
+        on a.band_id = b.band_id and a.band_hash = b.band_hash
+       and a.doc_id < b.doc_id
+    ),
+    verified as (
+      select id_a, id_b,
+             len(list_intersect(sa.shingles, sb.shingles)) * 1.0
+               / (len(sa.shingles) + len(sb.shingles)
+                  - len(list_intersect(sa.shingles, sb.shingles))) as jaccard
+      from cands
+      join sig sa on id_a = sa.doc_id
+      join sig sb on id_b = sb.doc_id
+    )
+    select id_a, id_b, round(jaccard, 6) as jaccard
+    from verified where jaccard >= {threshold}
+    """
+    )
+
+
+@q("q24_minhash_lsh", _minhash_oracle_sql())
+def q24(spark, sf_dir):
+    """MinHash-LSH near-dup dedup (16 md5 permutations, 8 bands) with
+    exact-Jaccard verification — the oracle reimplements the identical
+    portable algorithm in SQL, so candidates match exactly."""
+    pairs = dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"),
+        num_hashes=16,
+        bands=8,
+        threshold=0.1,
+    )
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+def _simhash_oracle_sql(max_hamming: int = 8) -> str:
+    vote_cols = ", ".join(
+        "sum(case when (h{half} >> {sh}) & 1 = 1 then 1 else -1 end) as v{b}".format(
+            half="i" if b < 32 else "o", sh=b % 32, b=b
+        )
+        for b in range(64)
+    )
+    fp_terms = " + ".join(
+        f"(case when v{b} > 0 then 1 else 0 end)::bigint * {2**b if b < 63 else -(2**63)}"
+        for b in range(64)
+    )
+    return f"""
+    with toks as (select doc_id, unnest({_TOKS_SQL}) as tok from documents),
+    bits as (
+      select doc_id,
+             ('0x' || substr(md5(tok), 1, 8))::bigint as hi,
+             ('0x' || substr(md5(tok), 9, 8))::bigint as ho
+      from toks
+    ),
+    votes as (
+      select doc_id, {vote_cols.replace('hi >>', 'hi >>').replace('ho >>', 'ho >>')}
+      from (select doc_id, hi as hi, ho as ho from bits) group by doc_id
+    ),
+    fps as (select doc_id, {fp_terms} as simhash from votes)
+    select a.doc_id as id_a, b.doc_id as id_b,
+           bit_count(xor(a.simhash, b.simhash)) as hamming
+    from fps a join fps b on a.doc_id < b.doc_id
+    where bit_count(xor(a.simhash, b.simhash)) <= {max_hamming}
+    """
+
+
+@q("q25_simhash_neardup", _simhash_oracle_sql())
+def q25(spark, sf_dir):
+    """SimHash near-dup pairs (hamming ≤ 8). The Spark path prunes via
+    9 disjoint band joins (pigeonhole-complete for hamming ≤ 8); the
+    oracle brute-forces all pairs — both verify exact hamming, so any
+    recall gap would surface as a row-count mismatch."""
+    return dedup.simhash_near_dup_pairs(
+        t(spark, sf_dir, "documents"), max_hamming=8, bands=9
+    )
+
+
+@q(
+    "q26_embed_topk",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    s as (
+      select p.vec_id as probe_id, c.vec_id as neighbor_id,
+             round(list_dot_product(p.e, c.e)
+                   / (sqrt(list_dot_product(p.e, p.e)) * sqrt(list_dot_product(c.e, c.e))),
+                   4) as sim
+      from v p join v c on p.vec_id < 25 and c.vec_id <> p.vec_id
+    )
+    select probe_id, neighbor_id, sim, rnk from (
+      select *, row_number() over (partition by probe_id
+                                   order by sim desc, neighbor_id asc) as rnk
+      from s
+    ) where rnk <= 5
+    """,
+)
+def q26(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline (JVM-side fold dot product,
+    probe side broadcast)."""
+    emb = t(spark, sf_dir, "embeddings")
+    return S.brute_force_topk(emb, emb.filter(F.col("vec_id") < 25), k=5)
+
+
+@q(
+    "q27_embed_neardup",
+    """
+    with v as (select vec_id, embedding::DOUBLE[] as e from embeddings)
+    select a.vec_id as id_a, b.vec_id as id_b,
+           round(list_dot_product(a.e, b.e)
+                 / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                 4) as sim
+    from v a join v b on a.vec_id < b.vec_id
+    where round(list_dot_product(a.e, b.e)
+                / (sqrt(list_dot_product(a.e, a.e)) * sqrt(list_dot_product(b.e, b.e))),
+                4) >= 0.4
+    """,
+)
+def q27(spark, sf_dir):
+    """Embedding cosine near-dup pairs (exact; the LSH-bucketed variant
+    is `similarity.lsh_near_dup_pairs`, exercised in tests)."""
+    return S.exact_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+
+
+def _lang_oracle_sql() -> str:
+    from lbf_spark.operators.text import STOPWORDS
+
+    votes = ", ".join(
+        "len(list_filter(tk, t -> t in ({words}))) as v_{lang}".format(
+            words=", ".join(f"'{w}'" for w in STOPWORDS[lang]), lang=lang
+        )
+        for lang in sorted(STOPWORDS)
+    )
+    langs = sorted(STOPWORDS)
+    mx = "greatest(" + ", ".join(f"v_{lang}" for lang in langs) + ")"
+    case = "case when " + mx + " = 0 then 'und' " + " ".join(
+        f"when v_{lang} = {mx} then '{lang}'" for lang in langs
+    ) + " end"
+    return f"""
+    with toks as (select doc_id, lang, {_TOKS_SQL} as tk from documents),
+    votes as (select doc_id, lang, {votes} from toks),
+    pred as (select doc_id, lang, {case} as lang_pred from votes)
+    select lang, lang_pred, count(*) as n from pred group by 1, 2
+    """
+
+
+@q("q28_lang_id", _lang_oracle_sql())
+def q28(spark, sf_dir):
+    """Stopword-vote language ID → confusion matrix vs the table's own
+    lang labels (zh has no stopword list → 'und')."""
+    pred = text.lang_id(t(spark, sf_dir, "documents"))
+    return pred.groupBy("lang", "lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+@q(
+    "q29_quality_score",
+    f"""
+    with base as (
+      select doc_id, text, {_TOKS_SQL} as tk,
+             length(text)::double as n_chars
+      from documents
+    ),
+    parts as (
+      select doc_id,
+             n_chars,
+             length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))
+               / greatest(n_chars, 1.0) as punct,
+             len(list_filter(tk, t -> t in ('the','and','of','to','in','is','it','that','for','with')))::double
+               / greatest(len(tk)::double, 1.0) as stop_ratio,
+             list_sum(list_transform(tk, t -> length(t)))::double
+               / greatest(len(tk)::double, 1.0) as mean_wlen
+      from base
+    )
+    select doc_id,
+           round(
+             0.25 * (case when n_chars >= 200 and n_chars <= 20000 then 1.0
+                          when n_chars < 200 then n_chars / 200.0
+                          else 0.5 end)
+           + 0.25 * (1.0 - least(punct * 5.0, 1.0))
+           + 0.3 * least(stop_ratio * 3.0, 1.0)
+           + 0.2 * (case when mean_wlen >= 3 and mean_wlen <= 10 then 1.0 else 0.5 end)
+           , 6) as quality
+    from parts
+    """,
+)
+def q29(spark, sf_dir):
+    """Heuristic quality scoring (length/punct/stopword/word-length)."""
+    return text.quality_score(t(spark, sf_dir, "documents")).select(
+        "doc_id", "quality"
+    )
+
+
+@q(
+    "q30_token_count",
+    f"""
+    select doc_id,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) as n_tokens_ws,
+           len({_TOKS_SQL}) as n_tokens_regex
+    from documents
+    """,
+)
+def q30(spark, sf_dir):
+    """Whitespace + regex token counting."""
+    return text.token_count(t(spark, sf_dir, "documents")).select(
+        "doc_id", "n_tokens_ws", "n_tokens_regex"
+    )
+
+
+@q(
+    "q31_fingerprint",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    tris as (
+      select doc_id,
+             case when len(tk) >= 3
+                  then [md5(array_to_string(tk[i:i+2], ' '))
+                        for i in range(1, len(tk) - 1)]
+                  else [] end as tri
+      from toks
+    )
+    select doc_id,
+           array_to_string(list_sort(list_distinct(tri))[1:4], '|') as fingerprint
+    from tris
+    """,
+)
+def q31(spark, sf_dir):
+    """md5-trigram winnowing fingerprint (rolling-hash analog)."""
+    return text.doc_fingerprint(t(spark, sf_dir, "documents")).select(
+        "doc_id", "fingerprint"
+    )
+
+
+# =====================================================================
+# analysis layer + flagship (non-SQL-expressible → rows-only checks)
+# =====================================================================
+
+
+@q("q32_group_stats", None)
+def q32(spark, sf_dir):
+    """Per-user two-group Mann-Whitney U (click vs error values) with BH
+    correction (A18+A20) — p-values come from erfc, not expressible in
+    ANSI SQL ⇒ rows-only driver check; exactness is covered by
+    tests/test_operators.py against closed-form values."""
+    ev = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    res = stats.group_test_2(ev, "value", "event_type", "user_id")
+    adj = stats.adjust_pvalues(res)
+    return adj.select(
+        "user_id",
+        F.round("u_stat", 4).alias("u_stat"),
+        F.round("p_value", 6).alias("p_value"),
+        F.round("p_adj", 6).alias("p_adj"),
+    )
+
+
+@q("q33_image_pipeline", None)
+def q33(spark, sf_dir):
+    """Flagship north_rule pipeline on the deterministically synthesized
+    image+caption table (decode → windowed features → as-of anchor join
+    → flanking-normalized positional matrix → summary vectors). The
+    allclose gate vs the numpy oracle lives in tests/test_pipeline.py;
+    the driver records the rows-only check here."""
+    from lbf_spark import fixtures
+    from lbf_spark.plans import pipeline as P
+
+    n = 4000 if "0.001" in sf_dir else 12000
+    ev_pd = fixtures.generate_events(n_rows=n, n_entities=8)
+    an_pd = fixtures.generate_anchors(ev_pd, n_per_entity=12)
+    ev = fixtures.events_to_spark(spark, ev_pd)
+    an = fixtures.anchors_to_spark(spark, an_pd)
+    out = P.extract_features(ev, an, P.FeatureConfig())
+    return out["summary"].select(
+        "entity", "name", "bucket", F.round("signal", 6).alias("signal")
+    )
