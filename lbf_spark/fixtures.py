@@ -63,6 +63,7 @@ def generate_events(
     seed: int = SEED,
     session_gap: int = SESSION_GAP,
     with_payload: bool = True,
+    size_probs: tuple[float, float, float] = (0.7, 0.2, 0.1),
 ) -> pd.DataFrame:
     """The main input table (FIXTURES.md §1). Sorted by (entity, ts)."""
     rng = np.random.default_rng(seed)
@@ -98,8 +99,8 @@ def generate_events(
         phash[start : start + cnt] = np.bitwise_xor.accumulate(seg)
         start += cnt
 
-    w = rng.choice(np.array([8, 16, 32], dtype=np.int32), size=n_rows, p=[0.7, 0.2, 0.1])
-    h = rng.choice(np.array([8, 16, 32], dtype=np.int32), size=n_rows, p=[0.7, 0.2, 0.1])
+    w = rng.choice(np.array([8, 16, 32], dtype=np.int32), size=n_rows, p=list(size_probs))
+    h = rng.choice(np.array([8, 16, 32], dtype=np.int32), size=n_rows, p=list(size_probs))
     fmt = np.where(rng.random(n_rows) < 0.9, "png", "jpeg")
 
     k_in_entity = pd.Series(np.ones(n_rows)).groupby(ent).cumsum().astype(int) - 1

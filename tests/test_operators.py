@@ -57,7 +57,7 @@ def test_minhash_lsh_finds_near_dups(spark, docs):
 def test_simhash_dup_detection(spark, docs):
     fps = dedup.simhash64(docs, "doc_id", "text").toPandas().set_index("doc_id")
     assert fps.loc[1, "simhash"] == fps.loc[3, "simhash"]
-    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=8).toPandas()
+    pairs = dedup.simhash_near_dup_pairs(docs, max_hamming=8, bands=9).toPandas()
     assert {(r.id_a, r.id_b) for r in pairs.itertuples()} >= {(1, 3)}
 
 
