@@ -151,3 +151,59 @@ def hamming_to_prev(
             F.bit_count(F.col(col).bitwiseXOR(prev))
         ),
     )
+
+
+def wps(
+    events: DataFrame,
+    anchors: DataFrame,
+    window: int,
+    max_duration: int,
+    median_window: int = 100,
+    by: str = "entity",
+    on: str = "ts",
+    anchor_on: str = "anchor_ts",
+    duration_col: str = "duration",
+) -> DataFrame:
+    """Windowed protection score (A7, ``signal_transformer.py:237-276``).
+
+    Per anchor: (# events whose extent [ts, ts+duration) fully spans the
+    ±window/2 interval) − (# events with an endpoint inside it), then
+    subtract the per-entity trailing rolling median over the anchor
+    series (the reference's window-100 median detrend).
+
+    Physical plan: ONE range-binned interval join over-fetching by
+    ``max_duration`` (duplicate-then-trim — the extra_bases analog),
+    classification as JVM conditionals, one aggregation, then the exact
+    rolling median (grouped Arrow kernel).
+    """
+    from lbf_spark.operators.asof import interval_join
+
+    w2 = window // 2
+    joined = interval_join(
+        events.select(by, on, duration_col),
+        anchors,
+        on=on,
+        anchor_on=anchor_on,
+        by=by,
+        lower=-(w2 + max_duration),
+        upper=w2,
+        how="left",
+    )
+    start = F.col(on)
+    end = F.col(on) + F.col(duration_col)
+    lo = F.col(anchor_on) - w2
+    hi = F.col(anchor_on) + w2
+    spanning = F.when((start <= lo) & (end >= hi), 1).otherwise(0)
+    endpoint_in = F.when(
+        ((start >= lo) & (start <= hi)) | ((end >= lo) & (end <= hi)), 1
+    ).otherwise(0)
+    raw = (
+        joined.withColumn("_c", spanning - endpoint_in)
+        .groupBy(*[c for c in anchors.columns])
+        .agg(F.sum(F.when(F.col(on).isNotNull(), F.col("_c")).otherwise(0)).alias("wps_raw"))
+        .fillna({"wps_raw": 0})
+    )
+    med = rolling_median(
+        raw, "wps_raw", "_med", median_window, by=by, order=anchor_on
+    )
+    return med.withColumn("wps", F.col("wps_raw") - F.col("_med")).drop("_med")

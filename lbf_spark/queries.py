@@ -1016,3 +1016,62 @@ def q33(spark, sf_dir):
     return out["summary"].select(
         "entity", "name", "bucket", F.round("signal", 6).alias("signal")
     )
+
+
+_WPS_W2 = 1_800_000_000          # ± half-window: 30 min in µs
+_WPS_MAXD = 2_400_000_000        # duration upper bound (µs)
+
+
+@q(
+    "q34_wps",
+    f"""
+    with ev as (
+      select user_id, ts_us, event_id,
+             ((event_id % 180) + 60) * 10000000 as duration
+      from {_EVENTS_UNIQ_SQL}
+    ),
+    anchors as (select user_id, ts_us, event_id from ev where event_id % 30 = 0),
+    raw as (
+      select a.event_id as anchor_id, a.user_id, a.ts_us,
+             cast(coalesce(sum(case when e.ts_us <= a.ts_us - {_WPS_W2}
+                                     and e.ts_us + e.duration >= a.ts_us + {_WPS_W2}
+                                    then 1 else 0 end), 0) as bigint)
+           - cast(coalesce(sum(case when (e.ts_us between a.ts_us - {_WPS_W2} and a.ts_us + {_WPS_W2})
+                                      or (e.ts_us + e.duration
+                                          between a.ts_us - {_WPS_W2} and a.ts_us + {_WPS_W2})
+                                    then 1 else 0 end), 0) as bigint) as wps_raw
+      from anchors a
+      left join ev e
+        on e.user_id = a.user_id
+       and e.ts_us >= a.ts_us - {_WPS_W2} - {_WPS_MAXD}
+       and e.ts_us <= a.ts_us + {_WPS_W2}
+      group by 1, 2, 3
+    )
+    select anchor_id, wps_raw,
+           round(wps_raw - median(wps_raw) over (partition by user_id
+                 order by ts_us rows between 9 preceding and current row), 6) as wps
+    from raw
+    """,
+)
+def q34(spark, sf_dir):
+    """Windowed protection score (A7, `signal_transformer.py:237-276`):
+    spanning-minus-endpoint counts per anchor, median-detrended.
+    Durations are synthesized deterministically from event_id so the
+    oracle is pure SQL."""
+    from lbf_spark.operators.windows import wps as wps_op
+
+    ev = _events_uniq(spark, sf_dir).withColumn(
+        "duration", ((F.col("event_id") % 180) + 60) * F.lit(10_000_000)
+    )
+    anchors = ev.filter(F.col("event_id") % 30 == 0).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    evs = ev.select(
+        F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "duration"
+    )
+    out = wps_op(
+        evs, anchors, window=2 * _WPS_W2, max_duration=_WPS_MAXD, median_window=10
+    )
+    return out.select("anchor_id", "wps_raw", F.round("wps", 6).alias("wps"))

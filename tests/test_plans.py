@@ -1,0 +1,168 @@
+"""Plan-quality, resumability, WPS, and spark-submit packaging tests."""
+
+import glob
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from lbf_spark import fixtures
+from lbf_spark.operators import windows as W
+from lbf_spark.operators.asof import asof_join, interval_join
+from lbf_spark.plans import pipeline as P
+
+
+def _explain_str(df) -> str:
+    jvm = df.sparkSession._jvm
+    return jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_pushdown_reaches_scan(spark):
+    """Predicates and column pruning must reach the parquet scan."""
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    q = li.filter(F.col("l_quantity") < 25).select("l_orderkey", "l_quantity")
+    plan = _explain_str(q)
+    assert "PushedFilters" in plan and "LessThan(l_quantity" in plan
+    # pruned read schema: only the two referenced columns
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_interval_join_is_hash_not_nested_loop(spark, tiny_events, tiny_anchors):
+    """Range binning must turn the interval join into a hash join —
+    BroadcastNestedLoopJoin is O(events × anchors) and unusable at scale."""
+    ev = fixtures.events_to_spark(spark, tiny_events).select("entity", "ts")
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    plan = _explain_str(interval_join(ev, an, lower=-999, upper=0))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_asof_union_strategy_is_pure_jvm(spark, tiny_events, tiny_anchors):
+    """The default as-of strategy must contain no Python evaluation."""
+    ev = fixtures.events_to_spark(spark, tiny_events).select(
+        "entity", "ts", "duration"
+    )
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    plan = _explain_str(asof_join(ev, an, select=["ts", "duration"]))
+    for python_node in ("FlatMapGroupsInPandas", "MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert python_node not in plan, python_node
+    assert "Window" in plan
+
+
+def test_event_features_single_window_exchange(spark, tiny_events):
+    """All four window features must share ONE hash exchange + sort."""
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    plan = _explain_str(P.event_features(ev, P.FeatureConfig()))
+    # exactly one exchange introduced by the window stage (hash on entity);
+    # the round-robin decode repartition is the only other exchange
+    assert plan.count("hashpartitioning(entity") == 1
+
+
+def test_checkpoint_resume_reuses_stages(spark, tiny_events, tiny_anchors, tmp_path):
+    """Kill/resume: a re-run with the same config must reuse every
+    finished stage (north_rule resumability); changing the config gets
+    a fresh run_id and recomputes."""
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    cfg = P.FeatureConfig(span=1000, bucket_w=100)
+    ckdir = str(tmp_path / "ckpt")
+
+    m1 = P.run_pipeline(ev, an, cfg, ckdir, spark)
+    assert not any(s["reused"] for s in m1["stages"].values())
+    assert os.path.exists(m1["metrics_path"])
+
+    # simulate a crash after stage 1: delete downstream checkpoints
+    rid = P.run_id(cfg)
+    for stage in ("point_in_time", "vectors"):
+        subprocess.run(["rm", "-rf", os.path.join(ckdir, rid, stage)], check=True)
+
+    m2 = P.run_pipeline(ev, an, cfg, ckdir, spark)
+    assert m2["stages"]["event_features"]["reused"]          # survived the crash
+    assert not m2["stages"]["point_in_time"]["reused"]       # recomputed
+    assert m2["n_vectors"] == m1["n_vectors"]
+
+    m3 = P.run_pipeline(ev, an, cfg, ckdir, spark)           # full resume
+    assert all(s["reused"] for s in m3["stages"].values())
+
+    m4 = P.run_pipeline(ev, an, P.FeatureConfig(span=1500, bucket_w=100), ckdir, spark)
+    assert m4["run_id"] != m1["run_id"]
+    assert not m4["stages"]["event_features"]["reused"]
+
+
+def test_checkpoint_manifest_lineage(spark, tiny_events, tmp_path):
+    ev = fixtures.events_to_spark(spark, tiny_events).select("entity", "ts")
+    df = P.checkpoint(ev, str(tmp_path), "ridx", "stage1", spark)
+    man = P.load_manifest(str(tmp_path), "ridx", "stage1")
+    assert man["run_id"] == "ridx" and man["files"]
+    assert df.count() == len(tiny_events)
+
+
+def test_wps_matches_numpy_oracle(spark, tiny_events, tiny_anchors):
+    """A7 windowed protection score vs a direct numpy reimplementation."""
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    got = (
+        W.wps(ev, an, window=300, max_duration=400, median_window=10)
+        .toPandas()
+        .sort_values(["entity", "anchor_ts"], ignore_index=True)
+    )
+    rows = []
+    for a in tiny_anchors.itertuples(index=False):
+        g = tiny_events[tiny_events.entity == a.entity]
+        s = g.ts.to_numpy()
+        e = (g.ts + g.duration).to_numpy()
+        lo, hi = a.anchor_ts - 150, a.anchor_ts + 150
+        span = int(((s <= lo) & (e >= hi)).sum())
+        ep = int((((s >= lo) & (s <= hi)) | ((e >= lo) & (e <= hi))).sum())
+        rows.append((a.entity, a.anchor_ts, span - ep))
+    exp = pd.DataFrame(rows, columns=["entity", "anchor_ts", "wps_raw"]).sort_values(
+        ["entity", "anchor_ts"], ignore_index=True
+    )
+    med = exp.groupby("entity")["wps_raw"].transform(
+        lambda x: x.rolling(10, min_periods=1).median()
+    )
+    assert np.array_equal(got["wps_raw"].to_numpy(), exp["wps_raw"].to_numpy())
+    assert np.allclose(got["wps"], exp["wps_raw"] - med)
+
+
+@pytest.mark.slow
+def test_spark_submit_pyfiles_job(tmp_path):
+    """End-to-end spark-submit --py-files run of the packaged pipeline
+    from OUTSIDE the repo (the north_rule packaging requirement)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    ev = fixtures.generate_events(800, 2)
+    an = fixtures.generate_anchors(ev, n_per_entity=5)
+    ev_p, an_p = str(tmp_path / "ev.parquet"), str(tmp_path / "an.parquet")
+    pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), ev_p)
+    pq.write_table(pa.Table.from_pandas(an, preserve_index=False), an_p)
+
+    from lbf_spark.packaging import build_pyfiles_zip
+
+    zip_path = build_pyfiles_zip()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [
+            "spark-submit",
+            "--master", "local[2]",
+            "--py-files", zip_path,
+            "--conf", "spark.ui.enabled=false",
+            os.path.join(repo, "jobs", "run_pipeline.py"),
+            "--events", ev_p,
+            "--anchors", an_p,
+            "--checkpoint-dir", str(tmp_path / "ckpt"),
+            "--span", "1000",
+        ],
+        capture_output=True, text=True, timeout=420, cwd=str(tmp_path),
+    )
+    assert out.returncode == 0, out.stderr[-3000:]
+    metrics = json.loads(out.stdout.strip().splitlines()[-1])
+    assert metrics["n_vectors"] > 0 and metrics["total_wall_sec"] > 0
+    assert glob.glob(str(tmp_path / "ckpt" / "*" / "metrics.json"))
