@@ -177,3 +177,166 @@ def exact_near_dup_pairs(
         )
         .filter(F.col("sim") >= threshold)
     )
+
+
+# ------------------------------------------------------------- IVF ANN
+
+
+def kmeans_fit(
+    df: DataFrame,
+    dim: int,
+    n_centroids: int = 16,
+    n_iters: int = 5,
+    seed: int = 42,
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Distributed Lloyd's k-means on L2-normalized vectors.
+
+    Per iteration: ONE mapInPandas pass emits per-partition partial sums
+    (centroid_id, sum_vec, count); the driver combines (n_centroids ×
+    dim floats — tiny) and re-broadcasts. Deterministic: k-means++-less
+    seeded init from a hash-picked sample, numpy math only."""
+    sample = np.stack(
+        df.select(vec_col)
+        .limit(max(n_centroids * 20, 500))
+        .toPandas()[vec_col]
+        .to_numpy()
+    ).astype(np.float64)
+    sample /= np.maximum(np.linalg.norm(sample, axis=1, keepdims=True), 1e-12)
+    rng = np.random.default_rng(seed)
+    centroids = sample[rng.choice(len(sample), size=n_centroids, replace=False)]
+
+    schema = T.StructType(
+        [
+            T.StructField("cid", T.IntegerType()),
+            T.StructField("vec_sum", T.ArrayType(T.DoubleType())),
+            T.StructField("cnt", T.LongType()),
+        ]
+    )
+    for _ in range(n_iters):
+        C = centroids  # captured by value in the closure below
+
+        def partials(it):
+            acc_sum = np.zeros((len(C), dim))
+            acc_cnt = np.zeros(len(C), dtype=np.int64)
+            for pdf in it:
+                vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+                vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+                cid = (vecs @ C.T).argmax(axis=1)  # cosine on unit vectors
+                np.add.at(acc_sum, cid, vecs)
+                np.add.at(acc_cnt, cid, 1)
+            rows = [
+                (int(c), acc_sum[c].tolist(), int(acc_cnt[c]))
+                for c in range(len(C))
+                if acc_cnt[c] > 0
+            ]
+            yield pd.DataFrame(rows, columns=["cid", "vec_sum", "cnt"])
+
+        parts = df.select(vec_col).mapInPandas(partials, schema).toPandas()
+        new = centroids.copy()
+        for cid, grp in parts.groupby("cid"):
+            s = np.sum(np.stack(grp["vec_sum"].to_numpy()), axis=0)
+            n = grp["cnt"].sum()
+            v = s / max(n, 1)
+            new[cid] = v / max(np.linalg.norm(v), 1e-12)
+        centroids = new
+    return centroids
+
+
+def ivf_assign(
+    df: DataFrame,
+    centroids: np.ndarray,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign each vector to its nearest centroid (the IVF inverted
+    list id) — one vectorized pass, output is (id, cluster, vec)."""
+    C = centroids
+    schema = T.StructType(
+        [
+            T.StructField("vid", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def assign(it):
+        for pdf in it:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            yield pd.DataFrame(
+                {"vid": pdf[id_col].to_numpy(), "cluster": (vecs @ C.T).argmax(axis=1)}
+            )
+
+    clusters = df.select(id_col, vec_col).mapInPandas(assign, schema)
+    return df.join(
+        clusters.withColumnRenamed("vid", id_col), id_col
+    )
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probes: DataFrame,
+    centroids: np.ndarray,
+    k: int = 5,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int | None = 4,
+) -> DataFrame:
+    """IVF approximate top-k: each probe searches only its `n_probe`
+    nearest inverted lists — the corpus-scale ANN path (candidates come
+    from an equi-join on cluster id; exact cosine only within them).
+
+    Recall is tunable via (n_centroids, n_probe); with n_probe =
+    n_centroids this is exactly brute force. Like any IVF index, recall
+    depends on the corpus actually clustering — on near-uniform random
+    vectors partial probing is a poor approximation (measured ~0.4
+    recall on the synthetic sf embeddings vs ≥0.9 on clustered data);
+    prefer the LSH or brute-force path for unstructured corpora."""
+    assigned = ivf_assign(corpus, centroids, id_col, vec_col)
+    C = centroids
+    probe_schema = T.StructType(
+        [
+            T.StructField("probe_id", T.LongType()),
+            T.StructField("cluster", T.IntegerType()),
+        ]
+    )
+
+    def probe_clusters(it):
+        for pdf in it:
+            vecs = np.stack(pdf[vec_col].to_numpy()).astype(np.float64)
+            vecs /= np.maximum(np.linalg.norm(vecs, axis=1, keepdims=True), 1e-12)
+            top = np.argsort(-(vecs @ C.T), axis=1)[:, :n_probe]
+            ids = np.repeat(pdf[id_col].to_numpy(), n_probe)
+            yield pd.DataFrame({"probe_id": ids, "cluster": top.ravel()})
+
+    plists = probes.select(id_col, vec_col).mapInPandas(probe_clusters, probe_schema)
+    pvecs = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
+    )
+    cands = (
+        plists.join(F.broadcast(pvecs), "probe_id")
+        .join(
+            assigned.select(
+                F.col(id_col).alias("neighbor_id"),
+                F.col("cluster"),
+                F.col(vec_col).alias("cand_vec"),
+            ),
+            "cluster",
+        )
+        .filter(F.col("probe_id") != F.col("neighbor_id"))
+    )
+    sim = cosine_similarity_col(
+        F.col("probe_vec").cast("array<double>"), F.col("cand_vec").cast("array<double>")
+    )
+    if round_digits is not None:
+        sim = F.round(sim, round_digits)
+    scored = cands.withColumn("sim", sim).select("probe_id", "neighbor_id", "sim").distinct()
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select("probe_id", "neighbor_id", "sim", "rnk")
+    )

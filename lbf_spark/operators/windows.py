@@ -207,3 +207,31 @@ def wps(
         raw, "wps_raw", "_med", median_window, by=by, order=anchor_on
     )
     return med.withColumn("wps", F.col("wps_raw") - F.col("_med")).drop("_med")
+
+
+def dyad_centers(
+    events: DataFrame,
+    spacing: int,
+    by: str = "entity",
+    on: str = "ts",
+    duration_col: str = "duration",
+    out: str = "center_ts",
+) -> DataFrame:
+    """Deterministic dyad expansion (A5 analog,
+    ``signal_transformer.py:50-113``): each event of extent
+    [ts, ts+duration) expands into k = max(1, duration // spacing)
+    centers at the midpoints of k equal segments.
+
+    The reference samples k with *unseeded* ``np.random.choice`` — the
+    one nondeterminism SURVEY.md §4 flags; here k is a pure function of
+    duration so results are reproducible and engine-portable (integer
+    floor arithmetic only). Explode is JVM-side."""
+    k = F.greatest(F.lit(1), F.floor(F.col(duration_col) / F.lit(spacing)))
+    centers = F.transform(
+        F.sequence(F.lit(0), k - 1),
+        lambda i: F.col(on)
+        + F.floor(
+            ((2 * i + 1) * F.col(duration_col)) / (2 * k)
+        ).cast("long"),
+    )
+    return events.withColumn(out, F.explode(centers))

@@ -1075,3 +1075,356 @@ def q34(spark, sf_dir):
         evs, anchors, window=2 * _WPS_W2, max_duration=_WPS_MAXD, median_window=10
     )
     return out.select("anchor_id", "wps_raw", F.round("wps", 6).alias("wps"))
+
+
+# =====================================================================
+# normalization / stats operators, round 2 of catalog coverage
+# =====================================================================
+
+
+@q(
+    "q35_zscore",
+    f"""
+    select event_id,
+           round(case when stddev_pop(value) over w > 0
+                      then (value - avg(value) over w) / stddev_pop(value) over w
+                      else 0.0 end, 6) as value_z
+    from {_EVENTS_SQL}
+    window w as (partition by user_id)
+    """,
+)
+def q35(spark, sf_dir):
+    """Per-entity z-score normalization (population std, 0-std guard)."""
+    from lbf_spark.operators.normalize import zscore
+
+    ev = _events(spark, sf_dir)
+    return zscore(ev, "value", by="user_id", out="value_z").select(
+        "event_id", F.round("value_z", 6).alias("value_z")
+    )
+
+
+@q(
+    "q36_iqr_clamp",
+    """
+    with q as (
+      select event_id, value,
+             quantile_cont(value, 0.25) over (partition by user_id) as q1,
+             quantile_cont(value, 0.75) over (partition by user_id) as q3
+      from events
+    )
+    select event_id,
+           round(greatest(q1 - 1.5 * (q3 - q1),
+                          least(q3 + 1.5 * (q3 - q1), value)), 6) as value_clamped
+    from q
+    """,
+)
+def q36(spark, sf_dir):
+    """IQR outlier clamp (A21, `transcription_factor_analysis/utils.py:12-26`)
+    — exact percentiles on both engines (Spark percentile == DuckDB
+    quantile_cont, linear interpolation)."""
+    from lbf_spark.operators.stats import iqr_clamp
+
+    ev = t(spark, sf_dir, "events")
+    return iqr_clamp(ev, "value", by="user_id", out="value_clamped").select(
+        "event_id", F.round("value_clamped", 6).alias("value_clamped")
+    )
+
+
+@q(
+    "q37_amplitude",
+    f"""
+    with b as (
+      select user_id,
+             cast(ts_us // {_DAY_US} - {_EPOCH_DAY_BASE} as bigint) as bucket,
+             cast(sum(cast(value as decimal(18,6))) as double) as v
+      from {_EVENTS_SQL} group by 1, 2
+    )
+    select user_id,
+           round(avg(case when bucket >= 14 and bucket < 16 then v end)
+                 - avg(case when bucket < 14 or bucket >= 16 then v end), 6) as amplitude
+    from b group by user_id
+    """,
+)
+def q37(spark, sf_dir):
+    """Accessibility amplitude (A17, `accessibility_extraction.py:6-27`):
+    center-window mean minus flanking mean over the positional series."""
+    from lbf_spark.operators.stats import amplitude
+
+    ev = _events(spark, sf_dir)
+    b = (
+        ev.withColumn(
+            "bucket",
+            (F.floor(F.col("ts_us") / _DAY_US) - _EPOCH_DAY_BASE).cast("long"),
+        )
+        .groupBy("user_id", "bucket")
+        .agg(F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("v"))
+    )
+    amp = amplitude(b, "v", "bucket", n_positions=30, center_n=2, by="user_id")
+    return amp.select("user_id", F.round("amplitude", 6).alias("amplitude"))
+
+
+@q(
+    "q38_rolling_minmax",
+    f"""
+    select event_id,
+           round(min(value) over w, 6) as roll_min,
+           round(max(value) over w, 6) as roll_max
+    from {_EVENTS_SQL}
+    window w as (partition by user_id order by ts_us, event_id
+                 rows between 9 preceding and current row)
+    """,
+)
+def q38(spark, sf_dir):
+    """Trailing rolling min/max (window-kernel family)."""
+    from lbf_spark.operators.windows import rolling_min_max
+
+    ev = _events(spark, sf_dir)
+    out = rolling_min_max(
+        ev, "value", "roll_min", "roll_max", 10,
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select(
+        "event_id",
+        F.round("roll_min", 6).alias("roll_min"),
+        F.round("roll_max", 6).alias("roll_max"),
+    )
+
+
+@q(
+    "q39_bfill",
+    f"""
+    select event_id,
+           round(first_value(v_sparse ignore nulls)
+             over (partition by user_id order by ts_us, event_id
+                   rows between current row and unbounded following), 6) as v_filled
+    from (
+      select event_id, user_id, ts_us,
+             case when event_id % 5 = 0 then null else value end as v_sparse
+      from {_EVENTS_SQL}
+    )
+    """,
+)
+def q39(spark, sf_dir):
+    """Backward-fill (the bfill half of the backfill/ffill stage)."""
+    from lbf_spark.operators.windows import bfill
+
+    ev = _events(spark, sf_dir).withColumn(
+        "v_sparse",
+        F.when(F.col("event_id") % 5 == 0, F.lit(None)).otherwise(F.col("value")),
+    )
+    out = bfill(ev, "v_sparse", out="v_filled", by="user_id", order=["ts_us", "event_id"])
+    return out.select("event_id", F.round("v_filled", 6).alias("v_filled"))
+
+
+@q(
+    "q40_distribution_normalize",
+    """
+    with c as (
+      select user_id, event_type, count(*)::double as cnt
+      from events group by 1, 2
+    )
+    select user_id, event_type,
+           round((cnt + 1e-10) / sum(cnt + 1e-10) over (partition by user_id), 6) as p
+    from c
+    """,
+)
+def q40(spark, sf_dir):
+    """Column-normalize to a probability distribution with the
+    reference's ε=1e-10 smoothing (`fextract_entropy/plugin.py:31`,
+    `fextract_fragment_length_distribution/plugin.py:172-177`)."""
+    from lbf_spark.operators.normalize import distribution_normalize
+
+    ev = t(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    out = distribution_normalize(c, "cnt", by="user_id", out="p", epsilon=1e-10)
+    return out.select("user_id", "event_type", F.round("p", 6).alias("p"))
+
+
+@q(
+    "q41_fld_matrix",
+    f"""
+    with ev as (
+      select user_id, ts_us, event_id,
+             ((event_id % 180) + 60) * 10000000 as duration
+      from {_EVENTS_UNIQ_SQL}
+    ),
+    anchors as (select user_id, ts_us, event_id as anchor_id from ev where event_id % 40 = 1)
+    select a.anchor_id,
+           cast(floor(e.duration / 300000000) as bigint) as dur_bin,
+           cast(floor((a.ts_us - e.ts_us) / {_DAY_US}) as bigint) as bucket,
+           count(*) as n
+    from anchors a
+    join ev e
+      on e.user_id = a.user_id
+     and e.ts_us >  a.ts_us - 7 * {_DAY_US}
+     and e.ts_us <= a.ts_us
+    group by 1, 2, 3
+    """,
+)
+def q41(spark, sf_dir):
+    """Per-anchor 2-D (duration-bin × position-bucket) histogram — the
+    fragment-length-distribution tensor (A8,
+    `fextract_fragment_length_distribution/plugin.py:134-147`), long
+    form, zero temporal leakage (past-week window only)."""
+    ev = _events_uniq(spark, sf_dir).withColumn(
+        "duration", ((F.col("event_id") % 180) + 60) * F.lit(10_000_000)
+    )
+    anchors = ev.filter(F.col("event_id") % 40 == 1).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    evs = ev.select(
+        F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "duration"
+    )
+    joined = interval_join(evs, anchors, lower=-(7 * _DAY_US - 1), upper=0)
+    return (
+        joined.withColumn("dur_bin", F.floor(F.col("duration") / F.lit(300_000_000)))
+        .withColumn(
+            "bucket", F.floor((F.col("anchor_ts") - F.col("ts")) / F.lit(_DAY_US))
+        )
+        .groupBy("anchor_id", "dur_bin", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+_FLD_SQL = f"""
+    with ev as (
+      select user_id, ts_us, event_id,
+             ((event_id % 180) + 60) * 10000000 as duration
+      from {_EVENTS_UNIQ_SQL}
+    ),
+    anchors as (select user_id, ts_us, event_id as anchor_id from ev where event_id % 40 = 1),
+    fld as (
+      select a.anchor_id,
+             cast(floor(e.duration / 300000000) as bigint) as dur_bin,
+             cast(floor((a.ts_us - e.ts_us) / {_DAY_US}) as bigint) as bucket,
+             count(*)::double as n
+      from anchors a
+      join ev e
+        on e.user_id = a.user_id
+       and e.ts_us >  a.ts_us - 7 * {_DAY_US}
+       and e.ts_us <= a.ts_us
+      group by 1, 2, 3
+    )
+"""
+
+
+def _fld_matrix(spark, sf_dir):
+    return q41(spark, sf_dir).withColumn("n", F.col("n").cast("double"))
+
+
+@q(
+    "q42_window_entropy",
+    _FLD_SQL
+    + """
+    , p as (
+      select anchor_id, bucket,
+             n / sum(n) over (partition by anchor_id, bucket) as p
+      from fld
+    )
+    select anchor_id, bucket,
+           round(-sum(case when p > 0 then p * ln(p) else 0 end), 6) as entropy
+    from p group by anchor_id, bucket
+    """,
+)
+def q42(spark, sf_dir):
+    """Shannon entropy of the duration distribution at every anchor
+    position (A9 per-position entropy, `fextract_entropy/plugin.py:31-40`)
+    — composed over the A8 FLD matrix."""
+    fld = _fld_matrix(spark, sf_dir)
+    ent = D.shannon_entropy(fld, "n", ["anchor_id", "bucket"])
+    return ent.select("anchor_id", "bucket", F.round("entropy", 6).alias("entropy"))
+
+
+@q(
+    "q43_kl_to_flanking",
+    _FLD_SQL
+    + """
+    , p as (
+      select anchor_id, bucket, dur_bin,
+             (n + 1e-10) / sum(n + 1e-10) over (partition by anchor_id, bucket) as p
+      from fld
+    ),
+    qb as (
+      select anchor_id, dur_bin, avg(p) as q_raw
+      from p where bucket < 2 or bucket >= 5
+      group by 1, 2
+    ),
+    qn as (
+      select anchor_id, dur_bin,
+             q_raw / sum(q_raw) over (partition by anchor_id) as q
+      from qb
+    )
+    select p.anchor_id, p.bucket,
+           round(sum(case when p.p > 0 then p.p * ln(p.p / coalesce(qn.q, 1e-10)) else 0 end), 6) as kl
+    from p left join qn on p.anchor_id = qn.anchor_id and p.dur_bin = qn.dur_bin
+    group by 1, 2
+    """,
+)
+def q43(spark, sf_dir):
+    """KL divergence of each position's duration distribution to the
+    flanking-baseline distribution (A10,
+    `fextract_relative_entropy_to_flanking/plugin.py:33-44`)."""
+    fld = _fld_matrix(spark, sf_dir)
+    kl = D.kl_to_flanking(
+        fld, "n", "bucket", n_positions=7, flank_n=2,
+        dist_key="dur_bin", by="anchor_id", epsilon=1e-10,
+    )
+    return kl.select("anchor_id", "bucket", F.round("kl", 6).alias("kl"))
+
+
+@q(
+    "q44_dyad_coverage",
+    f"""
+    with ev as (
+      select user_id, ts_us, event_id,
+             ((event_id % 180) + 60) * 10000000 as duration
+      from {_EVENTS_UNIQ_SQL}
+    ),
+    centers as (
+      select user_id,
+             ts_us + ((2 * i.i + 1) * duration) // (2 * greatest(1, duration // 1000000000)) as center_ts
+      from ev,
+           lateral (select unnest(range(greatest(1, duration // 1000000000))) as i) i
+    ),
+    anchors as (select user_id, ts_us, event_id as anchor_id from ev where event_id % 40 = 7)
+    select a.anchor_id,
+           cast(floor((a.ts_us - c.center_ts) / {_DAY_US}) as bigint) as bucket,
+           count(*) as n
+    from anchors a
+    join centers c
+      on c.user_id = a.user_id
+     and c.center_ts >  a.ts_us - 7 * {_DAY_US}
+     and c.center_ts <= a.ts_us
+    group by 1, 2
+    """,
+)
+def q44(spark, sf_dir):
+    """Dyad coverage (A5, `signal_transformer.py:50-113`): events expand
+    into deterministic segment-midpoint centers; coverage = bucketed
+    center counts per anchor's past-week window (zero leakage)."""
+    from lbf_spark.operators.windows import dyad_centers
+
+    ev = _events_uniq(spark, sf_dir).withColumn(
+        "duration", ((F.col("event_id") % 180) + 60) * F.lit(10_000_000)
+    )
+    centers = dyad_centers(
+        ev.select(F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "duration"),
+        spacing=1_000_000_000,
+    ).select("entity", F.col("center_ts").alias("ts"))
+    anchors = ev.filter(F.col("event_id") % 40 == 7).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    joined = interval_join(centers, anchors, lower=-(7 * _DAY_US - 1), upper=0)
+    return (
+        joined.withColumn(
+            "bucket", F.floor((F.col("anchor_ts") - F.col("ts")) / F.lit(_DAY_US))
+        )
+        .groupBy("anchor_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )

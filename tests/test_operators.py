@@ -212,3 +212,29 @@ def test_amplitude(spark):
     df = spark.createDataFrame(rows, "g string, pos int, v double")
     got = stats.amplitude(df, "v", "pos", 10, 2, "g").toPandas()
     assert abs(got.iloc[0]["amplitude"] - 8.0) < 1e-12
+
+
+def test_ivf_topk_recall(spark):
+    """IVF with clustered data: high recall vs brute force; full-probe
+    IVF equals brute force exactly."""
+    from lbf_spark.operators import similarity as S2
+
+    rng = np.random.default_rng(11)
+    centers = rng.standard_normal((6, 16)) * 4
+    vecs = np.vstack([c + rng.standard_normal((40, 16)) * 0.3 for c in centers])
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    ).repartition(4)
+    probes = df.filter("vec_id % 40 = 0")
+    cents = S2.kmeans_fit(df, dim=16, n_centroids=6, n_iters=4)
+    assert cents.shape == (6, 16)
+    exact = S2.brute_force_topk(df, probes, k=5).toPandas()
+    approx = S2.ivf_topk(df, probes, cents, k=5, n_probe=2).toPandas()
+    e = {(r.probe_id, r.neighbor_id) for r in exact.itertuples()}
+    a = {(r.probe_id, r.neighbor_id) for r in approx.itertuples()}
+    recall = len(e & a) / len(e)
+    assert recall >= 0.9, recall
+    full = S2.ivf_topk(df, probes, cents, k=5, n_probe=6).toPandas()
+    f = {(r.probe_id, r.neighbor_id) for r in full.itertuples()}
+    assert f == e

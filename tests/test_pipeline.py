@@ -113,3 +113,32 @@ def test_median_summary_allclose(spark_inputs, tiny_events, tiny_anchors):
 def test_run_id_stable():
     assert P.run_id(CFG) == P.run_id(P.FeatureConfig(**CFG.__dict__))
     assert P.run_id(CFG) != P.run_id(P.FeatureConfig(span=4000))
+
+
+def test_batch_multi_anchor_equals_per_set(spark, tiny_events, tiny_anchors):
+    """One batched pass over N anchor sets must equal N separate runs
+    (scan-sharing correctness, §3.2)."""
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    sets = {
+        name: fixtures.anchors_to_spark(
+            spark, tiny_anchors[tiny_anchors.name == name].drop(columns=["name"]).assign(name=name)[
+                ["entity", "anchor_ts", "name", "score", "strand"]
+            ]
+        )
+        for name in ("setA", "setB")
+    }
+    batched = (
+        P.extract_features_batch(ev, sets, CFG)["summary"]
+        .toPandas()
+        .sort_values(["entity", "name", "bucket"], ignore_index=True)
+    )
+    per_set = []
+    for name, an in sets.items():
+        out = P.extract_features(ev, an, CFG)["summary"].toPandas()
+        per_set.append(out)
+    separate = (
+        pd.concat(per_set, ignore_index=True)
+        .sort_values(["entity", "name", "bucket"], ignore_index=True)
+    )
+    assert len(batched) == len(separate)
+    assert np.allclose(batched["signal"], separate["signal"], rtol=1e-9, atol=1e-12)
