@@ -1428,3 +1428,63 @@ def q44(spark, sf_dir):
         .groupBy("anchor_id", "bucket")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@q(
+    "q45_asof_forward",
+    f"""
+    with ev as (select * from {_EVENTS_UNIQ_SQL}),
+    anchors as (select user_id, ts_us, event_id from ev where event_id % 20 = 11)
+    select a.event_id as anchor_id,
+           (select arg_min(e.event_id, e.ts_us) from ev e
+             where e.user_id = a.user_id and e.ts_us >= a.ts_us) as matched_id
+    from anchors a
+    """,
+)
+def q45(spark, sf_dir):
+    """Forward as-of join (earliest event at-or-after the anchor) — the
+    cogrouped Arrow merge_asof path (direction='forward')."""
+    ev = _events_uniq(spark, sf_dir)
+    anchors = ev.filter(F.col("event_id") % 20 == 11).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    evs = ev.select(
+        F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "event_id"
+    )
+    out = asof_join(
+        evs, anchors, select=["event_id"], direction="forward", strategy="cogroup"
+    )
+    return out.select("anchor_id", F.col("event_id").alias("matched_id"))
+
+
+@q(
+    "q46_asof_nearest",
+    f"""
+    with ev as (select * from {_EVENTS_UNIQ_SQL}),
+    anchors as (select user_id, ts_us, event_id from ev where event_id % 20 = 17)
+    select a.event_id as anchor_id,
+           (select e.event_id from ev e
+             where e.user_id = a.user_id
+             order by abs(e.ts_us - a.ts_us), e.ts_us
+             limit 1) as matched_id
+    from anchors a
+    """,
+)
+def q46(spark, sf_dir):
+    """Nearest as-of join (closest event either side; equidistant ties
+    resolve to the earlier event, pd.merge_asof semantics)."""
+    ev = _events_uniq(spark, sf_dir)
+    anchors = ev.filter(F.col("event_id") % 20 == 17).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    evs = ev.select(
+        F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "event_id"
+    )
+    out = asof_join(
+        evs, anchors, select=["event_id"], direction="nearest", strategy="cogroup"
+    )
+    return out.select("anchor_id", F.col("event_id").alias("matched_id"))

@@ -1,0 +1,117 @@
+"""Property-based tests (hypothesis): the JVM as-of join and window
+kernels must match pandas/numpy on arbitrary adversarial inputs —
+duplicate timestamps, empty sides, single-row entities, negative ts."""
+
+import numpy as np
+import pandas as pd
+from hypothesis import given, settings, strategies as st
+
+from lbf_spark.operators.asof import asof_join
+
+SETTINGS = settings(max_examples=12, deadline=None)
+
+
+events_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),            # entity
+        st.integers(min_value=-1000, max_value=1000),  # ts (dups allowed)
+        st.integers(min_value=0, max_value=99),        # value
+    ),
+    min_size=0,
+    max_size=40,
+)
+
+anchors_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c", "d"]),       # entity (d: no events)
+        st.integers(min_value=-1100, max_value=1100),
+    ),
+    min_size=1,
+    max_size=15,
+)
+
+
+def _pandas_asof(ev: pd.DataFrame, an: pd.DataFrame, tolerance=None) -> pd.DataFrame:
+    outs = []
+    for entity, a in an.groupby("entity"):
+        e = ev[ev.entity == entity].sort_values(["ts", "value"], kind="mergesort")
+        if e.empty:
+            m = a.copy()
+            m["ts"] = np.nan
+            m["value"] = np.nan
+        else:
+            m = pd.merge_asof(
+                a.sort_values("anchor_ts", kind="mergesort"),
+                e[["ts", "value"]],
+                left_on="anchor_ts",
+                right_on="ts",
+                direction="backward",
+                tolerance=tolerance,
+            )
+        outs.append(m)
+    return (
+        pd.concat(outs)
+        .sort_values(["entity", "anchor_ts", "aid"], ignore_index=True)
+    )
+
+
+@given(events=events_strategy, anchors=anchors_strategy,
+       tolerance=st.sampled_from([None, 50, 500]))
+@SETTINGS
+def test_asof_union_matches_pandas(spark, events, anchors, tolerance):
+    ev = pd.DataFrame(events, columns=["entity", "ts", "value"])
+    # union strategy resolves equal-ts ties to the LAST event, like
+    # merge_asof — make ties deterministic by deduping to max value
+    ev = ev.sort_values(["entity", "ts", "value"]).groupby(
+        ["entity", "ts"], as_index=False
+    ).last()
+    an = pd.DataFrame(anchors, columns=["entity", "anchor_ts"])
+    an["aid"] = range(len(an))
+
+    ev_s = spark.createDataFrame(
+        ev if len(ev) else pd.DataFrame({"entity": pd.Series(dtype=str),
+                                         "ts": pd.Series(dtype="int64"),
+                                         "value": pd.Series(dtype="int64")}),
+        "entity string, ts long, value long",
+    )
+    an_s = spark.createDataFrame(an, "entity string, anchor_ts long, aid long")
+    got = (
+        asof_join(ev_s, an_s, select=["ts", "value"], tolerance=tolerance)
+        .toPandas()
+        .sort_values(["entity", "anchor_ts", "aid"], ignore_index=True)
+    )
+    exp = _pandas_asof(ev, an, tolerance)
+    assert len(got) == len(exp)
+    for col in ("ts", "value"):
+        g = got[col].astype("float64").to_numpy()
+        x = exp[col].astype("float64").to_numpy()
+        assert np.allclose(g, x, equal_nan=True), (col, got, exp)
+
+
+@given(
+    ts_lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=5000), min_size=1, max_size=30),
+        min_size=1, max_size=3,
+    ),
+    gap=st.integers(min_value=1, max_value=500),
+)
+@SETTINGS
+def test_sessionize_matches_numpy(spark, ts_lists, gap):
+    from lbf_spark.operators.windows import sessionize
+
+    rows = []
+    for i, ts in enumerate(ts_lists):
+        ent = f"e{i}"
+        for j, t in enumerate(sorted(set(ts))):
+            rows.append((ent, t))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts"])
+    got = (
+        sessionize(spark.createDataFrame(pdf, "entity string, ts long"), gap)
+        .toPandas()
+        .sort_values(["entity", "ts"], ignore_index=True)
+    )
+    exp = []
+    for _, grp in pdf.groupby("entity", sort=True):
+        t = np.sort(grp.ts.to_numpy())
+        exp.extend(np.cumsum(np.diff(t, prepend=t[0]) > gap))
+    assert got["session_id"].tolist() == [int(x) for x in exp]
