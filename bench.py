@@ -64,9 +64,12 @@ def _flagship_input() -> tuple[str, str]:
             FLAGSHIP_ROWS, FLAGSHIP_ENTITIES, size_probs=(0.1, 0.2, 0.7)
         )
         an = fixtures.generate_anchors(ev, n_per_entity=40)
-        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False), ev_path,
+        pq.write_table(pa.Table.from_pandas(ev, preserve_index=False),
+                       ev_path + f".tmp{os.getpid()}",
                        row_group_size=10_000)  # many row groups => parallel scan
-        pq.write_table(pa.Table.from_pandas(an, preserve_index=False), an_path)
+        os.replace(ev_path + f".tmp{os.getpid()}", ev_path)
+        pq.write_table(pa.Table.from_pandas(an, preserve_index=False), an_path + f".tmp{os.getpid()}")
+        os.replace(an_path + f".tmp{os.getpid()}", an_path)
     return ev_path, an_path
 
 
@@ -189,7 +192,7 @@ def run_scaling(pairs: tuple[tuple[int, int], ...] = ((2, 8), (8, 32))) -> dict:
     Reports, per pair: rows/sec at both sizes, raw efficiency
     speedup/4, the hardware ceiling (measured, SMT-limited), and
     engine efficiency relative to that ceiling."""
-    rows = int(os.environ.get("LBF_SCALING_ROWS", str(max(FLAGSHIP_ROWS, 800_000))))
+    rows = int(os.environ.get("LBF_SCALING_ROWS", str(max(FLAGSHIP_ROWS, 2_400_000))))
     env = dict(os.environ, LBF_BENCH_ROWS=str(rows))
     cores_needed = sorted({c for p in pairs for c in p})
     results = {}

@@ -71,7 +71,13 @@ def minhash_signature(
 
     signature[i] = min over shingles s of md5(concat(i, ':', s)),
     lexicographic min over the 32-char hex digest.
+
+    Shingle-less documents (< n tokens) are dropped: they cannot be
+    shingle-near-dups of anything, and keeping them would give every
+    such doc the identical all-null signature → identical band hashes →
+    a quadratic candidate blowup among short/empty docs.
     """
+    shingled = shingled.filter(F.size("shingles") > 0)
     sig = F.array(
         *[
             F.array_min(

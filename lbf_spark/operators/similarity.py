@@ -189,15 +189,18 @@ def kmeans_fit(
     n_iters: int = 5,
     seed: int = 42,
     vec_col: str = "embedding",
+    id_col: str = "vec_id",
 ) -> np.ndarray:
     """Distributed Lloyd's k-means on L2-normalized vectors.
 
     Per iteration: ONE mapInPandas pass emits per-partition partial sums
     (centroid_id, sum_vec, count); the driver combines (n_centroids ×
-    dim floats — tiny) and re-broadcasts. Deterministic: k-means++-less
-    seeded init from a hash-picked sample, numpy math only."""
+    dim floats — tiny) and re-broadcasts. Deterministic: the init sample
+    is taken in `id_col` order (an unordered limit() would pick whatever
+    rows arrive first and break run-to-run reproducibility)."""
     sample = np.stack(
-        df.select(vec_col)
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
         .limit(max(n_centroids * 20, 500))
         .toPandas()[vec_col]
         .to_numpy()

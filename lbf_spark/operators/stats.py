@@ -222,7 +222,12 @@ def adjust_pvalues(
         pdf[out] = adj
         return pdf
 
-    return df.coalesce(1).mapInPandas(lambda it: (fn(pd.concat(list(it))),), schema)
+    def run(it):
+        batches = list(it)
+        if batches:  # empty input ⇒ zero output batches, not a crash
+            yield fn(pd.concat(batches))
+
+    return df.coalesce(1).mapInPandas(run, schema)
 
 
 def iqr_clamp(

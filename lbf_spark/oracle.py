@@ -33,16 +33,19 @@ def decode_stats_oracle(events: pd.DataFrame) -> pd.DataFrame:
 
 def event_features_oracle(events: pd.DataFrame, cfg: FeatureConfig) -> pd.DataFrame:
     df = decode_stats_oracle(events) if "bytes" in events.columns else events.copy()
-    df = df.sort_values(["entity", "ts"], kind="mergesort", ignore_index=True)
+    sort_cols = ["entity", "ts"] + (["image_id"] if "image_id" in df.columns else [])
+    df = df.sort_values(sort_cols, kind="mergesort", ignore_index=True)
     rolls, counts, drifts, sessions = [], [], [], []
     for _, grp in df.groupby("entity", sort=True):
         v = grp[cfg.value_col].to_numpy(dtype=np.float64)
         ts = grp["ts"].to_numpy(dtype=np.int64)
         # rolling mean over last rolling_w rows, min_count=1 (A6)
         rolls.append(pd.Series(v).rolling(cfg.rolling_w, min_periods=1).mean().to_numpy())
-        # events in trailing time range [ts - span, ts] (A1 coverage analog)
+        # events in trailing time range [ts - span, ts], SET semantics:
+        # ties at the current ts all count (matches rangeBetween)
+        hi = np.searchsorted(ts, ts, side="right")
         lo = np.searchsorted(ts, ts - cfg.span, side="left")
-        counts.append(np.arange(1, len(ts) + 1) - lo)
+        counts.append(hi - lo)
         # phash hamming drift vs previous row
         ph = grp["phash"].to_numpy(dtype=np.uint64)
         x = ph[1:] ^ ph[:-1]

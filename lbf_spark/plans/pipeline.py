@@ -76,7 +76,23 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     requirement and would just add a second shuffle."""
     n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     has_bytes = "bytes" in events.columns
-    df = decode_stats(events.repartition(n_part)) if has_bytes else events
+    if has_bytes:
+        # The decode stage runs 1 JVM task thread + 1 Python worker per
+        # partition. At high core counts that doubles the thread count
+        # and thrashes (measured: local[32] as-is 6.8-16.5 s, capped at
+        # ~0.75×cores 6.3-6.6 s and stable). Cap the Python stage at
+        # ~0.75×cores; JVM-only stages keep full parallelism.
+        py_target = n_part if n_part <= 16 else max(16, (n_part * 3) // 4)
+        n_in = events.rdd.getNumPartitions()
+        if n_in < (py_target * 3) // 4:
+            # too few scan splits → repartition (pays a payload shuffle,
+            # cheaper than running the decode under-parallel)
+            events = events.repartition(py_target)
+        elif n_in > py_target:
+            events = events.coalesce(py_target)
+        df = decode_stats(events)
+    else:
+        df = events
     # drop payload metadata before the window exchange — caption/fmt/w/h
     # are fidelity-check columns, not features; no reason to shuffle them
     keep = [
@@ -87,10 +103,17 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     ] + ([cfg.value_col] if cfg.value_col not in (
         "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean") else [])
     df = df.select(*dict.fromkeys(keep))
-    df = W.rolling_mean(df, cfg.value_col, "roll_mean", cfg.rolling_w)
+    # deterministic tie-break for equal (entity, ts): image_id — without
+    # it Spark's sort leaves tie order unspecified and rolling features
+    # could differ run-to-run (and from the oracle)
+    order = ["ts", "image_id"] if "image_id" in df.columns else ["ts"]
+    df = W.rolling_mean(df, cfg.value_col, "roll_mean", cfg.rolling_w, order=order)
+    # roll_count uses SET semantics on the time axis (all events with
+    # ts ∈ [t-span, t], ties included) — rangeBetween is tie-inclusive
+    # by definition, and the oracle counts the same way
     df = W.rolling_count_range(df, "roll_count", cfg.span)
-    df = W.hamming_to_prev(df, "phash", "phash_drift")
-    df = W.sessionize(df, cfg.session_gap, "session_id")
+    df = W.hamming_to_prev(df, "phash", "phash_drift", order=order)
+    df = W.sessionize(df, cfg.session_gap, "session_id", order=order, ts_col="ts")
     return df
 
 
@@ -147,9 +170,12 @@ def anchor_window_matrix(
             F.col("bucket")
         ),
     )
+    # strand belongs in the group key: a '+' and a '-' anchor at the same
+    # (entity, anchor_ts, name) are distinct anchors and must each get
+    # their own flanking baseline (the oracle normalizes per anchor row)
     full = flanking_normalize(
         full, "cov", "bucket", nb, cfg.flank_n,
-        by=["entity", "anchor_ts", "name"], out="cov_norm",
+        by=["entity", "anchor_ts", "name", "strand"], out="cov_norm",
     )
     return full
 
