@@ -1488,3 +1488,21 @@ def q46(spark, sf_dir):
         evs, anchors, select=["event_id"], direction="nearest", strategy="cogroup"
     )
     return out.select("anchor_id", F.col("event_id").alias("matched_id"))
+
+
+@q("q47_group_stats_k", None)
+def q47(spark, sf_dir):
+    """Per-user k-group Kruskal-Wallis across all five event types with
+    BH correction (A19+A20) — χ² p-values are not ANSI-SQL-expressible
+    ⇒ rows-only driver check; the statistic math is unit-tested against
+    closed-form values in tests/test_operators.py."""
+    ev = t(spark, sf_dir, "events")
+    res = stats.group_test_k(ev, "value", "event_type", "user_id")
+    adj = stats.adjust_pvalues(res)
+    return adj.select(
+        "user_id",
+        F.round("h_stat", 4).alias("h_stat"),
+        F.round("p_value", 6).alias("p_value"),
+        F.round("p_adj", 6).alias("p_adj"),
+        "n_groups",
+    )

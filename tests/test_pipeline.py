@@ -142,3 +142,20 @@ def test_batch_multi_anchor_equals_per_set(spark, tiny_events, tiny_anchors):
     )
     assert len(batched) == len(separate)
     assert np.allclose(batched["signal"], separate["signal"], rtol=1e-9, atol=1e-12)
+
+
+def test_summary_min_max_and_value_col_override(spark_inputs, tiny_events, tiny_anchors):
+    """Remaining summary modes + a non-default value column (r_mean)."""
+    for summary in ("min", "max"):
+        cfg = P.FeatureConfig(summary=summary, value_col="r_mean")
+        ev, an = spark_inputs
+        got = (
+            P.extract_features(ev, an, cfg)["summary"]
+            .toPandas()
+            .sort_values(["entity", "name", "bucket"], ignore_index=True)
+        )
+        exp = (
+            oracle.extract_features_oracle(tiny_events, tiny_anchors, cfg)["summary"]
+            .sort_values(["entity", "name", "bucket"], ignore_index=True)
+        )
+        assert np.allclose(got["signal"], exp["signal"], rtol=1e-9, atol=1e-12), summary
