@@ -3,7 +3,8 @@
 ``entry(spark)`` runs the flagship north_rule pipeline (as-of join +
 windowed features over the synthesized image+caption table) at sf0.001
 scale; ``queries()``/``oracle_sql()`` expose the full operator catalog
-from ``lbf_spark.queries`` (31 DuckDB-oracled + 2 rows-only entries).
+from ``lbf_spark.queries`` (see queries.py for the DuckDB-oracled vs
+rows-only split — the counts live there, next to the registry).
 """
 
 from __future__ import annotations

@@ -25,8 +25,6 @@ explicit time-slice salting.
 
 from __future__ import annotations
 
-import math
-
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F, types as T
 
@@ -238,13 +236,14 @@ def asof_join_sliced(
 
     Ties on ``on`` within an anchor's window resolve arbitrarily —
     pre-dedupe events to unique (by…, on) when that matters.
-    Result = ``asof_join(..., tolerance=tolerance)`` exactly.
+    Result = ``asof_join(..., tolerance=tolerance)`` exactly, including
+    duplicate anchor rows: a per-row id is attached before the join so
+    the best-match groupBy cannot collapse identical anchors.
     """
     if tolerance is None or tolerance <= 0:
         raise ValueError("sliced as-of join requires a positive tolerance")
     by = [by] if isinstance(by, str) else list(by)
     w = int(slice_width or max(1, tolerance))
-    n_dup = math.ceil(tolerance / w) + 1  # copies per event (bounded by design)
 
     schema, ev_cols = _merged_schema(anchors, events, by, select)
     ev = events.select(
@@ -258,7 +257,12 @@ def asof_join_sliced(
             )
         ),
     )
-    an = anchors.withColumn("_slice", F.floor(F.col(anchor_on) / F.lit(w)))
+    # row id preserves duplicate anchor rows through the best-match
+    # groupBy (values never depend on the id — it's dropped after)
+    an = (
+        anchors.withColumn("__aid", F.monotonically_increasing_id())
+        .withColumn("_slice", F.floor(F.col(anchor_on) / F.lit(w)))
+    )
 
     cond = None
     for k in by:
@@ -278,13 +282,12 @@ def asof_join_sliced(
     # latest event per anchor: one map-side-combinable max_by over the
     # packed event struct (null when no event matched)
     ev_struct = F.struct(F.col("__ev_ts").alias(on), *[c for c in ev_cols if c != on])
-    best = joined.groupBy(*anchors.columns).agg(
+    best = joined.groupBy("__aid", *anchors.columns).agg(
         F.max_by(ev_struct, F.col("__ev_ts")).alias("__best")
     )
     out = best.select(
         *anchors.columns, *[F.col(f"__best.{c}").alias(c) for c in ev_cols]
     )
-    _ = n_dup
     return out.select(*[f.name for f in schema.fields])
 
 

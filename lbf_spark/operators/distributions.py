@@ -11,6 +11,8 @@ shuffle per groupBy).
 
 from __future__ import annotations
 
+import hashlib
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
@@ -177,7 +179,11 @@ def multinomial_subsample(
         if total <= 0:
             draws = np.zeros(len(pdf), dtype=np.int64)
         else:
-            gseed = abs(hash((seed,) + tuple(str(k) for k in keys))) % (2**32)
+            # md5-derived per-group seed (repo determinism rule): stable
+            # across CPython versions and PYTHONHASHSEED settings, unlike
+            # builtin hash() which PySpark only pins in *workers*
+            blob = ":".join([str(seed)] + [str(k) for k in keys]).encode()
+            gseed = int.from_bytes(hashlib.md5(blob).digest()[:4], "big")
             rng = np.random.default_rng(gseed)
             draws = rng.multinomial(n_draws, counts / total)
         out = pdf[by + key_cols].copy()

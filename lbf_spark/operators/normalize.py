@@ -3,8 +3,9 @@
 Flanking-mean normalization is the reference's signature post-step
 (``/root/reference/src/lbfextract/fextract/lib.py:220-229``): every
 per-position vector is divided by the mean of its flanking (edge)
-positions, with a zero-mean guard that leaves the vector unscaled when
-the baseline is zero. Expressed here as pure JVM window arithmetic over
+positions; rows whose flanking mean is zero stay all-zero (the
+reference initializes the output to zeros and only fills rows with a
+nonzero baseline). Expressed here as pure JVM window arithmetic over
 the long-form (group, position, value) frame — no Python in the path.
 """
 
@@ -28,8 +29,11 @@ def flanking_normalize(
     ``sides``: "right" = oldest `flank_n` positions only (point-in-time
     windows have no future flank), "both" = first and last `flank_n`
     (the reference's symmetric variant, ``fextract/lib.py:222-224``).
-    Zero-baseline guard: if the flanking mean is 0 (or null), the value
-    passes through unscaled (``fextract/lib.py:227-229``).
+    Zero-baseline guard: if the flanking mean is 0 (or null), the whole
+    group's output is 0 — the reference pre-fills ``normalized_array``
+    with zeros and only assigns rows where ``means_flanking != 0``
+    (``fextract/lib.py:226-229``,
+    ``fextract_batch_coverage/plugin.py:104-106``).
     """
     by = [by] if isinstance(by, str) else list(by)
     if sides == "right":
@@ -44,7 +48,7 @@ def flanking_normalize(
     fm = F.avg(F.when(in_flank, F.col(value))).over(w)
     normalized = F.when(
         fm.isNotNull() & (fm != 0), F.col(value) / fm
-    ).otherwise(F.col(value).cast("double"))
+    ).otherwise(F.lit(0.0))
     return df.withColumn(out or value, normalized)
 
 

@@ -210,7 +210,13 @@ def adjust_pvalues(
     df: DataFrame, p_col: str = "p_value", out: str = "p_adj"
 ) -> DataFrame:
     """Global BH correction (A20). Needs every p-value at once — the
-    result set is per-key (small), so it runs in a single partition."""
+    result set is per-key (small), so it runs in a single partition.
+
+    ``repartition(1)`` (a shuffle boundary), NOT ``coalesce(1)``:
+    coalesce propagates the 1-partition constraint upstream into the
+    stage containing the per-key grouped tests, serializing thousands
+    of MWU/KW kernels into one task; the shuffle keeps them parallel
+    and only the tiny BH reduction runs single-task."""
     schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -227,7 +233,7 @@ def adjust_pvalues(
         if batches:  # empty input ⇒ zero output batches, not a crash
             yield fn(pd.concat(batches))
 
-    return df.coalesce(1).mapInPandas(run, schema)
+    return df.repartition(1).mapInPandas(run, schema)
 
 
 def iqr_clamp(

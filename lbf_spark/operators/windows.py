@@ -175,6 +175,11 @@ def wps(
     ``max_duration`` (duplicate-then-trim — the extra_bases analog),
     classification as JVM conditionals, one aggregation, then the exact
     rolling median (grouped Arrow kernel).
+
+    Precondition: anchor rows are unique — the per-anchor aggregation
+    groups on all anchor columns, so exact-duplicate anchors collapse
+    to one output row (anchors are distinct positions by construction
+    in every caller; dedupe first if yours aren't).
     """
     from lbf_spark.operators.asof import interval_join
 

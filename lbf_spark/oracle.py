@@ -109,7 +109,10 @@ def anchor_window_matrix_oracle(
             cov = cov[::-1].copy()     # np.fliplr analog
             val_mean = val_mean[::-1].copy()
         fm = cov[nb - cfg.flank_n :].mean()
-        cov_norm = cov / fm if fm != 0 else cov.astype(float)  # lib.py:227-229
+        # zero-flank rows stay all-zero: the reference pre-fills the
+        # normalized array with zeros and only assigns rows with a
+        # nonzero baseline (lib.py:226-229, batch_coverage plugin:104-106)
+        cov_norm = cov / fm if fm != 0 else np.zeros(nb)
         for b in range(nb):
             records.append(
                 (a.entity, a.anchor_ts, a.name, a.strand, b, cov[b], val_mean[b], cov_norm[b])
@@ -146,17 +149,36 @@ def summary_vectors_oracle(summary: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows, columns=["entity", "name", "vector"])
 
 
+def skip_vectors_oracle(matrix: pd.DataFrame) -> pd.DataFrame:
+    """'skip' summarizer = identity: one cov_norm vector per anchor row
+    (``fextract/lib.py:218``)."""
+    rows = []
+    for (entity, anchor_ts, name, strand), grp in matrix.groupby(
+        ["entity", "anchor_ts", "name", "strand"]
+    ):
+        vec = grp.sort_values("bucket")["cov_norm"].to_numpy(dtype=np.float64)
+        rows.append((entity, anchor_ts, name, strand, vec))
+    return pd.DataFrame(
+        rows, columns=["entity", "anchor_ts", "name", "strand", "vector"]
+    )
+
+
 def extract_features_oracle(
     events: pd.DataFrame, anchors: pd.DataFrame, cfg: FeatureConfig | None = None
 ) -> dict[str, pd.DataFrame]:
     cfg = cfg or FeatureConfig()
     feats = event_features_oracle(events, cfg)
     matrix = anchor_window_matrix_oracle(feats, anchors, cfg)
-    summ = summarize_oracle(matrix, cfg)
+    if cfg.summary == "skip":
+        summ = matrix
+        vectors = skip_vectors_oracle(matrix)
+    else:
+        summ = summarize_oracle(matrix, cfg)
+        vectors = summary_vectors_oracle(summ)
     return {
         "event_features": feats,
         "point_in_time": point_in_time_oracle(feats, anchors, cfg),
         "matrix": matrix,
         "summary": summ,
-        "vectors": summary_vectors_oracle(summ),
+        "vectors": vectors,
     }

@@ -201,14 +201,25 @@ def summarize(matrix: DataFrame, cfg: FeatureConfig) -> DataFrame:
     )
 
 
-def summary_vectors(summary: DataFrame) -> DataFrame:
-    """Stage 8: assemble the per-(entity, name) feature vector (bucket-
-    ordered array<double>) — the Signal the allclose gate runs on."""
+def summary_vectors(
+    summary: DataFrame,
+    keys: tuple[str, ...] = ("entity", "name"),
+    signal_col: str = "signal",
+) -> DataFrame:
+    """Stage 8: assemble the per-`keys` feature vector (bucket-ordered
+    array<double>) — the Signal the allclose gate runs on. With
+    ``summary='skip'`` the caller passes the raw matrix and per-anchor
+    keys + ``signal_col='cov_norm'`` (the reference's 'skip' summarizer
+    is the identity: one vector per interval row, ``lib.py:218``)."""
     return (
-        summary.groupBy("entity", "name")
+        summary.groupBy(*keys)
         .agg(
             F.transform(
-                F.array_sort(F.collect_list(F.struct("bucket", "signal"))),
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("bucket", F.col(signal_col).alias("signal"))
+                    )
+                ),
                 lambda s: s["signal"],
             ).alias("vector")
         )
@@ -236,7 +247,13 @@ def extract_features(
     pit = anchor_point_in_time(feats, anchors, cfg)
     matrix = anchor_window_matrix(feats, anchors, cfg)
     summ = summarize(matrix, cfg)
-    vectors = summary_vectors(summ)
+    if cfg.summary == "skip":  # identity summarizer: one vector per anchor
+        vectors = summary_vectors(
+            summ, keys=("entity", "anchor_ts", "name", "strand"),
+            signal_col="cov_norm",
+        )
+    else:
+        vectors = summary_vectors(summ)
     return {
         "event_features": feats,
         "point_in_time": pit,
@@ -329,12 +346,16 @@ def run_pipeline(
     pit_ck = staged(
         "point_in_time", lambda: anchor_point_in_time(feats_ck, anchors, cfg)
     )
-    vec_ck = staged(
-        "vectors",
-        lambda: summary_vectors(
-            summarize(anchor_window_matrix(feats_ck, anchors, cfg), cfg)
-        ),
-    )
+    def _vectors():
+        summ = summarize(anchor_window_matrix(feats_ck, anchors, cfg), cfg)
+        if cfg.summary == "skip":
+            return summary_vectors(
+                summ, keys=("entity", "anchor_ts", "name", "strand"),
+                signal_col="cov_norm",
+            )
+        return summary_vectors(summ)
+
+    vec_ck = staged("vectors", _vectors)
 
     metrics["n_vectors"] = vec_ck.count()
     metrics["n_pit_rows"] = pit_ck.count()

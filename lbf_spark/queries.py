@@ -306,9 +306,9 @@ _GAP_US = 3_600_000_000  # 1 h session gap
     "q10_sessionize",
     f"""
     select event_id,
-           sum(case when ts_us - prev_ts > {_GAP_US} then 1 else 0 end)
+           cast(sum(case when ts_us - prev_ts > {_GAP_US} then 1 else 0 end)
              over (partition by user_id order by ts_us, event_id
-                   rows between unbounded preceding and current row) as session_id
+                   rows between unbounded preceding and current row) as bigint) as session_id
     from (
       select event_id, user_id, ts_us,
              lag(ts_us, 1) over (partition by user_id order by ts_us, event_id) as prev_ts
@@ -332,9 +332,9 @@ def q10(spark, sf_dir):
     f"""
     with s as (
       select user_id, ts_us,
-             sum(case when ts_us - prev_ts > {_GAP_US} then 1 else 0 end)
+             cast(sum(case when ts_us - prev_ts > {_GAP_US} then 1 else 0 end)
                over (partition by user_id order by ts_us, event_id
-                     rows between unbounded preceding and current row) as session_id
+                     rows between unbounded preceding and current row) as bigint) as session_id
       from (
         select event_id, user_id, ts_us,
                lag(ts_us, 1) over (partition by user_id order by ts_us, event_id) as prev_ts
@@ -540,7 +540,7 @@ _EPOCH_DAY_BASE = 19723  # 2024-01-01, the events table's first day
     )
     select user_id, bucket,
            round(case when flank_mean is not null and flank_mean <> 0
-                      then v / flank_mean else v end, 6) as v_norm
+                      then v / flank_mean else 0.0 end, 6) as v_norm
     from fm
     """,
 )
@@ -1326,7 +1326,7 @@ def _fld_matrix(spark, sf_dir):
       from fld
     )
     select anchor_id, bucket,
-           round(-sum(case when p > 0 then p * ln(p) else 0 end), 6) as entropy
+           round(-sum(case when p > 0 then p * ln(p) else 0 end), 6) + 0 as entropy
     from p group by anchor_id, bucket
     """,
 )
@@ -1336,7 +1336,10 @@ def q42(spark, sf_dir):
     — composed over the A8 FLD matrix."""
     fld = _fld_matrix(spark, sf_dir)
     ent = D.shannon_entropy(fld, "n", ["anchor_id", "bucket"])
-    return ent.select("anchor_id", "bucket", F.round("entropy", 6).alias("entropy"))
+    return ent.select(
+        "anchor_id", "bucket",
+        (F.round("entropy", 6) + F.lit(0.0)).alias("entropy"),
+    )
 
 
 @q(
@@ -1359,7 +1362,7 @@ def q42(spark, sf_dir):
       from qb
     )
     select p.anchor_id, p.bucket,
-           round(sum(case when p.p > 0 then p.p * ln(p.p / coalesce(qn.q, 1e-10)) else 0 end), 6) as kl
+           round(sum(case when p.p > 0 then p.p * ln(p.p / coalesce(qn.q, 1e-10)) else 0 end), 6) + 0 as kl
     from p left join qn on p.anchor_id = qn.anchor_id and p.dur_bin = qn.dur_bin
     group by 1, 2
     """,
@@ -1373,7 +1376,10 @@ def q43(spark, sf_dir):
         fld, "n", "bucket", n_positions=7, flank_n=2,
         dist_key="dur_bin", by="anchor_id", epsilon=1e-10,
     )
-    return kl.select("anchor_id", "bucket", F.round("kl", 6).alias("kl"))
+    return kl.select(
+        "anchor_id", "bucket",
+        (F.round("kl", 6) + F.lit(0.0)).alias("kl"),
+    )
 
 
 @q(

@@ -238,3 +238,28 @@ def test_ivf_topk_recall(spark):
     full = S2.ivf_topk(df, probes, cents, k=5, n_probe=6).toPandas()
     f = {(r.probe_id, r.neighbor_id) for r in full.itertuples()}
     assert f == e
+
+
+def test_flanking_normalize_zero_flank_rows_become_zero(spark):
+    """Reference semantics (fextract/lib.py:226-229): the normalized
+    array is pre-filled with zeros and only rows with nonzero flanking
+    mean are assigned — a zero-flank group outputs all zeros, NOT the
+    raw values."""
+    from lbf_spark.operators.normalize import flanking_normalize
+
+    rows = (
+        # group a: nonzero flank (positions 8,9) → scaled by mean=2
+        [("a", p, 4.0 if p < 8 else 2.0) for p in range(10)]
+        # group b: zero flank → every output must be 0, even nonzero values
+        + [("b", p, 7.0 if p < 8 else 0.0) for p in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, pos int, v double")
+    got = (
+        flanking_normalize(df, "v", "pos", 10, 2, by="g", out="vn")
+        .toPandas()
+        .sort_values(["g", "pos"], ignore_index=True)
+    )
+    a = got[got.g == "a"]["vn"].to_numpy()
+    b = got[got.g == "b"]["vn"].to_numpy()
+    assert np.allclose(a, np.where(np.arange(10) < 8, 2.0, 1.0))
+    assert np.all(b == 0.0)

@@ -159,3 +159,49 @@ def test_summary_min_max_and_value_col_override(spark_inputs, tiny_events, tiny_
             .sort_values(["entity", "name", "bucket"], ignore_index=True)
         )
         assert np.allclose(got["signal"], exp["signal"], rtol=1e-9, atol=1e-12), summary
+
+
+def test_summary_skip_end_to_end(spark_inputs, tiny_events, tiny_anchors):
+    """summary='skip' = identity summarizer: one cov_norm vector per
+    anchor row (reference lib.py:218), usable end-to-end."""
+    cfg = P.FeatureConfig(summary="skip")
+    ev, an = spark_inputs
+    keys = ["entity", "anchor_ts", "name", "strand"]
+    got = (
+        P.extract_features(ev, an, cfg)["vectors"]
+        .toPandas()
+        .sort_values(keys, ignore_index=True)
+    )
+    exp = (
+        oracle.extract_features_oracle(tiny_events, tiny_anchors, cfg)["vectors"]
+        .sort_values(keys, ignore_index=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    for gv, ev_ in zip(got["vector"], exp["vector"]):
+        assert np.allclose(np.asarray(gv, dtype=float), ev_, rtol=1e-9, atol=1e-12)
+
+
+def test_duplicate_anchor_rows_preserved_in_sliced_asof(spark):
+    """asof_join_sliced emits one row per anchor ROW, duplicates
+    included, matching the union-strategy asof_join exactly."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.asof import asof_join, asof_join_sliced
+
+    ev_pd = (
+        fixtures.generate_events(n_rows=400, n_entities=3)
+        .drop_duplicates(subset=["entity", "ts"])  # unique (by, ts) precondition
+    )
+    an_pd = fixtures.generate_anchors(ev_pd, n_per_entity=5)
+    an_dup = pd.concat([an_pd, an_pd.iloc[:4]], ignore_index=True)  # 4 dups
+    ev = fixtures.events_to_spark(spark, ev_pd).select("entity", "ts", "duration")
+    an = fixtures.anchors_to_spark(spark, an_dup)
+    kw = dict(select=["duration"], tolerance=5_000)
+    a = asof_join(ev, an, **kw).toPandas()
+    b = asof_join_sliced(ev, an, **kw).toPandas()
+    assert len(b) == len(an_dup) == len(a)
+    keys = ["entity", "anchor_ts", "name"]
+    a = a.sort_values(keys + ["duration"], ignore_index=True)
+    b = b.sort_values(keys + ["duration"], ignore_index=True)
+    assert np.allclose(
+        a["duration"].astype(float), b["duration"].astype(float), equal_nan=True
+    )
