@@ -115,14 +115,26 @@ def session_bounds(
 
 
 def rolling_median(
-    df: DataFrame, col: str, out: str, window: int, by="entity", order="ts"
+    df: DataFrame, col: str, out: str, window: int, by="entity", order="ts",
+    slice_width: int | None = None,
 ) -> DataFrame:
     """Exact trailing rolling median (WPS smoothing analog,
     ``signal_transformer.py:276``). Spark has no exact rolling-median
     kernel, so this is a grouped Arrow-batched pandas UDF — the
-    sanctioned slow path (SURVEY.md §7 hard-part e). Skewed entities:
-    combine with time-slicing upstream if a single entity exceeds a
-    task's memory."""
+    sanctioned slow path (SURVEY.md §7 hard-part e).
+
+    ``slice_width`` routes through the halo-sliced variant
+    (``sliced_windows.rolling_sliced``): identical results, but a hot
+    entity's rows are processed in span/slice_width parallel tasks
+    instead of one — use it whenever a single entity may exceed task
+    memory (the Zipf-skew case in DESIGN_SCALE.md)."""
+    if slice_width is not None:
+        from lbf_spark.operators.sliced_windows import rolling_sliced
+
+        return rolling_sliced(
+            df, col, out, window, kernel="median", by=by, order=order,
+            slice_width=slice_width,
+        )
     by = [by] if isinstance(by, str) else list(by)
     schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
 
