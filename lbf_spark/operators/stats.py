@@ -107,6 +107,49 @@ def kruskal_wallis(groups: list[np.ndarray]) -> tuple[float, float]:
     return h, chi2_sf(h, k - 1)
 
 
+def dunn_posthoc(
+    groups: dict[str, np.ndarray]
+) -> list[tuple[str, str, float, float]]:
+    """Dunn's post-hoc pairwise z-tests after Kruskal-Wallis — the
+    ``posthoc_dunn`` analog the reference runs per interval when the
+    omnibus p ≤ α (``transcription_factor_analysis/
+    differential_signal_analysis.py:373-383``). Standard published
+    formula (Dunn 1964, unadjusted p like the reference's call):
+
+        z_ij = (r̄_i − r̄_j) / sqrt((N(N+1)/12 − Σ(t³−t)/(12(N−1)))
+                                    · (1/n_i + 1/n_j))
+        p_ij = 2·(1 − Φ(|z|))
+
+    with joint average ranks over all groups. Returns one row per
+    (a, b) pair with a < b (sorted group labels)."""
+    names = sorted(groups)
+    arrays = [np.asarray(groups[n], dtype=float) for n in names]
+    ns = np.array([len(a) for a in arrays])
+    allv = np.concatenate(arrays)
+    n = len(allv)
+    if n < 2 or len(names) < 2:
+        return []
+    ranks = pd.Series(allv).rank(method="average").to_numpy()
+    mean_ranks, start = [], 0
+    for a in arrays:
+        mean_ranks.append(ranks[start : start + len(a)].mean())
+        start += len(a)
+    _, counts = np.unique(allv, return_counts=True)
+    tie_term = (counts**3 - counts).sum() / (12.0 * (n - 1)) if n > 1 else 0.0
+    base_var = n * (n + 1) / 12.0 - tie_term
+    out = []
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            var = base_var * (1.0 / ns[i] + 1.0 / ns[j])
+            if var <= 0:
+                out.append((names[i], names[j], float("nan"), float("nan")))
+                continue
+            z = (mean_ranks[i] - mean_ranks[j]) / math.sqrt(var)
+            p = min(1.0, math.erfc(abs(z) / math.sqrt(2.0)))
+            out.append((names[i], names[j], z, p))
+    return out
+
+
 def benjamini_hochberg(p: np.ndarray) -> np.ndarray:
     """BH-adjusted p-values (statsmodels 'fdr_bh' analog,
     ``differential_signal_analysis.py:424-478``)."""
@@ -202,6 +245,68 @@ def group_test_k(
         row = dict(zip(by, keys))
         row.update(h_stat=h, p_value=p, n_groups=len(groups))
         return pd.DataFrame([row])
+
+    return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def group_test_k_dunn(
+    df: DataFrame,
+    value: str,
+    group_col: str,
+    by: list[str] | str,
+    alpha: float = 0.05,
+) -> DataFrame:
+    """Per-key Kruskal-Wallis omnibus + Dunn post-hoc pairwise rows —
+    the full reference flow (``differential_signal_analysis.py:361-399``):
+    one output row per group PAIR per key, carrying the omnibus (h_stat,
+    kw_p), the pair's means, the Dunn z, and p_dunn (NaN when the
+    omnibus kw_p > alpha, exactly like the reference's gate; pass
+    ``alpha=1.0`` to always report). Same grouped-Arrow shape as
+    ``group_test_k`` — thousands of keys in parallel."""
+    by = [by] if isinstance(by, str) else list(by)
+    key_fields = [f for f in df.schema.fields if f.name in by]
+    schema = T.StructType(
+        key_fields
+        + [
+            T.StructField("group_a", T.StringType(), True),
+            T.StructField("group_b", T.StringType(), True),
+            T.StructField("mean_a", T.DoubleType(), True),
+            T.StructField("mean_b", T.DoubleType(), True),
+            T.StructField("h_stat", T.DoubleType(), True),
+            T.StructField("kw_p", T.DoubleType(), True),
+            T.StructField("z", T.DoubleType(), True),
+            T.StructField("p_dunn", T.DoubleType(), True),
+        ]
+    )
+    out_cols = [f.name for f in schema.fields]
+
+    def fn(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[group_col])
+        groups = {
+            str(g): grp[value].to_numpy(dtype=float)
+            for g, grp in pdf.groupby(group_col)
+        }
+        if len(groups) < 2:
+            return pd.DataFrame(columns=out_cols)
+        h, kw_p = kruskal_wallis(list(groups[g] for g in sorted(groups)))
+        pairs = dunn_posthoc(groups)
+        key = dict(zip(by, keys))
+        rows = []
+        for ga, gb, z, p in pairs:
+            rows.append(
+                {
+                    **key,
+                    "group_a": ga,
+                    "group_b": gb,
+                    "mean_a": float(groups[ga].mean()),
+                    "mean_b": float(groups[gb].mean()),
+                    "h_stat": h,
+                    "kw_p": kw_p,
+                    "z": z,
+                    "p_dunn": p if kw_p <= alpha else float("nan"),
+                }
+            )
+        return pd.DataFrame(rows, columns=out_cols)
 
     return df.groupBy(*by).applyInPandas(fn, schema)
 

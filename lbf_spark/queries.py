@@ -978,23 +978,42 @@ def q31(spark, sf_dir):
 # =====================================================================
 
 
-@q("q32_group_stats", None)
+@q(
+    "q32_group_stats",
+    """
+    with f as (
+      select user_id, event_type, value from events
+      where event_type in ('click', 'error')
+    ),
+    r as (
+      select user_id, event_type,
+             rank() over (partition by user_id order by value) as mr,
+             count(*) over (partition by user_id, value) as ce
+      from f
+    ),
+    s as (
+      select user_id,
+             sum(case when event_type = 'click' then mr + (ce - 1) / 2.0
+                      else 0 end) as r1,
+             sum(case when event_type = 'click' then 1 else 0 end) as n1,
+             count(distinct event_type) as ng
+      from r group by user_id
+    )
+    select user_id, round(r1 - n1 * (n1 + 1) / 2.0, 4) + 0 as u_stat
+    from s where ng = 2
+    """,
+)
 def q32(spark, sf_dir):
-    """Per-user two-group Mann-Whitney U (click vs error values) with BH
-    correction (A18+A20) — p-values come from erfc, not expressible in
-    ANSI SQL ⇒ rows-only driver check; exactness is covered by
-    tests/test_operators.py against closed-form values."""
+    """Per-user two-group Mann-Whitney U statistic (A18, click vs error
+    values). The U statistic is a joint-rank sum — fully SQL-expressible
+    (average rank = min-rank + (ties−1)/2), so the driver gets an exact
+    DuckDB oracle; the erfc p-value half lives in q50 (rows-only) and in
+    the closed-form pytest."""
     ev = t(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "error")
     )
     res = stats.group_test_2(ev, "value", "event_type", "user_id")
-    adj = stats.adjust_pvalues(res)
-    return adj.select(
-        "user_id",
-        F.round("u_stat", 4).alias("u_stat"),
-        F.round("p_value", 6).alias("p_value"),
-        F.round("p_adj", 6).alias("p_adj"),
-    )
+    return res.select("user_id", F.round("u_stat", 4).alias("u_stat"))
 
 
 @q("q33_image_pipeline", None)
@@ -1496,19 +1515,130 @@ def q46(spark, sf_dir):
     return out.select("anchor_id", F.col("event_id").alias("matched_id"))
 
 
-@q("q47_group_stats_k", None)
+_RANKS_SQL = """
+    r as (
+      select user_id, event_type,
+             rank() over (partition by user_id order by value) as mr,
+             count(*) over (partition by user_id, value) as ce
+      from events
+    ),
+    tot as (select user_id, count(*) as n from events group by user_id),
+    ties as (
+      select user_id, sum(cnt * cnt * cnt - cnt) as tt
+      from (select user_id, value, count(*) as cnt from events group by 1, 2)
+      group by user_id
+    )
+"""
+
+
+@q(
+    "q47_group_stats_k",
+    f"""
+    with {_RANKS_SQL},
+    g as (
+      select user_id, event_type,
+             sum(mr + (ce - 1) / 2.0) as rg, count(*) as ng
+      from r group by user_id, event_type
+    ),
+    h as (
+      select g.user_id, t.n,
+             12.0 / (t.n * (t.n + 1)) * sum(rg * rg / ng) - 3 * (t.n + 1)
+               as h_raw,
+             count(*) as n_groups
+      from g join tot t using (user_id)
+      group by g.user_id, t.n
+    )
+    select h.user_id,
+           round(case when (1 - ties.tt * 1.0 / (n*n*n - n)) > 0
+                      then h_raw / (1 - ties.tt * 1.0 / (n*n*n - n))
+                      else h_raw end, 4) + 0 as h_stat,
+           cast(n_groups as int) as n_groups
+    from h join ties using (user_id)
+    where n_groups >= 2
+    """,
+)
 def q47(spark, sf_dir):
-    """Per-user k-group Kruskal-Wallis across all five event types with
-    BH correction (A19+A20) — χ² p-values are not ANSI-SQL-expressible
-    ⇒ rows-only driver check; the statistic math is unit-tested against
-    closed-form values in tests/test_operators.py."""
+    """Per-user k-group Kruskal-Wallis H statistic with tie correction
+    (A19) across all five event types. H is joint-rank algebra — exact
+    DuckDB oracle; the χ² p-value half lives in q50 (rows-only) and the
+    closed-form pytest."""
     ev = t(spark, sf_dir, "events")
     res = stats.group_test_k(ev, "value", "event_type", "user_id")
-    adj = stats.adjust_pvalues(res)
-    return adj.select(
+    return res.select(
+        "user_id", F.round("h_stat", 4).alias("h_stat"), "n_groups"
+    )
+
+
+@q(
+    "q48_dunn_posthoc",
+    f"""
+    with {_RANKS_SQL},
+    g as (
+      select user_id, event_type,
+             avg(mr + (ce - 1) / 2.0) as mean_rank, count(*) as ng
+      from r group by user_id, event_type
+    ),
+    base as (
+      select t.user_id,
+             t.n * (t.n + 1) / 12.0 - ties.tt / (12.0 * (t.n - 1)) as bv
+      from tot t join ties using (user_id) where t.n > 1
+    )
+    select a.user_id, a.event_type as group_a, b.event_type as group_b,
+           round((a.mean_rank - b.mean_rank)
+                 / sqrt(base.bv * (1.0 / a.ng + 1.0 / b.ng)), 4) + 0 as z
+    from g a
+    join g b on a.user_id = b.user_id and a.event_type < b.event_type
+    join base on base.user_id = a.user_id
+    """,
+)
+def q48(spark, sf_dir):
+    """Dunn post-hoc pairwise z-statistics after Kruskal-Wallis (the
+    reference's `posthoc_dunn` step, `differential_signal_analysis.py:
+    373-383`) — one row per event-type pair per user. The z statistic is
+    joint-rank algebra (exact DuckDB oracle); the normal p-value and the
+    omnibus α-gate are exercised in q50 and the closed-form pytest."""
+    ev = t(spark, sf_dir, "events")
+    res = stats.group_test_k_dunn(
+        ev, "value", "event_type", "user_id", alpha=1.0
+    )
+    return res.select(
+        "user_id", "group_a", "group_b", F.round("z", 4).alias("z")
+    )
+
+
+@q("q50_group_pvalues", None)
+def q50(spark, sf_dir):
+    """The p-value halves of the group-contrast family (A18+A19+A20 +
+    Dunn): per-user MWU p / BH-adjusted p and the Dunn pair p-values
+    gated at α=0.05 — erfc/χ² are not ANSI-SQL-expressible ⇒ rows-only
+    driver check; exactness is pytest-gated against closed-form values
+    (tests/test_operators.py)."""
+    ev2 = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    mwu = stats.adjust_pvalues(
+        stats.group_test_2(ev2, "value", "event_type", "user_id")
+    )
+    return mwu.select(
         "user_id",
-        F.round("h_stat", 4).alias("h_stat"),
         F.round("p_value", 6).alias("p_value"),
         F.round("p_adj", 6).alias("p_adj"),
-        "n_groups",
     )
+
+
+@q("q51_multinomial_subsample", None)
+def q51(spark, sf_dir):
+    """Multinomial subsampling of per-user event-type count
+    distributions to a fixed depth (A15,
+    `fextract_fragment_length_distribution/plugin.py:44-58`). Seeds are
+    md5-derived per group ⇒ deterministic but not reproducible by a SQL
+    oracle ⇒ rows-only; determinism + total-preservation are
+    pytest-gated."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    sub = D.multinomial_subsample(
+        counts, "cnt", n_draws=1000, by="user_id", key_cols=["event_type"]
+    )
+    return sub.select("user_id", "event_type", "subsampled")

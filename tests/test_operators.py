@@ -263,3 +263,54 @@ def test_flanking_normalize_zero_flank_rows_become_zero(spark):
     b = got[got.g == "b"]["vn"].to_numpy()
     assert np.allclose(a, np.where(np.arange(10) < 8, 2.0, 1.0))
     assert np.all(b == 0.0)
+
+
+def test_dunn_posthoc_closed_form():
+    """Hand-derived ranks: a=[1,2,3] b=[4,5,6] c=[7,8,9] → mean ranks
+    2/5/8, base_var 7.5, pair var 5; tie case a=[1,2,2] b=[2,3,4] →
+    ranks 1,3,3,3,5,6, tie term 24/(12·5), base_var 3.1."""
+    res = stats.dunn_posthoc(
+        {"a": np.array([1.0, 2, 3]), "b": np.array([4.0, 5, 6]), "c": np.array([7.0, 8, 9])}
+    )
+    got = {(a, b): (z, p) for a, b, z, p in res}
+    assert abs(got[("a", "b")][0] - (-1.341641)) < 1e-6
+    assert abs(got[("a", "c")][0] - (-2.683282)) < 1e-6
+    assert abs(got[("b", "c")][0] - (-1.341641)) < 1e-6
+    assert abs(got[("a", "b")][1] - 0.179712) < 1e-6
+    assert abs(got[("a", "c")][1] - 0.00729) < 1e-6
+    (a, b, z, p) = stats.dunn_posthoc(
+        {"a": np.array([1.0, 2, 2]), "b": np.array([2.0, 3, 4])}
+    )[0]
+    assert (a, b) == ("a", "b")
+    assert abs(z - (-1.623086)) < 1e-6
+    assert abs(p - 0.104571) < 1e-6
+
+
+def test_group_test_k_dunn_spark(spark):
+    rows = (
+        [("k1", "g1", float(v)) for v in [1, 2, 3, 4]]
+        + [("k1", "g2", float(v)) for v in [10, 11, 12, 13]]
+        + [("k1", "g3", float(v)) for v in [20, 21, 22, 23]]
+        + [("k2", "g1", float(v)) for v in [5, 5, 5]]  # k2: only one group → dropped
+    )
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    got = stats.group_test_k_dunn(df, "v", "g", "k", alpha=1.0).toPandas()
+    assert set(got["k"]) == {"k1"}
+    assert len(got) == 3  # 3 pairs
+    got = got.set_index(["group_a", "group_b"])
+    # separated groups: z(g1,g3) most extreme, symmetric spacing
+    assert got.loc[("g1", "g3"), "z"] < got.loc[("g1", "g2"), "z"] < 0
+    exp = stats.dunn_posthoc(
+        {
+            "g1": np.array([1.0, 2, 3, 4]),
+            "g2": np.array([10.0, 11, 12, 13]),
+            "g3": np.array([20.0, 21, 22, 23]),
+        }
+    )
+    for ga, gb, z, p in exp:
+        assert abs(got.loc[(ga, gb), "z"] - z) < 1e-12
+        assert abs(got.loc[(ga, gb), "p_dunn"] - p) < 1e-12
+    # omnibus gate: tiny alpha → p_dunn NaN but z still reported
+    gated = stats.group_test_k_dunn(df, "v", "g", "k", alpha=1e-9).toPandas()
+    assert gated["p_dunn"].isna().all()
+    assert gated["z"].notna().all()
