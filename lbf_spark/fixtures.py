@@ -198,7 +198,28 @@ def anchors_spark_schema():
 
 
 def events_to_spark(spark, events: pd.DataFrame):
-    return spark.createDataFrame(events, schema=events_spark_schema())
+    """Fixed event schema + pass-through of any extra columns (e.g. a
+    per-event coverage weight, the GC-tag analog) appended at the end."""
+    from pyspark.sql import types as T
+
+    schema = events_spark_schema()
+    base = {f.name for f in schema.fields}
+    extra = [c for c in events.columns if c not in base]
+    if extra:
+        types = {
+            "f": T.DoubleType(), "i": T.LongType(),
+            "u": T.LongType(), "b": T.BooleanType(),
+        }
+        fields = list(schema.fields)
+        for c in extra:
+            fields.append(
+                T.StructField(c, types.get(events[c].dtype.kind, T.StringType()))
+            )
+        # createDataFrame(pandas, schema) binds by position: keep the
+        # base column order, extras last
+        cols = [f.name for f in schema.fields] + extra
+        return spark.createDataFrame(events[cols], schema=T.StructType(fields))
+    return spark.createDataFrame(events, schema=schema)
 
 
 def anchors_to_spark(spark, anchors: pd.DataFrame):

@@ -226,6 +226,99 @@ def wps(
     return med.withColumn("wps", F.col("wps_raw") - F.col("_med")).drop("_med")
 
 
+def peter_ulz_coverage(
+    events: DataFrame,
+    anchors: DataFrame,
+    span: int,
+    bucket_w: int,
+    read_start: int = 53,
+    read_end: int = 113,
+    by: str = "entity",
+    on: str = "ts",
+    anchor_on: str = "anchor_ts",
+    duration_col: str = "duration",
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Peter-Ulz two-offset-window coverage (A4,
+    ``signal_transformer.py:207-234``): each event of extent
+    [ts, ts+duration) contributes coverage over TWO fixed sub-intervals
+    — [ts+read_start, ts+read_end) from the fragment start and
+    [ts+duration−read_end, ts+duration−read_start) mirrored from the
+    end — each weighted by the per-event GC coefficient (default 1).
+
+    Output: dense (anchor × bucket) rows with ``cov`` = Σ weight over
+    sub-intervals overlapping that bucket's time range, bucket b
+    covering (anchor_ts − (b+1)·bucket_w, anchor_ts − b·bucket_w]
+    (same age convention as ``anchor_window_matrix``).
+
+    Physical plan: JVM explode to 2 sub-rows/event → ONE range-binned
+    interval join on the sub-interval start, over-fetched by the sub
+    length (duplicate-then-trim) → JVM sequence-explode of the few
+    buckets each sub overlaps → partial-aggregating sum. No Python
+    anywhere; never a nested-loop join.
+    """
+    from lbf_spark.operators.asof import interval_join
+
+    if read_end <= read_start:
+        raise ValueError("read_end must be > read_start")
+    sub_len = read_end - read_start
+    nb = span // bucket_w
+    w_exp = (
+        F.coalesce(F.col(weight_col).cast("double"), F.lit(1.0))
+        if weight_col
+        else F.lit(1.0)
+    )
+    subs = events.select(
+        by,
+        F.explode(
+            F.array(
+                F.struct(
+                    (F.col(on) + read_start).alias("s"),
+                    (F.col(on) + read_end).alias("e"),
+                ),
+                F.struct(
+                    (F.col(on) + F.col(duration_col) - read_end).alias("s"),
+                    (F.col(on) + F.col(duration_col) - read_start).alias("e"),
+                ),
+            )
+        ).alias("_iv"),
+        w_exp.alias("_w"),
+    ).select(by, F.col("_iv.s").alias("_s"), F.col("_iv.e").alias("_e"), "_w")
+
+    joined = interval_join(
+        subs,
+        anchors,
+        on="_s",
+        anchor_on=anchor_on,
+        by=by,
+        lower=-(span - 1) - sub_len,  # over-fetch: sub may START before
+        upper=0,                      # the window yet still overlap it
+    )
+    a = F.col(anchor_on)
+    t_min = F.greatest(F.col("_s"), a - F.lit(span - 1))
+    t_max = F.least(F.col("_e") - 1, a)
+    overl = joined.filter(t_min <= t_max)
+    b_lo = F.floor((a - t_max) / F.lit(bucket_w))
+    b_hi = F.floor((a - t_min) / F.lit(bucket_w))
+    per_bucket = overl.select(
+        *[c for c in anchors.columns],
+        "_w",
+        F.explode(F.sequence(b_lo, b_hi)).alias("bucket"),
+    )
+    agg = per_bucket.groupBy(*anchors.columns, "bucket").agg(
+        F.sum("_w").alias("cov")
+    )
+    dense = anchors.select(
+        *anchors.columns,
+        F.explode(
+            F.sequence(F.lit(0).cast("long"), F.lit(nb - 1).cast("long"))
+        ).alias("bucket"),
+    )
+    return dense.join(
+        agg, [*anchors.columns, "bucket"], "left"
+    ).fillna({"cov": 0.0})
+
+
 def dyad_centers(
     events: DataFrame,
     spacing: int,

@@ -93,18 +93,27 @@ def anchor_window_matrix_oracle(
     records = []
     for a in anchors.itertuples(index=False):
         cov = np.zeros(nb)
+        n_in = np.zeros(nb)
         val_sum = np.zeros(nb)
         g = grouped.get(a.entity)
         if g is not None:
             ts = g["ts"].to_numpy()
             vals = g[cfg.value_col].to_numpy(dtype=np.float64)
+            if cfg.weight_col:  # GC-coef analog; missing tag ⇒ 1
+                wts = (
+                    g[cfg.weight_col].astype("float64").fillna(1.0).to_numpy()
+                )
+            else:
+                wts = np.ones(len(g))
             in_win = (ts > a.anchor_ts - cfg.span) & (ts <= a.anchor_ts)
-            for t, v in zip(ts[in_win], vals[in_win]):
+            for t, v, wt in zip(ts[in_win], vals[in_win], wts[in_win]):
                 b = (a.anchor_ts - t) // cfg.bucket_w
-                cov[b] += 1.0          # scatter-add (signal_transformer.py:31-47)
+                cov[b] += wt           # scatter-add (signal_transformer.py:41-46)
+                n_in[b] += 1.0
                 val_sum[b] += v
         with np.errstate(invalid="ignore"):
-            val_mean = np.where(cov > 0, val_sum / np.maximum(cov, 1), 0.0)
+            # val_mean divides by the event COUNT, not the weight sum
+            val_mean = np.where(n_in > 0, val_sum / np.maximum(n_in, 1), 0.0)
         if a.strand == "-":
             cov = cov[::-1].copy()     # np.fliplr analog
             val_mean = val_mean[::-1].copy()

@@ -47,6 +47,10 @@ class FeatureConfig:
     session_gap: int = 1000   # sessionization gap
     value_col: str = "pixel_mean"
     summary: str = "mean"     # mean | median | max | min | skip
+    # per-event coverage weight (the GC-coefficient tag analog,
+    # signal_transformer.py:41-46): cov = Σ weight instead of count;
+    # null weights count as 1 (reference: missing tag ⇒ gc_coef = 1)
+    weight_col: str | None = None
 
     @property
     def n_buckets(self) -> int:
@@ -101,7 +105,8 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
                   "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean"]
         if c in df.columns
     ] + ([cfg.value_col] if cfg.value_col not in (
-        "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean") else [])
+        "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean") else []) + (
+        [cfg.weight_col] if cfg.weight_col else [])
     df = df.select(*dict.fromkeys(keep))
     # deterministic tie-break for equal (entity, ts): image_id — without
     # it Spark's sort leaves tie order unspecified and rolling features
@@ -138,18 +143,28 @@ def anchor_window_matrix(
     coverage analog A1) and `val_mean` (bucket mean of value_col).
     """
     nb = cfg.n_buckets
+    ev_cols = ["entity", "ts", cfg.value_col] + (
+        [cfg.weight_col] if cfg.weight_col else []
+    )
     joined = interval_join(
-        feats.select("entity", "ts", cfg.value_col),
+        feats.select(*ev_cols),
         anchors,
         lower=-(cfg.span - 1),
         upper=0,
     )
     age_bucket = F.floor((F.col("anchor_ts") - F.col("ts")) / F.lit(cfg.bucket_w))
+    # coverage = Σ 1·gc_coef per event (signal_transformer.py:41-46);
+    # unweighted = plain count (weight ≡ 1)
+    cov_agg = (
+        F.sum(F.coalesce(F.col(cfg.weight_col).cast("double"), F.lit(1.0)))
+        if cfg.weight_col
+        else F.count(F.lit(1)).cast("double")
+    )
     agg = (
         joined.withColumn("bucket", age_bucket)
         .groupBy("entity", "anchor_ts", "name", "strand", "bucket")
         .agg(
-            F.count(F.lit(1)).cast("double").alias("cov"),
+            cov_agg.alias("cov"),
             F.avg(cfg.value_col).alias("val_mean"),
         )
     )

@@ -1606,6 +1606,84 @@ def q48(spark, sf_dir):
     )
 
 
+_PU_RS = 50_000_000      # read_start offset (µs)
+_PU_RE = 200_000_000     # read_end offset (µs); sub length = RE - RS
+_PU_SPAN = 2_000_000_000
+_PU_BW = 200_000_000     # bucket width → 10 positions
+
+
+@q(
+    "q52_peter_ulz",
+    f"""
+    with ev as (
+      select user_id, ts_us, event_id,
+             ((event_id % 180) + 60) * 10000000 as duration
+      from {_EVENTS_UNIQ_SQL}
+    ),
+    anchors as (
+      select user_id, ts_us as anchor_ts, event_id as anchor_id
+      from ev where event_id % 30 = 0
+    ),
+    subs as (
+      select user_id, ts_us + {_PU_RS} as s, ts_us + {_PU_RE} as e from ev
+      union all
+      select user_id, ts_us + duration - {_PU_RE} as s,
+             ts_us + duration - {_PU_RS} as e from ev
+    ),
+    ov as (
+      select a.anchor_id, a.anchor_ts,
+             greatest(s.s, a.anchor_ts - {_PU_SPAN} + 1) as t_min,
+             least(s.e - 1, a.anchor_ts) as t_max
+      from anchors a
+      join subs s
+        on s.user_id = a.user_id
+       and s.s <= a.anchor_ts
+       and s.e - 1 >= a.anchor_ts - {_PU_SPAN} + 1
+    ),
+    pb as (
+      select anchor_id,
+             unnest(generate_series((anchor_ts - t_max) // {_PU_BW},
+                                    (anchor_ts - t_min) // {_PU_BW})) as bucket
+      from ov where t_min <= t_max
+    ),
+    agg as (
+      select anchor_id, bucket, count(*)::double as cov
+      from pb group by 1, 2
+    ),
+    dense as (
+      select anchor_id, unnest(generate_series(0, {_PU_SPAN // _PU_BW - 1})) as bucket
+      from anchors
+    )
+    select d.anchor_id, cast(d.bucket as bigint) as bucket,
+           coalesce(agg.cov, 0.0) as cov
+    from dense d left join agg on agg.anchor_id = d.anchor_id and agg.bucket = d.bucket
+    """,
+)
+def q52(spark, sf_dir):
+    """Peter-Ulz two-offset-window coverage (A4,
+    `signal_transformer.py:207-234`): every event contributes coverage
+    over two fixed sub-intervals at ±(read_start..read_end) from its
+    endpoints; dense per-anchor positional matrix."""
+    from lbf_spark.operators.windows import peter_ulz_coverage
+
+    ev = _events_uniq(spark, sf_dir).withColumn(
+        "duration", ((F.col("event_id") % 180) + 60) * F.lit(10_000_000)
+    )
+    anchors = ev.filter(F.col("event_id") % 30 == 0).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    evs = ev.select(
+        F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "duration"
+    )
+    cov = peter_ulz_coverage(
+        evs, anchors, span=_PU_SPAN, bucket_w=_PU_BW,
+        read_start=_PU_RS, read_end=_PU_RE,
+    )
+    return cov.select("anchor_id", "bucket", "cov")
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +

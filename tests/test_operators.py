@@ -314,3 +314,35 @@ def test_group_test_k_dunn_spark(spark):
     gated = stats.group_test_k_dunn(df, "v", "g", "k", alpha=1e-9).toPandas()
     assert gated["p_dunn"].isna().all()
     assert gated["z"].notna().all()
+
+
+def test_peter_ulz_coverage_hand_case(spark):
+    """One event [0, 1000), rs=53 re=113, anchor at 1000, span=1000,
+    bucket_w=100: sub1 [53,113) → ages 888..947 → buckets {8,9};
+    sub2 [887,947) → ages 54..113 → buckets {0,1}."""
+    from lbf_spark.operators.windows import peter_ulz_coverage
+
+    ev = spark.createDataFrame(
+        [("a", 0, 1000)], "entity string, ts long, duration long"
+    )
+    an = spark.createDataFrame(
+        [("a", 1000, "x")], "entity string, anchor_ts long, name string"
+    )
+    got = (
+        peter_ulz_coverage(ev, an, span=1000, bucket_w=100,
+                           read_start=53, read_end=113)
+        .toPandas().sort_values("bucket", ignore_index=True)
+    )
+    assert len(got) == 10
+    exp = {0: 1.0, 1: 1.0, 8: 1.0, 9: 1.0}
+    for _, r in got.iterrows():
+        assert r["cov"] == exp.get(r["bucket"], 0.0), (r["bucket"], r["cov"])
+    # gc-weighted variant: weight 0.25 scales every contribution
+    evw = ev.withColumn("gw", F.lit(0.25))
+    gotw = (
+        peter_ulz_coverage(evw, an, span=1000, bucket_w=100,
+                           read_start=53, read_end=113, weight_col="gw")
+        .toPandas().sort_values("bucket", ignore_index=True)
+    )
+    for _, r in gotw.iterrows():
+        assert r["cov"] == 0.25 * exp.get(r["bucket"], 0.0)

@@ -205,3 +205,31 @@ def test_duplicate_anchor_rows_preserved_in_sliced_asof(spark):
     assert np.allclose(
         a["duration"].astype(float), b["duration"].astype(float), equal_nan=True
     )
+
+
+def test_gc_weighted_coverage_allclose(spark, tiny_events, tiny_anchors):
+    """A1 weighted coverage: cov = sum(1 * gc_coef) per bucket
+    (signal_transformer.py:41-46), with a deterministic non-unit weight
+    derived from phash; val_mean stays count-based."""
+    ev_pd = tiny_events.copy()
+    ev_pd["gc_w"] = 0.5 + (ev_pd["phash"].abs() % 100) / 100.0
+    cfg = P.FeatureConfig(weight_col="gc_w")
+    ev = fixtures.events_to_spark(spark, ev_pd)
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    got = P.extract_features(ev, an, cfg)
+    exp = oracle.extract_features_oracle(ev_pd, tiny_anchors, cfg)
+    keys = ["entity", "anchor_ts", "name", "bucket"]
+    gm = got["matrix"].toPandas().sort_values(keys, ignore_index=True)
+    em = exp["matrix"].sort_values(keys, ignore_index=True)
+    assert len(gm) == len(em)
+    # weights are non-unit: weighted cov must differ from plain count
+    plain = oracle.extract_features_oracle(ev_pd, tiny_anchors, P.FeatureConfig())
+    assert not np.allclose(
+        em["cov"], plain["matrix"].sort_values(keys, ignore_index=True)["cov"]
+    )
+    for col in ["cov", "val_mean", "cov_norm"]:
+        assert np.allclose(gm[col], em[col], rtol=1e-9, atol=1e-12), col
+    gv = got["vectors"].toPandas().sort_values(["entity", "name"], ignore_index=True)
+    evv = exp["vectors"].sort_values(["entity", "name"], ignore_index=True)
+    for g, e in zip(gv["vector"], evv["vector"]):
+        assert np.allclose(np.asarray(g, dtype=float), e, rtol=1e-9, atol=1e-12)
