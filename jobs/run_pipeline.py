@@ -28,6 +28,13 @@ def main() -> None:
     ap.add_argument("--rolling-w", type=int, default=16)
     ap.add_argument("--session-gap", type=int, default=1000)
     ap.add_argument("--summary", default="mean")
+    ap.add_argument(
+        "--config-json",
+        default=None,
+        help="JSON dict of FeatureConfig overrides; validated+coerced "
+        "via plans.registry.validate_config (voluptuous analog) and "
+        "taking precedence over the individual flags",
+    )
     args = ap.parse_args()
 
     # spark-submit provides the session; fall back to a local one so the
@@ -37,14 +44,20 @@ def main() -> None:
     from lbf_spark.plans.pipeline import FeatureConfig, run_pipeline
 
     ship_package(spark)
-    cfg = FeatureConfig(
-        span=args.span,
-        bucket_w=args.bucket_w,
-        flank_n=args.flank_n,
-        rolling_w=args.rolling_w,
-        session_gap=args.session_gap,
-        summary=args.summary,
-    )
+    from lbf_spark.plans.registry import validate_config
+
+    base = {
+        "span": args.span,
+        "bucket_w": args.bucket_w,
+        "flank_n": args.flank_n,
+        "rolling_w": args.rolling_w,
+        "session_gap": args.session_gap,
+        "summary": args.summary,
+    }
+    if args.config_json:
+        base.update(json.loads(args.config_json))
+    # coercing validation with named stage/field errors (schemas.py analog)
+    cfg = validate_config("feature_pipeline", FeatureConfig, base)
     metrics = run_pipeline(
         spark.read.parquet(args.events),
         spark.read.parquet(args.anchors),

@@ -139,12 +139,23 @@ def jaccard_pairs(
     threshold: float,
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
     Without `candidates`: inverted-index join on shingle (the exact,
     scalable path — |pairs sharing a shingle| ≪ n²). With `candidates`
     (e.g. from LSH): verify only those. Output: (id_a, id_b, jaccard).
+
+    ``max_df`` (the 100-TB guard): shingles appearing in more than
+    ``max_df`` documents are dropped from the *inverted index* before
+    the self-join — a single stopword-like shingle in k docs otherwise
+    produces k² join rows. Candidate pairs then flow through the exact
+    ``array_intersect`` verification (full shingle sets, so reported
+    jaccard values are UNAFFECTED by the cap); only pairs whose every
+    common shingle is hot are missed — the standard trade in every
+    warehouse-scale near-dup system. Without ``max_df`` the original
+    one-shot index join computes n_common directly.
 
     The shingle index is persisted: it feeds the self-join (twice) and
     both size lookups — recomputing the regex/shingle expression 4-6×
@@ -157,6 +168,29 @@ def jaccard_pairs(
     sh = shingled.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
+    if candidates is None and max_df is not None:
+        inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
+        # shingles are per-doc distinct ⇒ df = count(*); drop hot ones
+        rare = inv.join(
+            inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") <= max_df)
+            .select("sh"),
+            "sh",
+        )
+        candidates = (
+            rare.alias("x")
+            .join(
+                rare.alias("y"),
+                (F.col("x.sh") == F.col("y.sh"))
+                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+            )
+            .select(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+            .distinct()
+        )
     if candidates is None:
         inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
         pairs = (

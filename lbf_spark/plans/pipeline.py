@@ -246,22 +246,31 @@ def extract_features(
     anchors: DataFrame,
     cfg: FeatureConfig | None = None,
     persist_features: bool = False,
+    stages: dict | None = None,
 ) -> dict[str, DataFrame]:
     """Full pipeline; returns every materializable stage.
 
     ``persist_features`` caches the decoded+windowed event stage
     (MEMORY_AND_DISK) — it feeds both the point-in-time join and the
     positional matrix, and the pixel decode is the most expensive step;
-    at cluster scale use ``checkpoint()`` instead for a durable cut."""
+    at cluster scale use ``checkpoint()`` instead for a durable cut.
+
+    ``stages`` overrides named stages with custom callables or
+    registered stage names (the pluggy hookimpl analog — see
+    ``plans.registry``): keys ∈ {event_features, point_in_time, matrix,
+    summary}; each callable keeps the default stage's signature."""
+    from lbf_spark.plans.registry import resolve_stages
+
     cfg = cfg or FeatureConfig()
-    feats = event_features(events, cfg)
+    impl = resolve_stages(stages)
+    feats = impl.get("event_features", event_features)(events, cfg)
     if persist_features:
         from pyspark import StorageLevel
 
         feats = feats.persist(StorageLevel.MEMORY_AND_DISK)
-    pit = anchor_point_in_time(feats, anchors, cfg)
-    matrix = anchor_window_matrix(feats, anchors, cfg)
-    summ = summarize(matrix, cfg)
+    pit = impl.get("point_in_time", anchor_point_in_time)(feats, anchors, cfg)
+    matrix = impl.get("matrix", anchor_window_matrix)(feats, anchors, cfg)
+    summ = impl.get("summary", summarize)(matrix, cfg)
     if cfg.summary == "skip":  # identity summarizer: one vector per anchor
         vectors = summary_vectors(
             summ, keys=("entity", "anchor_ts", "name", "strand"),
@@ -332,6 +341,7 @@ def run_pipeline(
     cfg: FeatureConfig,
     checkpoint_dir: str,
     spark: SparkSession | None = None,
+    stages: dict | None = None,
 ) -> dict:
     """Production entrypoint: staged, checkpointed, resumable execution
     with a metrics manifest — the distributed restatement of the
@@ -341,8 +351,16 @@ def run_pipeline(
     manifest; a re-run with the same config (⇒ same run_id) reuses every
     finished stage and recomputes only what is missing. Returns the
     metrics dict (also written to ``<dir>/<run_id>/metrics.json``).
+
+    ``stages`` overrides named stages (see ``plans.registry``). run_id
+    derives from cfg only — when overriding stages, use a distinct
+    checkpoint_dir (or config) so cached results from the default
+    pipeline are not wrongly reused.
     """
+    from lbf_spark.plans.registry import resolve_stages
+
     spark = spark or events.sparkSession
+    impl = resolve_stages(stages)
     rid = run_id(cfg)
     metrics: dict = {"run_id": rid, "stages": {}}
     t_all = time.time()
@@ -357,12 +375,20 @@ def run_pipeline(
         }
         return out
 
-    feats_ck = staged("event_features", lambda: event_features(events, cfg))
-    pit_ck = staged(
-        "point_in_time", lambda: anchor_point_in_time(feats_ck, anchors, cfg)
+    feats_ck = staged(
+        "event_features",
+        lambda: impl.get("event_features", event_features)(events, cfg),
     )
+    pit_ck = staged(
+        "point_in_time",
+        lambda: impl.get("point_in_time", anchor_point_in_time)(
+            feats_ck, anchors, cfg
+        ),
+    )
+
     def _vectors():
-        summ = summarize(anchor_window_matrix(feats_ck, anchors, cfg), cfg)
+        matrix = impl.get("matrix", anchor_window_matrix)(feats_ck, anchors, cfg)
+        summ = impl.get("summary", summarize)(matrix, cfg)
         if cfg.summary == "skip":
             return summary_vectors(
                 summ, keys=("entity", "anchor_ts", "name", "strand"),

@@ -717,9 +717,13 @@ def q22(spark, sf_dir):
 )
 def q23(spark, sf_dir):
     """Exact n-gram Jaccard near-dup pairs via inverted-index join —
-    the |pairs sharing a shingle| ≪ n² scale path."""
+    the |pairs sharing a shingle| ≪ n² scale path. max_df caps the
+    per-shingle fan-out (k docs sharing a shingle ⇒ k² join rows);
+    1000 is far above this fixture's max df (7 at sf0.01, 25 at sf0.1)
+    so the uncapped oracle is exactly reproduced, while the plan shape
+    is the production one (df-filter → candidates → exact verify)."""
     sh = dedup.with_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.1)
+    pairs = dedup.jaccard_pairs(sh, threshold=0.1, max_df=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 

@@ -346,3 +346,34 @@ def test_peter_ulz_coverage_hand_case(spark):
     )
     for _, r in gotw.iterrows():
         assert r["cov"] == 0.25 * exp.get(r["bucket"], 0.0)
+
+
+def test_jaccard_max_df_bounds_candidates_and_preserves_results(spark):
+    """A planted hot shingle shared by ALL docs must not blow up the
+    candidate set when max_df is active, and jaccard values of
+    surviving pairs are exact (verification uses full shingle sets)."""
+    hot = "zzz common everywhere"
+    rows = [
+        (i, f"{hot} unique{i} alpha{i} beta{i} gamma{i} delta{i}")
+        for i in range(30)
+    ] + [
+        (100, f"{hot} shared body of text one two"),
+        (101, f"{hot} shared body of text one three"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sh = dedup.with_shingles(df, "doc_id", "text", 3)
+    uncapped = dedup.jaccard_pairs(sh, threshold=0.3).toPandas()
+    capped = dedup.jaccard_pairs(sh, threshold=0.3, max_df=5).toPandas()
+    # the only >=0.3 pair is (100, 101); both paths find it with the
+    # exact jaccard despite the hot shingle being dropped from the index
+    assert set(map(tuple, capped[["id_a", "id_b"]].values)) == {(100, 101)}
+    u = uncapped.set_index(["id_a", "id_b"]).loc[(100, 101), "jaccard"]
+    c = capped.set_index(["id_a", "id_b"]).loc[(100, 101), "jaccard"]
+    assert abs(u - c) < 1e-12
+    # bounded fan-out: capped candidate generation never touches the
+    # hot shingle ⇒ no pair among the 30 filler docs even pre-threshold
+    capped_all = dedup.jaccard_pairs(sh, threshold=0.0, max_df=5).toPandas()
+    filler_pairs = capped_all[(capped_all.id_a < 100) & (capped_all.id_b < 100)]
+    assert len(filler_pairs) == 0
+    uncapped_all = dedup.jaccard_pairs(sh, threshold=0.0).toPandas()
+    assert len(uncapped_all[(uncapped_all.id_a < 100) & (uncapped_all.id_b < 100)]) == 30 * 29 / 2
