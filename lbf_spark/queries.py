@@ -1610,6 +1610,110 @@ def q48(spark, sf_dir):
     )
 
 
+_FM_SPAN = 2_000_000_000
+_FM_BW = 200_000_000
+_FM_NB = _FM_SPAN // _FM_BW   # 10 positions
+_FM_FL = 3                    # flanking buckets
+
+
+@q(
+    "q49_flagship_matrix",
+    f"""
+    with ev as {_EVENTS_UNIQ_SQL},
+    anchors as (
+      select user_id, ts_us as anchor_ts,
+             case when event_id % 2 = 0 then '+' else '-' end as strand
+      from ev where event_id % 30 = 0
+    ),
+    j as (
+      select a.user_id, a.anchor_ts, a.strand,
+             (a.anchor_ts - e.ts_us) // {_FM_BW} as bucket
+      from anchors a
+      join ev e on e.user_id = a.user_id
+               and e.ts_us >  a.anchor_ts - {_FM_SPAN}
+               and e.ts_us <= a.anchor_ts
+    ),
+    agg as (
+      select user_id, anchor_ts, strand, bucket, count(*)::double as cov
+      from j group by 1, 2, 3, 4
+    ),
+    dense as (
+      select user_id, anchor_ts, strand,
+             unnest(generate_series(0, {_FM_NB - 1})) as bucket
+      from anchors
+    ),
+    m as (
+      select d.user_id, d.anchor_ts, d.strand,
+             case when d.strand = '-' then {_FM_NB - 1} - d.bucket
+                  else d.bucket end as bucket,
+             coalesce(agg.cov, 0.0) as cov
+      from dense d
+      left join agg on agg.user_id = d.user_id
+                   and agg.anchor_ts = d.anchor_ts
+                   and agg.strand = d.strand
+                   and agg.bucket = d.bucket
+    ),
+    fm as (
+      select *, avg(case when bucket >= {_FM_NB - _FM_FL} then cov end)
+                over (partition by user_id, anchor_ts, strand) as flank
+      from m
+    ),
+    norm as (
+      select user_id, bucket,
+             case when flank is not null and flank <> 0
+                  then cov / flank else 0.0 end as cov_norm
+      from fm
+    ),
+    sig as (
+      select user_id, bucket,
+             cast(sum(cast(cov_norm as decimal(28,12))) as double)
+               / count(*) as s
+      from norm group by 1, 2
+    )
+    select user_id, cast(bucket as bigint) as bucket,
+           round(s, 6) + 0 as signal
+    from sig
+    """,
+)
+def q49(spark, sf_dir):
+    """The flagship's relational core with a full DuckDB oracle: the
+    A1 coverage matrix → densify → strand flip → A12 flanking
+    normalization → A13 cross-anchor summary composition (everything in
+    q33 except the non-SQL pixel decode), run through the actual
+    pipeline operators (plans.pipeline.anchor_window_matrix). The mean
+    is decimal-cast before summing so partial-aggregation order cannot
+    change the bits (repo determinism rule)."""
+    from lbf_spark.plans import pipeline as P
+
+    ev = _events_uniq(spark, sf_dir)
+    feats = ev.select(
+        F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "value"
+    )
+    anchors = ev.filter(F.col("event_id") % 30 == 0).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.lit("setA").alias("name"),
+        F.when(F.col("event_id") % 2 == 0, F.lit("+"))
+        .otherwise(F.lit("-"))
+        .alias("strand"),
+    )
+    cfg = P.FeatureConfig(
+        span=_FM_SPAN, bucket_w=_FM_BW, flank_n=_FM_FL, value_col="value"
+    )
+    matrix = P.anchor_window_matrix(feats, anchors, cfg)
+    sig = matrix.groupBy("entity", "bucket").agg(
+        (
+            F.sum(F.col("cov_norm").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("s")
+    )
+    return sig.select(
+        F.col("entity").alias("user_id"),
+        F.col("bucket").cast("long").alias("bucket"),
+        (F.round("s", 6) + F.lit(0.0)).alias("signal"),
+    )
+
+
 _PU_RS = 50_000_000      # read_start offset (µs)
 _PU_RE = 200_000_000     # read_end offset (µs); sub length = RE - RS
 _PU_SPAN = 2_000_000_000
