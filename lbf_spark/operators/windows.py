@@ -196,6 +196,10 @@ def wps(
     from lbf_spark.operators.asof import interval_join
 
     w2 = window // 2
+    # INNER join (not left outer): a left outer join cannot broadcast
+    # its left/build side, so `how="left"` here would force the event
+    # side to shuffle at scale. Anchors with zero matching events are
+    # restored afterwards by a cheap anchor-sized left join.
     joined = interval_join(
         events.select(by, on, duration_col),
         anchors,
@@ -204,7 +208,6 @@ def wps(
         by=by,
         lower=-(w2 + max_duration),
         upper=w2,
-        how="left",
     )
     start = F.col(on)
     end = F.col(on) + F.col(duration_col)
@@ -214,11 +217,13 @@ def wps(
     endpoint_in = F.when(
         ((start >= lo) & (start <= hi)) | ((end >= lo) & (end <= hi)), 1
     ).otherwise(0)
-    raw = (
+    counts = (
         joined.withColumn("_c", spanning - endpoint_in)
         .groupBy(*[c for c in anchors.columns])
-        .agg(F.sum(F.when(F.col(on).isNotNull(), F.col("_c")).otherwise(0)).alias("wps_raw"))
-        .fillna({"wps_raw": 0})
+        .agg(F.sum("_c").alias("wps_raw"))
+    )
+    raw = anchors.join(counts, list(anchors.columns), "left").fillna(
+        {"wps_raw": 0}
     )
     med = rolling_median(
         raw, "wps_raw", "_med", median_window, by=by, order=anchor_on
