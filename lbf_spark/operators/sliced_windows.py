@@ -159,6 +159,73 @@ def rolling_sliced(
     return full.groupBy(*by, "_slice").applyInPandas(fn, schema)
 
 
+def hamming_to_prev_sliced(
+    df: DataFrame,
+    col: str = "phash",
+    out: str = "phash_drift",
+    by="entity",
+    order="ts",
+    ts_col: str | None = None,
+    slice_width: int | None = None,
+) -> DataFrame:
+    """Sliced ``windows.hamming_to_prev``: lag-1 is a bounded kernel
+    with window=2, so the halo is exactly one row per slice."""
+    by, order = _norm(by, order)
+    ts = ts_col or order[0]
+    if slice_width is None:
+        slice_width = _auto_slice_width(df, ts)
+    sliced = _with_slice(df, ts, slice_width)
+    halos = _halo_rows(sliced, 2, by, order).withColumn("_halo", F.lit(1))
+    full = sliced.withColumn("_halo", F.lit(0)).unionByName(halos)
+    w = Window.partitionBy(*by, "_slice").orderBy(*order)
+    prev = F.lag(col, 1).over(w)
+    res = full.withColumn(
+        out,
+        F.when(prev.isNull(), F.lit(None).cast("int")).otherwise(
+            F.bit_count(F.col(col).bitwiseXOR(prev))
+        ),
+    )
+    return res.filter(F.col("_halo") == 0).drop("_slice", "_halo")
+
+
+def rolling_count_range_sliced(
+    df: DataFrame,
+    out: str,
+    span: int,
+    by="entity",
+    order="ts",
+    slice_width: int | None = None,
+) -> DataFrame:
+    """Sliced ``windows.rolling_count_range`` (events in the trailing
+    TIME range [ts−span, ts]). The lookback is time-bounded, so the
+    halo is time-based: each row is duplicated into every slice whose
+    rows could count it — ``floor(ts/W) … floor((ts+span)/W)`` — the
+    exact duplicate-then-trim shape ``interval_join`` uses. With
+    W ≥ span that is ≤ 2 copies per row."""
+    by, order = _norm(by, order)
+    ts = order[0]
+    if slice_width is None:
+        slice_width = _auto_slice_width(df, ts)
+    w_int = int(slice_width)
+    owner = F.floor(F.col(ts) / F.lit(w_int)).cast("long")
+    exploded = df.withColumn(
+        "_slice",
+        F.explode(
+            F.sequence(
+                owner, F.floor((F.col(ts) + F.lit(span)) / F.lit(w_int)).cast("long")
+            )
+        ),
+    ).withColumn("_halo", F.when(F.col("_slice") == owner, 0).otherwise(1))
+    # rangeBetween orders on a single numeric column — count over ts.
+    # Every historical row lands exactly once in each slice it can
+    # serve, so the tie-inclusive SET semantics match the unsliced op.
+    w_rng = (
+        Window.partitionBy(*by, "_slice").orderBy(ts).rangeBetween(-span, 0)
+    )
+    res = exploded.withColumn(out, F.count(F.lit(1)).over(w_rng))
+    return res.filter(F.col("_halo") == 0).drop("_slice", "_halo")
+
+
 def sessionize_sliced(
     df: DataFrame,
     gap: int,

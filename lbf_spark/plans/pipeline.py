@@ -51,6 +51,13 @@ class FeatureConfig:
     # signal_transformer.py:41-46): cov = Σ weight instead of count;
     # null weights count as 1 (reference: missing tag ⇒ gc_coef = 1)
     weight_col: str | None = None
+    # hot-entity mitigation: when set, every order-dependent window
+    # feature runs through the halo-sliced variants (time slices of
+    # this width, operators/sliced_windows.py) — identical results,
+    # but a skewed entity's window work spans span/width tasks instead
+    # of one. Leave None below ~10⁸ rows/entity; at 100-TB scale set
+    # it so one (entity, slice) holds ~10⁶-10⁷ rows.
+    hot_slice_width: int | None = None
 
     @property
     def n_buckets(self) -> int:
@@ -112,6 +119,27 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     # it Spark's sort leaves tie order unspecified and rolling features
     # could differ run-to-run (and from the oracle)
     order = ["ts", "image_id"] if "image_id" in df.columns else ["ts"]
+    if cfg.hot_slice_width:
+        # halo-sliced variants: identical values (property-tested), hot
+        # entity's work split over span/width tasks — the 100-TB path
+        from lbf_spark.operators import sliced_windows as SW
+
+        sw = cfg.hot_slice_width
+        df = SW.rolling_sliced(
+            df, cfg.value_col, "roll_mean", cfg.rolling_w,
+            kernel="mean", order=order, slice_width=sw,
+        )
+        df = SW.rolling_count_range_sliced(
+            df, "roll_count", cfg.span, slice_width=sw
+        )
+        df = SW.hamming_to_prev_sliced(
+            df, "phash", "phash_drift", order=order, slice_width=sw
+        )
+        df = SW.sessionize_sliced(
+            df, cfg.session_gap, "session_id", order=order,
+            ts_col="ts", slice_width=sw,
+        )
+        return df
     df = W.rolling_mean(df, cfg.value_col, "roll_mean", cfg.rolling_w, order=order)
     # roll_count uses SET semantics on the time axis (all events with
     # ts ∈ [t-span, t], ties included) — rangeBetween is tie-inclusive

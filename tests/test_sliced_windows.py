@@ -124,3 +124,57 @@ def test_sparse_slices_halo_correct(spark):
     assert np.array_equal(
         got_s["s"].astype("int64").to_numpy(), exp_s["s"].astype("int64").to_numpy()
     )
+
+
+def test_hamming_and_range_count_sliced_equal_unsliced(spark, events):
+    exp = _sorted(
+        W.rolling_count_range(
+            W.hamming_to_prev(events, "phash", "drift"), "rc", 3000
+        ).toPandas()
+    )
+    got = _sorted(
+        SW.rolling_count_range_sliced(
+            SW.hamming_to_prev_sliced(events, "phash", "drift", slice_width=SLICE_W),
+            "rc", 3000, slice_width=SLICE_W,
+        ).toPandas()
+    )
+    assert len(got) == len(exp)
+    assert np.array_equal(got["rc"].to_numpy(), exp["rc"].to_numpy())
+    assert np.allclose(
+        got["drift"].astype(float), exp["drift"].astype(float), equal_nan=True
+    )
+
+
+def test_flagship_pipeline_hot_slice_width_equals_golden(spark):
+    """The full flagship with hot_slice_width set must reproduce the
+    numpy oracle exactly — the 100-TB skew path is not a different
+    semantics, just a different physical plan."""
+    from lbf_spark import fixtures, oracle
+    from lbf_spark.plans import pipeline as P
+
+    ev_pd = fixtures.generate_events(n_rows=1500, n_entities=4)
+    an_pd = fixtures.generate_anchors(ev_pd, n_per_entity=6)
+    ev = fixtures.events_to_spark(spark, ev_pd)
+    an = fixtures.anchors_to_spark(spark, an_pd)
+    cfg = P.FeatureConfig(hot_slice_width=4000)
+    golden_cfg = P.FeatureConfig()  # oracle ignores physical knobs
+    got = P.extract_features(ev, an, cfg)
+    exp = oracle.extract_features_oracle(ev_pd, an_pd, golden_cfg)
+    g = got["event_features"].toPandas().sort_values(
+        ["entity", "ts", "image_id"], ignore_index=True
+    )
+    e = exp["event_features"].sort_values(
+        ["entity", "ts", "image_id"], ignore_index=True
+    )
+    assert len(g) == len(e)
+    for col in ["roll_mean"]:
+        assert np.allclose(g[col], e[col], rtol=1e-9, atol=1e-12), col
+    assert np.array_equal(g["roll_count"].to_numpy(), e["roll_count"].to_numpy())
+    assert np.array_equal(g["session_id"].to_numpy(), e["session_id"].to_numpy())
+    assert np.allclose(
+        g["phash_drift"].astype(float), e["phash_drift"], equal_nan=True
+    )
+    gv = got["vectors"].toPandas().sort_values(["entity", "name"], ignore_index=True)
+    ev_ = exp["vectors"].sort_values(["entity", "name"], ignore_index=True)
+    for a, b in zip(gv["vector"], ev_["vector"]):
+        assert np.allclose(np.asarray(a, dtype=float), b, rtol=1e-9, atol=1e-12)
