@@ -226,6 +226,64 @@ def rolling_count_range_sliced(
     return res.filter(F.col("_halo") == 0).drop("_slice", "_halo")
 
 
+def ffill_sliced(
+    df: DataFrame,
+    col: str,
+    out: str | None = None,
+    by="entity",
+    order="ts",
+    ts_col: str | None = None,
+    slice_width: int | None = None,
+    _backward: bool = False,
+) -> DataFrame:
+    """Sliced ``windows.ffill`` (last non-null carry): local fill within
+    each (entity, slice) + a per-slice carry value resolved in one tiny
+    per-entity pass (one row per slice, like sessionize's offsets).
+    ``_backward=True`` gives bfill (first non-null carried backwards)."""
+    by, order = _norm(by, order)
+    ts = ts_col or order[0]
+    if slice_width is None:
+        slice_width = _auto_slice_width(df, ts)
+    sliced = _with_slice(df, ts, slice_width)
+
+    ocols = [F.col(c).desc() for c in order] if _backward else [F.col(c) for c in order]
+    w_loc = Window.partitionBy(*by, "_slice").orderBy(*ocols).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    local = sliced.withColumn("_lf", F.last(col, ignorenulls=True).over(w_loc))
+
+    # per-slice boundary value: the slice's last (ffill) / first (bfill)
+    # non-null value in `order` — min_by/max_by skip null keys, so rows
+    # with a null `col` never win
+    key = F.when(
+        F.col(col).isNotNull(),
+        F.struct(*[F.col(c).alias(f"_o{i}") for i, c in enumerate(order)]),
+    )
+    edge = F.min_by(F.col(col), key) if _backward else F.max_by(F.col(col), key)
+    summ = sliced.groupBy(*by, "_slice").agg(edge.alias("_edge"))
+    sdir = F.col("_slice").desc() if _backward else F.col("_slice").asc()
+    w_ent = Window.partitionBy(*by).orderBy(sdir).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    carry = summ.withColumn(
+        "_carry", F.last("_edge", ignorenulls=True).over(w_ent)
+    ).select(*by, "_slice", "_carry")
+
+    res = local.join(F.broadcast(carry), [*by, "_slice"], "inner").withColumn(
+        out or col, F.coalesce("_lf", "_carry")
+    )
+    return res.drop("_slice", "_lf", "_carry")
+
+
+def bfill_sliced(df, col, out=None, by="entity", order="ts",
+                 ts_col=None, slice_width=None):
+    """Sliced ``windows.bfill`` — see ``ffill_sliced``."""
+    return ffill_sliced(
+        df, col, out=out, by=by, order=order, ts_col=ts_col,
+        slice_width=slice_width, _backward=True,
+    )
+
+
 def sessionize_sliced(
     df: DataFrame,
     gap: int,

@@ -1792,6 +1792,35 @@ def q52(spark, sf_dir):
     return cov.select("anchor_id", "bucket", "cov")
 
 
+@q(
+    "q53_recenter_expand",
+    f"""
+    with iv as (
+      select event_id, user_id, ts_us as start_ts,
+             ts_us + ((event_id % 180) + 60) * 10000000 as end_ts
+      from {_EVENTS_UNIQ_SQL}
+    )
+    select event_id,
+           (start_ts + end_ts) // 2 as anchor_ts,
+           cast(250000000 as bigint) as slack
+    from iv
+    """,
+)
+def q53(spark, sf_dir):
+    """S4 recenter/expand (`utils.py:238-258`): interval → midpoint
+    anchor + slack for the later duplicate-then-trim expansion (P7)."""
+    from lbf_spark.sources.anchors import recenter_expand
+
+    iv = _events_uniq(spark, sf_dir).select(
+        "event_id",
+        F.col("ts_us").alias("start_ts"),
+        (F.col("ts_us") + ((F.col("event_id") % 180) + 60) * F.lit(10_000_000))
+        .alias("end_ts"),
+    )
+    out = recenter_expand(iv, extra=250_000_000)
+    return out.select("event_id", "anchor_ts", "slack")
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +

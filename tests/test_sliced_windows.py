@@ -178,3 +178,24 @@ def test_flagship_pipeline_hot_slice_width_equals_golden(spark):
     ev_ = exp["vectors"].sort_values(["entity", "name"], ignore_index=True)
     for a, b in zip(gv["vector"], ev_["vector"]):
         assert np.allclose(np.asarray(a, dtype=float), b, rtol=1e-9, atol=1e-12)
+
+
+def test_ffill_bfill_sliced_equal_unsliced(spark, events):
+    """Carry-value slicing: nulls spanning whole slices must be filled
+    from earlier (ffill) / later (bfill) slices exactly."""
+    # null out value for a contiguous ts range covering >1 slice
+    df = events.withColumn(
+        "vn",
+        F.when((F.col("ts") % 37 == 0) | ((F.col("ts") > 20_000) & (F.col("ts") < 35_000)),
+               F.lit(None).cast("double")).otherwise(F.col("v")),
+    )
+    for fn_u, fn_s in [
+        (W.ffill, SW.ffill_sliced),
+        (W.bfill, SW.bfill_sliced),
+    ]:
+        exp = _sorted(fn_u(df, "vn", out="f").toPandas())
+        got = _sorted(fn_s(df, "vn", out="f", slice_width=SLICE_W).toPandas())
+        assert len(got) == len(exp)
+        a = got["f"].astype(float).to_numpy()
+        b = exp["f"].astype(float).to_numpy()
+        assert np.all((a == b) | (np.isnan(a) & np.isnan(b))), fn_s.__name__
