@@ -1821,6 +1821,115 @@ def q53(spark, sf_dir):
     return out.select("event_id", "anchor_ts", "slack")
 
 
+def _savgol_center_coeffs(window: int = 11, polyorder: int = 3) -> list[float]:
+    """Center-window Savitzky-Golay convolution coefficients — the same
+    least-squares formulation as functions/peaks.py:savgol_smooth; both
+    the Spark expression and the SQL oracle embed these exact float
+    literals, so the convolution is bit-identical by construction."""
+    import numpy as np
+
+    half = window // 2
+    x = np.arange(-half, half + 1, dtype=np.float64)
+    A = np.vander(x, polyorder + 1, increasing=True)
+    return [float(v) for v in np.linalg.pinv(A)[0]]
+
+
+_SG_C = _savgol_center_coeffs(11, 3)
+_SG_H = 5           # half window
+_PEAK_BW = 5.0      # histogram bin width over events.value
+_PEAK_FRAC = 0.05   # min height as fraction of max smoothed
+
+
+def _sg_terms_sql() -> str:
+    terms = []
+    for i, c in enumerate(_SG_C):
+        k = i - _SG_H
+        ref = (
+            f"lag(cnt, {-k}) over w" if k < 0
+            else f"lead(cnt, {k}) over w" if k > 0 else "cnt"
+        )
+        terms.append(f"{c!r} * ({ref})")
+    return " + ".join(terms)
+
+
+@q(
+    "q54_histogram_peaks",
+    f"""
+    with h as (
+      select cast(floor(value / {_PEAK_BW}) as bigint) as bin,
+             count(*)::double as cnt
+      from events group by 1
+    ),
+    bounds as (select min(bin) as lo, max(bin) as hi from h),
+    dense as (select unnest(generate_series(lo, hi)) as bin from bounds),
+    d as (
+      select dense.bin, coalesce(h.cnt, 0.0) as cnt
+      from dense left join h on h.bin = dense.bin
+    ),
+    s as (
+      select bin, {_sg_terms_sql()} as sm
+      from d window w as (order by bin)
+    ),
+    p as (
+      select bin, sm,
+             lag(sm, 1) over (order by bin) as pl,
+             lead(sm, 1) over (order by bin) as pn,
+             max(sm) over () as mx
+      from s where sm is not null
+    )
+    select bin, round(sm, 6) + 0 as smoothed,
+           (pl is not null and pn is not null
+            and sm > pl and sm > pn and sm >= {_PEAK_FRAC} * mx) as is_peak
+    from p
+    """,
+)
+def q54(spark, sf_dir):
+    """Distributed A22 (`cli_lib.py:58-73` workflow): global value
+    histogram → densify → Savitzky-Golay(11,3) smoothing as an explicit
+    convolution over lag/lead (full interior windows) → strict local
+    maxima with a 5%-of-max height gate. The driver-side variant with
+    edge refits lives in functions/peaks.py; this is the same math as a
+    relational plan (the histogram agg distributes; the convolution
+    runs on the few-hundred-row histogram)."""
+    ev = t(spark, sf_dir, "events")
+    h = (
+        ev.groupBy(
+            F.floor(F.col("value") / F.lit(_PEAK_BW)).cast("long").alias("bin")
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("cnt"))
+    )
+    bounds = h.agg(F.min("bin").alias("lo"), F.max("bin").alias("hi"))
+    dense = bounds.select(F.explode(F.sequence("lo", "hi")).alias("bin"))
+    d = dense.join(h, "bin", "left").fillna({"cnt": 0.0})
+    # single-partition window: runs on the tiny post-agg histogram only
+    w = Window.orderBy("bin")
+    sm = None
+    for i, c in enumerate(_SG_C):
+        k = i - _SG_H
+        ref = (
+            F.lag("cnt", -k).over(w) if k < 0
+            else F.lead("cnt", k).over(w) if k > 0 else F.col("cnt")
+        )
+        term = F.lit(c) * ref
+        sm = term if sm is None else sm + term
+    s = d.withColumn("sm", sm).filter(F.col("sm").isNotNull())
+    p = (
+        s.withColumn("pl", F.lag("sm", 1).over(w))
+        .withColumn("pn", F.lead("sm", 1).over(w))
+        .withColumn("mx", F.max("sm").over(Window.partitionBy()))
+    )
+    is_peak = (
+        F.col("pl").isNotNull() & F.col("pn").isNotNull()
+        & (F.col("sm") > F.col("pl")) & (F.col("sm") > F.col("pn"))
+        & (F.col("sm") >= F.lit(_PEAK_FRAC) * F.col("mx"))
+    )
+    return p.select(
+        "bin",
+        (F.round("sm", 6) + F.lit(0.0)).alias("smoothed"),
+        is_peak.alias("is_peak"),
+    )
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +
