@@ -51,17 +51,44 @@ class FeatureConfig:
     # signal_transformer.py:41-46): cov = Σ weight instead of count;
     # null weights count as 1 (reference: missing tag ⇒ gc_coef = 1)
     weight_col: str | None = None
-    # hot-entity mitigation: when set, every order-dependent window
-    # feature runs through the halo-sliced variants (time slices of
-    # this width, operators/sliced_windows.py) — identical results,
-    # but a skewed entity's window work spans span/width tasks instead
-    # of one. Leave None below ~10⁸ rows/entity; at 100-TB scale set
-    # it so one (entity, slice) holds ~10⁶-10⁷ rows.
+    # hot-entity mitigation: when set, entities whose row count exceeds
+    # hot_entity_threshold run their order-dependent window features
+    # through the halo-sliced variants (time slices of this width,
+    # operators/sliced_windows.py) while everything else keeps the
+    # fused single-exchange plan — identical results, but a skewed
+    # entity's window work spans span/width tasks instead of straggling
+    # in one. Leave None below ~10⁸ rows/entity; at 100-TB scale set it
+    # so one (entity, slice) holds ~10⁶-10⁷ rows.
     hot_slice_width: int | None = None
+    # row count above which an entity is 'hot'. None ⇒ auto: 2× the
+    # mean rows-per-shuffle-partition (a straggler by definition).
+    # 0 ⇒ every entity sliced (the pure-sliced plan).
+    hot_entity_threshold: int | None = None
 
     @property
     def n_buckets(self) -> int:
         return self.span // self.bucket_w
+
+
+def _threads_per_core() -> int:
+    """Hardware threads per physical core (1 = no SMT). Reads the cpu0
+    sibling list; defaults to 2 (the conservative SMT assumption) when
+    the sysfs path is unavailable."""
+    try:
+        with open(
+            "/sys/devices/system/cpu/cpu0/topology/thread_siblings_list"
+        ) as fh:
+            txt = fh.read().strip()
+        n = 0
+        for part in txt.split(","):
+            if "-" in part:
+                a, b = part.split("-")
+                n += int(b) - int(a) + 1
+            else:
+                n += 1
+        return max(1, n)
+    except OSError:
+        return 2
 
 
 def run_id(cfg: FeatureConfig) -> str:
@@ -73,27 +100,23 @@ def run_id(cfg: FeatureConfig) -> str:
 # ---------------------------------------------------------------- stages
 
 
-def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
-    """Stage 1-2: decode pixel stats, then per-entity ordered features
-    (rolling mean, phash drift, session id). All JVM window ops after
-    the single Arrow decode pass.
-
-    Physical shape: the decode pass only needs *parallelism* (it is
-    row-local), so it gets a cheap round-robin repartition to all cores;
-    the per-entity windows then do exactly ONE hash exchange + sort on
-    (entity, ts) — Catalyst fuses all four window features into two
-    Window operators over a single sort (verified via explain). A
-    range-partition here would not satisfy the Window's hash-clustering
-    requirement and would just add a second shuffle."""
+def _decode_slim(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Decode pixel stats (Arrow batches) and drop payload/fidelity
+    columns before anything shuffles."""
     n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     has_bytes = "bytes" in events.columns
     if has_bytes:
         # The decode stage runs 1 JVM task thread + 1 Python worker per
-        # partition. At high core counts that doubles the thread count
-        # and thrashes (measured: local[32] as-is 6.8-16.5 s, capped at
-        # ~0.75×cores 6.3-6.6 s and stable). Cap the Python stage at
-        # ~0.75×cores; JVM-only stages keep full parallelism.
-        py_target = n_part if n_part <= 16 else max(16, (n_part * 3) // 4)
+        # partition. On SMT hosts (2 hw threads/core) that doubles the
+        # thread count per physical core and thrashes (measured on a
+        # 16-core/32-thread box: uncapped 6.8-16.5 s vs 0.75×cores
+        # 6.3-6.6 s stable). On non-SMT topology the cap only idles
+        # cores (measured on a 32-physical-core box: 24 parts 12.2 s vs
+        # 32 parts 9.7 s) — so cap only when SMT is detected.
+        if n_part <= 16 or _threads_per_core() == 1:
+            py_target = n_part
+        else:
+            py_target = max(16, (n_part * 3) // 4)
         n_in = events.rdd.getNumPartitions()
         if n_in < (py_target * 3) // 4:
             # too few scan splits → repartition (pays a payload shuffle,
@@ -114,32 +137,23 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     ] + ([cfg.value_col] if cfg.value_col not in (
         "pixel_mean", "pixel_std", "r_mean", "g_mean", "b_mean") else []) + (
         [cfg.weight_col] if cfg.weight_col else [])
-    df = df.select(*dict.fromkeys(keep))
+    return df.select(*dict.fromkeys(keep))
+
+
+def _order_cols(df: DataFrame) -> list[str]:
     # deterministic tie-break for equal (entity, ts): image_id — without
     # it Spark's sort leaves tie order unspecified and rolling features
     # could differ run-to-run (and from the oracle)
-    order = ["ts", "image_id"] if "image_id" in df.columns else ["ts"]
-    if cfg.hot_slice_width:
-        # halo-sliced variants: identical values (property-tested), hot
-        # entity's work split over span/width tasks — the 100-TB path
-        from lbf_spark.operators import sliced_windows as SW
+    return ["ts", "image_id"] if "image_id" in df.columns else ["ts"]
 
-        sw = cfg.hot_slice_width
-        df = SW.rolling_sliced(
-            df, cfg.value_col, "roll_mean", cfg.rolling_w,
-            kernel="mean", order=order, slice_width=sw,
-        )
-        df = SW.rolling_count_range_sliced(
-            df, "roll_count", cfg.span, slice_width=sw
-        )
-        df = SW.hamming_to_prev_sliced(
-            df, "phash", "phash_drift", order=order, slice_width=sw
-        )
-        df = SW.sessionize_sliced(
-            df, cfg.session_gap, "session_id", order=order,
-            ts_col="ts", slice_width=sw,
-        )
-        return df
+
+def _fused_windows(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """The default window stage: exactly ONE hash exchange + sort on
+    (entity, ts) — Catalyst fuses all four window features into two
+    Window operators over a single sort (verified via explain). A
+    range-partition here would not satisfy the Window's hash-clustering
+    requirement and would just add a second shuffle."""
+    order = _order_cols(df)
     df = W.rolling_mean(df, cfg.value_col, "roll_mean", cfg.rolling_w, order=order)
     # roll_count uses SET semantics on the time axis (all events with
     # ts ∈ [t-span, t], ties included) — rangeBetween is tie-inclusive
@@ -148,6 +162,78 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     df = W.hamming_to_prev(df, "phash", "phash_drift", order=order)
     df = W.sessionize(df, cfg.session_gap, "session_id", order=order, ts_col="ts")
     return df
+
+
+def _sliced_window_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Halo-sliced variants for hot entities: identical values
+    (property-tested), work split over span/slice_width tasks."""
+    from lbf_spark.operators import sliced_windows as SW
+
+    order = _order_cols(df)
+    sw = cfg.hot_slice_width
+    df = SW.rolling_sliced(
+        df, cfg.value_col, "roll_mean", cfg.rolling_w,
+        kernel="mean", order=order, slice_width=sw,
+    )
+    df = SW.rolling_count_range_sliced(df, "roll_count", cfg.span, slice_width=sw)
+    df = SW.hamming_to_prev_sliced(
+        df, "phash", "phash_drift", order=order, slice_width=sw
+    )
+    df = SW.sessionize_sliced(
+        df, cfg.session_gap, "session_id", order=order, ts_col="ts",
+        slice_width=sw,
+    )
+    return df
+
+
+def _hot_entities(events: DataFrame, cfg: FeatureConfig) -> list:
+    """Entities whose row count exceeds the hot threshold (auto: 2× the
+    mean rows-per-shuffle-partition — a straggler by definition).
+    Costs two tiny jobs over the entity column only (column pruning
+    reaches the scan); at warehouse scale pass hot_entity_threshold
+    explicitly or maintain the hot list as table metadata upstream.
+    Capped at the 1024 hottest (isin-filter size bound)."""
+    counts = events.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
+    thr = cfg.hot_entity_threshold
+    if thr is None:
+        n_part = int(
+            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
+        )
+        total = counts.agg(F.sum("n").alias("t")).first()["t"] or 0
+        thr = max(1, (2 * total) // max(1, n_part))
+    rows = (
+        counts.filter(F.col("n") > thr)
+        .orderBy(F.desc("n"), F.asc("entity"))
+        .limit(1024)
+        .collect()
+    )
+    return [r["entity"] for r in rows]
+
+
+def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
+    """Stage 1-2: decode pixel stats, then per-entity ordered features
+    (rolling mean, phash drift, session id). All JVM window ops after
+    the single Arrow decode pass.
+
+    Physical shape: decode only needs *parallelism* (row-local →
+    round-robin to all cores, SMT-aware cap); the window stage is ONE
+    exchange + sort (see _fused_windows). With ``hot_slice_width`` set,
+    entities above ``hot_entity_threshold`` are split out BEFORE the
+    decode (so decode work is never duplicated) and routed through the
+    halo-sliced window variants; everything else keeps the fused plan;
+    results are identical (property-tested)."""
+    if not cfg.hot_slice_width:
+        return _fused_windows(_decode_slim(events, cfg), cfg)
+    if cfg.hot_entity_threshold == 0:  # pure-sliced plan (every entity)
+        return _sliced_window_stage(_decode_slim(events, cfg), cfg)
+    hot = _hot_entities(events, cfg)
+    if not hot:
+        return _fused_windows(_decode_slim(events, cfg), cfg)
+    rest_raw = events.filter(~F.col("entity").isin(hot))
+    hot_raw = events.filter(F.col("entity").isin(hot))
+    return _fused_windows(_decode_slim(rest_raw, cfg), cfg).unionByName(
+        _sliced_window_stage(_decode_slim(hot_raw, cfg), cfg)
+    )
 
 
 def anchor_point_in_time(
