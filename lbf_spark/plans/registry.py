@@ -77,6 +77,10 @@ def validate_config(stage: str, config_cls: type, values: dict) -> object:
             coerced[k] = None
             continue
         caster = _COERCIBLE.get(tp)
+        if tp in (int, float) and isinstance(v, bool):
+            raise InvalidStageConfigError(
+                stage, k, f"expected {tp.__name__}, got bool {v!r}"
+            )
         if caster is None or isinstance(v, tp):
             coerced[k] = v
             continue

@@ -93,3 +93,8 @@ def test_custom_stage_runs_in_pipeline(spark, tmp_path):
     assert len(got) == len(exp)
     assert np.allclose(got["signal"], exp["signal"], rtol=1e-9, atol=1e-12)
     STAGES.pop("summary_range", None)
+
+
+def test_validate_config_rejects_bool_for_numeric():
+    with pytest.raises(InvalidStageConfigError, match="expected int, got bool"):
+        validate_config("s", P.FeatureConfig, {"span": True})
