@@ -188,13 +188,28 @@ def amplitude(
     return df.groupBy(*by).agg((center - flank).alias(out))
 
 
+def remove_outliers_np(x: np.ndarray, threshold: float = 1.5) -> np.ndarray:
+    """Drop values outside [q1 − t·IQR, q3 + t·IQR] — the reference's
+    per-group pre-test trim (``transcription_factor_analysis/
+    utils.py:12-26``; linear-interpolated quantiles like pandas)."""
+    if len(x) == 0:
+        return x
+    q1, q3 = np.quantile(x, [0.25, 0.75])
+    iqr = q3 - q1
+    return x[(x >= q1 - threshold * iqr) & (x <= q3 + threshold * iqr)]
+
+
 def group_test_2(
     df: DataFrame,
     value: str,
     group_col: str,
     by: list[str] | str,
+    rm_outliers: bool = False,
+    outlier_threshold: float = 1.5,
 ) -> DataFrame:
-    """Per-key two-group Mann-Whitney U (A18) in grouped Arrow batches."""
+    """Per-key two-group Mann-Whitney U (A18) in grouped Arrow batches.
+    ``rm_outliers`` applies the reference's per-group IQR trim before
+    testing (``differential_signal_analysis.py:319-321``)."""
     by = [by] if isinstance(by, str) else list(by)
     key_fields = [f for f in df.schema.fields if f.name in by]
     schema = T.StructType(
@@ -213,6 +228,9 @@ def group_test_2(
             return pd.DataFrame(columns=[f.name for f in schema.fields])
         x = pdf.loc[pdf[group_col] == gs[0], value].to_numpy(dtype=float)
         y = pdf.loc[pdf[group_col] == gs[1], value].to_numpy(dtype=float)
+        if rm_outliers:
+            x = remove_outliers_np(x, outlier_threshold)
+            y = remove_outliers_np(y, outlier_threshold)
         u, p = mannwhitney_u(x, y)
         row = dict(zip(by, keys))
         row.update(u_stat=u, p_value=p, mean_a=float(x.mean()), mean_b=float(y.mean()))
@@ -222,9 +240,16 @@ def group_test_2(
 
 
 def group_test_k(
-    df: DataFrame, value: str, group_col: str, by: list[str] | str
+    df: DataFrame,
+    value: str,
+    group_col: str,
+    by: list[str] | str,
+    rm_outliers: bool = False,
+    outlier_threshold: float = 1.5,
 ) -> DataFrame:
-    """Per-key k-group Kruskal-Wallis (A19)."""
+    """Per-key k-group Kruskal-Wallis (A19). ``rm_outliers`` applies the
+    reference's per-group IQR trim before testing
+    (``differential_signal_analysis.py:365-367``)."""
     by = [by] if isinstance(by, str) else list(by)
     key_fields = [f for f in df.schema.fields if f.name in by]
     schema = T.StructType(
@@ -241,6 +266,8 @@ def group_test_k(
             g[value].to_numpy(dtype=float)
             for _, g in pdf.dropna(subset=[group_col]).groupby(group_col)
         ]
+        if rm_outliers:
+            groups = [remove_outliers_np(g, outlier_threshold) for g in groups]
         h, p = kruskal_wallis(groups)
         row = dict(zip(by, keys))
         row.update(h_stat=h, p_value=p, n_groups=len(groups))
@@ -255,6 +282,8 @@ def group_test_k_dunn(
     group_col: str,
     by: list[str] | str,
     alpha: float = 0.05,
+    rm_outliers: bool = False,
+    outlier_threshold: float = 1.5,
 ) -> DataFrame:
     """Per-key Kruskal-Wallis omnibus + Dunn post-hoc pairwise rows —
     the full reference flow (``differential_signal_analysis.py:361-399``):
@@ -286,6 +315,12 @@ def group_test_k_dunn(
             str(g): grp[value].to_numpy(dtype=float)
             for g, grp in pdf.groupby(group_col)
         }
+        if rm_outliers:
+            groups = {
+                g: remove_outliers_np(a, outlier_threshold)
+                for g, a in groups.items()
+            }
+            groups = {g: a for g, a in groups.items() if len(a)}
         if len(groups) < 2:
             return pd.DataFrame(columns=out_cols)
         h, kw_p = kruskal_wallis(list(groups[g] for g in sorted(groups)))

@@ -377,3 +377,34 @@ def test_jaccard_max_df_bounds_candidates_and_preserves_results(spark):
     assert len(filler_pairs) == 0
     uncapped_all = dedup.jaccard_pairs(sh, threshold=0.0).toPandas()
     assert len(uncapped_all[(uncapped_all.id_a < 100) & (uncapped_all.id_b < 100)]) == 30 * 29 / 2
+
+
+def test_group_tests_rm_outliers(spark):
+    """rm_outliers applies the reference's per-group IQR trim
+    (utils.py:12-26) before testing: a planted extreme value changes
+    the untrimmed U but not the trimmed one."""
+    base_a = [float(v) for v in range(1, 9)]
+    base_b = [float(v) for v in range(11, 19)]
+    rows = (
+        [("k", "a", v) for v in base_a + [1000.0]]  # outlier in group a
+        + [("k", "b", v) for v in base_b]
+    )
+    df = spark.createDataFrame(rows, "k string, g string, v double")
+    trimmed = stats.group_test_2(df, "v", "g", "k", rm_outliers=True).toPandas()
+    raw = stats.group_test_2(df, "v", "g", "k").toPandas()
+    # manual expectation: trimmed == test on base_a vs base_b
+    u_exp, _ = stats.mannwhitney_u(np.array(base_a), np.array(base_b))
+    assert abs(trimmed.iloc[0]["u_stat"] - u_exp) < 1e-12
+    assert raw.iloc[0]["u_stat"] != trimmed.iloc[0]["u_stat"]
+    # numpy trim matches the reference's pandas-quantile semantics
+    x = np.array(base_a + [1000.0])
+    t = stats.remove_outliers_np(x)
+    s = pd.Series(x)
+    q1, q3 = s.quantile(0.25), s.quantile(0.75)
+    lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+    assert np.array_equal(t, x[(x >= lo) & (x <= hi)])
+    # kw + dunn variants accept the flag too
+    kw = stats.group_test_k(df, "v", "g", "k", rm_outliers=True).toPandas()
+    dn = stats.group_test_k_dunn(df, "v", "g", "k", alpha=1.0, rm_outliers=True).toPandas()
+    assert len(kw) == 1 and len(dn) == 1
+    assert abs(dn.iloc[0]["mean_a"] - np.mean(base_a)) < 1e-12
