@@ -110,3 +110,60 @@ def run_stream_to_memory(
         .start()
     )
     q.awaitTermination()
+
+
+def stream_rolling_mean_stateful(
+    events: DataFrame,
+    window: int = 16,
+    by: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "v",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: exact
+    trailing rolling mean over the last ``window`` rows per entity,
+    with the last ``window-1`` (ts, value) pairs carried in group state
+    ACROSS micro-batches — the incremental restatement of
+    ``windows.rolling_mean`` (A6, ``signal_transformer.py:158-177``).
+
+    Ordering contract: rows must arrive in non-decreasing ``ts_col``
+    order per entity across triggers (rows are sorted within each
+    batch; cross-batch order is the source's responsibility — e.g. a
+    file source fed time-partitioned files with maxFilesPerTrigger).
+    State is O(window) per entity, the same bound the reference's lazy
+    per-group iterator gives it (``fextract_batch_coverage/
+    plugin.py:40-111``)."""
+    import pandas as pd
+
+    out_schema = (
+        f"{by} string, {ts_col} long, {value_col} double, roll_mean double"
+    )
+    state_schema = "tss array<long>, vals array<double>"
+
+    def fn(key, pdf_iter, state):
+        (entity,) = key
+        tss, vals = state.get if state.exists else ([], [])
+        tss, vals = list(tss), list(vals)
+        for pdf in pdf_iter:
+            pdf = pdf.sort_values([ts_col], kind="mergesort")
+            out_rows = []
+            for t, v in zip(pdf[ts_col], pdf[value_col]):
+                tss.append(int(t))
+                vals.append(float(v))
+                tail = vals[-window:]
+                out_rows.append(
+                    (entity, int(t), float(v), sum(tail) / len(tail))
+                )
+            yield pd.DataFrame(
+                out_rows, columns=[by, ts_col, value_col, "roll_mean"]
+            )
+        state.update((tss[-(window - 1):], vals[-(window - 1):]))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return events.groupBy(by).applyInPandasWithState(
+        fn,
+        out_schema,
+        state_schema,
+        "append",
+        GroupStateTimeout.NoTimeout,
+    )

@@ -84,3 +84,57 @@ def test_watermark_drops_very_late_events(spark, tmp_path):
     # (ends 1_000_010 + gap) is final and emitted; the newest is still open
     assert (got["session_start"] == 1_000_000).any()
     assert not (got["session_start"] == 2_000_000).any()
+
+
+def test_stateful_rolling_mean_stream_equals_batch(spark, tmp_path, tiny_events):
+    """applyInPandasWithState custom operator: rolling mean state must
+    carry across micro-batches — 3 time-ordered files, one per trigger,
+    compared to the batch windows.rolling_mean."""
+    import os
+    import numpy as np
+    from lbf_spark.operators.windows import rolling_mean
+    from lbf_spark.streaming.stream_features import stream_rolling_mean_stateful
+
+    WINDOW = 8
+    pdf = (
+        tiny_events.drop(columns=["bytes"])
+        .drop_duplicates(subset=["entity", "ts"])
+        .sort_values("ts", ignore_index=True)
+    )
+    pdf["v"] = (pdf["phash"] % 1000).astype(float)
+    pdf = pdf[["entity", "ts", "v"]]
+    d = tmp_path / "src"
+    d.mkdir()
+    n = len(pdf)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        p = str(d / f"part{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(pdf.iloc[lo:hi], preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    src = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    q = (
+        stream_rolling_mean_stateful(src, window=WINDOW)
+        .writeStream.format("memory")
+        .queryName("roll_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from roll_tbl")
+        .toPandas()
+        .sort_values(["entity", "ts"], ignore_index=True)
+    )
+    static = spark.createDataFrame(pdf)
+    exp = (
+        rolling_mean(static, "v", "roll_mean", WINDOW, order="ts")
+        .toPandas()
+        .sort_values(["entity", "ts"], ignore_index=True)
+    )
+    assert len(got) == len(exp) and len(got) > 0
+    assert np.allclose(got["roll_mean"], exp["roll_mean"], rtol=1e-12, atol=1e-12)
+    # state really crossed batches: rows in later thirds have windows
+    # spanning the file boundary — the exact equality above proves it
