@@ -349,3 +349,63 @@ def simhash_near_dup_pairs(
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def dup_clusters(
+    pairs: DataFrame, max_iters: int = 25, checkpoint_every: int = 5
+) -> DataFrame:
+    """Connected components over near-dup pairs → (doc_id, cluster_id)
+    with cluster_id = the smallest doc id in the component (the
+    canonical keeper, matching exact_dedup's min-id rule).
+
+    Not in the reference (its dedup is per-read flag filtering); this is
+    the standard last step of warehouse-scale near-dup dedup: LSH pairs
+    form a graph whose components are the duplicate clusters.
+
+    Algorithm: iterative min-label propagation —
+    ``label(v) ← min(label(v), min over neighbors of label(u))`` —
+    one equi-join + partial-aggregating min per round, converging in
+    O(component diameter) rounds (near-dup clusters are short-diameter
+    by construction: every member pairs with a shared near-identical
+    text). Lineage is cut with localCheckpoint every few rounds so the
+    iterative plan cannot snowball; state is one (id, label) row per
+    node. The convergence probe is one count per round on the
+    (node-sized, not edge-sized) label frame.
+    """
+    e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    edges = e.unionByName(
+        e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    labels = (
+        edges.select(F.col("src").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+    )
+    for i in range(max_iters):
+        nbr = (
+            edges.join(labels, edges["dst"] == labels["id"])
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        new_labels = (
+            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            .select(
+                labels["id"],
+                F.least(
+                    labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
+                ).alias("label"),
+            )
+        )
+        if (i + 1) % checkpoint_every == 0:
+            new_labels = new_labels.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
+    )

@@ -1930,6 +1930,37 @@ def q54(spark, sf_dir):
     )
 
 
+@q(
+    "q55_dup_clusters",
+    f"""
+    with recursive
+    pairs as ( {_minhash_oracle_sql()} ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b, id_a from pairs
+    ),
+    reach as (
+      select src, dst from edges
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src
+    )
+    select src as doc_id, least(src, min(dst)) as cluster_id
+    from reach group by src
+    """,
+)
+def q55(spark, sf_dir):
+    """Near-dup clustering: connected components over the MinHash-LSH
+    verified pairs (q24), cluster_id = min doc id in the component —
+    the canonical-keeper step of warehouse dedup. Spark side is
+    iterative min-label propagation (O(diameter) joins); the oracle is
+    the transitive closure as a recursive CTE."""
+    pairs = dedup.minhash_dedup_pairs(
+        t(spark, sf_dir, "documents"), num_hashes=16, bands=8, threshold=0.1
+    )
+    return dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +

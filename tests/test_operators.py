@@ -408,3 +408,15 @@ def test_group_tests_rm_outliers(spark):
     dn = stats.group_test_k_dunn(df, "v", "g", "k", alpha=1.0, rm_outliers=True).toPandas()
     assert len(kw) == 1 and len(dn) == 1
     assert abs(dn.iloc[0]["mean_a"] - np.mean(base_a)) < 1e-12
+
+
+def test_dup_clusters_components(spark):
+    """Hand-built graph: chain 1-2-3-4 (one component), pair (10,11),
+    singleton-free (nodes only from edges). cluster_id = min id."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (7, 8), (8, 9), (9, 7)],
+        "id_a long, id_b long",
+    )
+    got = dedup.dup_clusters(pairs).toPandas().sort_values("doc_id")
+    exp = {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 10: 10, 11: 10}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
