@@ -115,3 +115,44 @@ def test_sessionize_matches_numpy(spark, ts_lists, gap):
         t = np.sort(grp.ts.to_numpy())
         exp.extend(np.cumsum(np.diff(t, prepend=t[0]) > gap))
     assert got["session_id"].tolist() == [int(x) for x in exp]
+
+
+@given(
+    ts_lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=60),
+        min_size=1, max_size=4,
+    ),
+    window=st.integers(min_value=2, max_value=9),
+    slice_w=st.integers(min_value=7, max_value=900),
+    gap=st.integers(min_value=1, max_value=500),
+)
+@SETTINGS
+def test_sliced_windows_match_unsliced_property(spark, ts_lists, window, slice_w, gap):
+    """Random timestamps / window sizes / slice widths: the halo-sliced
+    rolling mean and sessionize must equal the unsliced operators."""
+    from lbf_spark.operators import sliced_windows as SW, windows as W
+
+    rows = []
+    for i, ts in enumerate(ts_lists):
+        for t in sorted(set(ts)):
+            rows.append((f"e{i}", t, float((t * 31 + i) % 97)))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts", "v"])
+    df = spark.createDataFrame(pdf, "entity string, ts long, v double")
+    exp_r = (
+        W.rolling_mean(df, "v", "r", window)
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    got_r = (
+        SW.rolling_sliced(df, "v", "r", window, kernel="mean", slice_width=slice_w)
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    assert np.allclose(got_r["r"], exp_r["r"], rtol=0, atol=0)
+    exp_s = (
+        W.sessionize(df, gap, out="s")
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    got_s = (
+        SW.sessionize_sliced(df, gap, out="s", slice_width=slice_w)
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    assert got_s["s"].tolist() == exp_s["s"].tolist()
