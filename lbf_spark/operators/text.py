@@ -134,3 +134,96 @@ def doc_fingerprint(
     ).otherwise(F.array().cast("array<string>"))
     fp = F.concat_ws("|", F.slice(F.array_sort(F.array_distinct(tris)), 1, k))
     return df.withColumn(out, fp)
+
+
+def gopher_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_words: int = 20,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    min_alpha_word_frac: float = 0.8,
+) -> DataFrame:
+    """Gopher-style document quality gates (Rae et al. 2021, §A1.1 —
+    published filter rules, adapted to this corpus' short docs): word
+    count bounds, mean word length bounds, symbol-to-word ratio
+    ('#' and '...'), and fraction of words containing an alphabetic
+    character. Adds the signal columns + a single `gopher_pass` flag.
+    All JVM expressions; exactly reproducible in ANSI SQL."""
+    ws_words = F.filter(F.split(F.col(text_col), "\\s+"), lambda x: x != "")
+    n_words = F.size(ws_words).cast("double")
+    mean_wlen = F.aggregate(
+        ws_words, F.lit(0.0), lambda acc, w: acc + F.length(w)
+    ) / F.greatest(n_words, F.lit(1.0))
+    n_hash = F.size(F.split(F.col(text_col), "#", -1)) - 1
+    n_ell = F.size(F.split(F.col(text_col), "\\.\\.\\.", -1)) - 1
+    symbol_ratio = (n_hash + n_ell) / F.greatest(n_words, F.lit(1.0))
+    alpha_frac = F.size(
+        F.filter(ws_words, lambda w: w.rlike("[A-Za-z]"))
+    ) / F.greatest(n_words, F.lit(1.0))
+    out = (
+        df.withColumn("n_words", n_words.cast("long"))
+        .withColumn("mean_word_len", F.round(mean_wlen, 6))
+        .withColumn("symbol_ratio", F.round(symbol_ratio, 6))
+        .withColumn("alpha_word_frac", F.round(alpha_frac, 6))
+    )
+    gate = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") < max_symbol_ratio)
+        & (F.col("alpha_word_frac") >= min_alpha_word_frac)
+    )
+    return out.withColumn("gopher_pass", gate)
+
+
+def ngram_repetition(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+) -> DataFrame:
+    """Within-document n-gram repetition (the Gopher/C4 repetition
+    filter family): ``dup_ngram_frac`` = 1 − distinct/total n-grams and
+    ``top_ngram_frac`` = occurrences of the most frequent n-gram /
+    total. Token n-grams over the same tokenizer as the dedup shingles;
+    rows with < n tokens report 0. JVM explode + aggregate — the heavy
+    part is one partial-aggregating groupBy per (doc, ngram), row-local
+    by doc_id, skew-free."""
+    from lbf_spark.operators.dedup import tokens_col as _tok
+
+    toks = _tok(text_col)
+    grams = F.when(
+        F.size(toks) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - n),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    g = df.select(F.col(id_col), F.explode_outer(grams).alias("g"))
+    per_gram = g.groupBy(id_col, "g").agg(F.count(F.lit(1)).alias("c"))
+    stats = per_gram.groupBy(id_col).agg(
+        F.sum(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("_total"),
+        F.count(F.when(F.col("g").isNotNull(), F.lit(1))).alias("_distinct"),
+        F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("_top"),
+    )
+    return df.join(stats, id_col, "left").select(
+        *df.columns,
+        F.round(
+            F.when(
+                F.col("_total") > 0,
+                1.0 - F.col("_distinct") / F.col("_total").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("dup_ngram_frac"),
+        F.round(
+            F.when(
+                F.col("_total") > 0,
+                F.col("_top") / F.col("_total").cast("double"),
+            ).otherwise(0.0),
+            6,
+        ).alias("top_ngram_frac"),
+    )

@@ -1961,6 +1961,81 @@ def q55(spark, sf_dir):
     return dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
 
 
+@q(
+    "q56_gopher_quality",
+    """
+    with w as (
+      select doc_id,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as ws,
+             text
+      from documents
+    ),
+    s as (
+      select doc_id,
+             len(ws) as n_words,
+             list_sum(list_transform(ws, x -> length(x))) * 1.0
+               / greatest(len(ws), 1) as mwl,
+             (len(string_split(text, '#')) - 1
+              + len(string_split(text, '...')) - 1) * 1.0
+               / greatest(len(ws), 1) as sym,
+             len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]'))) * 1.0
+               / greatest(len(ws), 1) as alpha
+      from w
+    )
+    select doc_id,
+           cast(n_words as bigint) as n_words,
+           round(mwl, 6) as mean_word_len,
+           round(sym, 6) as symbol_ratio,
+           round(alpha, 6) as alpha_word_frac,
+           (n_words >= 20 and n_words <= 100000
+            and round(mwl, 6) >= 3.0 and round(mwl, 6) <= 10.0
+            and round(sym, 6) < 0.1
+            and round(alpha, 6) >= 0.8) as gopher_pass
+    from s
+    """,
+)
+def q56(spark, sf_dir):
+    """Gopher-style quality gates (published filter rules, Rae et al.
+    2021 §A1.1): word-count/mean-word-length bounds, symbol-to-word
+    ratio, alphabetic-word fraction, and the combined pass flag — all
+    JVM expressions."""
+    out = text.gopher_quality(t(spark, sf_dir, "documents"))
+    return out.select(
+        "doc_id", "n_words", "mean_word_len", "symbol_ratio",
+        "alpha_word_frac", "gopher_pass",
+    )
+
+
+@q(
+    "q57_ngram_repetition",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    g as (
+      select doc_id,
+             unnest([array_to_string(tk[i:i+2], ' ')
+                     for i in range(1, len(tk) - 1)]) as g
+      from toks where len(tk) >= 3
+    ),
+    pg as (select doc_id, g, count(*) as c from g group by 1, 2),
+    st as (
+      select doc_id, sum(c) as total, count(*) as dist, max(c) as top
+      from pg group by 1
+    )
+    select d.doc_id,
+           round(coalesce(1 - dist * 1.0 / total, 0.0), 6) + 0
+             as dup_ngram_frac,
+           round(coalesce(top * 1.0 / total, 0.0), 6) + 0 as top_ngram_frac
+    from documents d left join st on st.doc_id = d.doc_id
+    """,
+)
+def q57(spark, sf_dir):
+    """Within-document n-gram repetition (the Gopher/C4 repetition
+    filter family): duplicate-trigram fraction and most-frequent-
+    trigram fraction per doc."""
+    out = text.ngram_repetition(t(spark, sf_dir, "documents"), n=3)
+    return out.select("doc_id", "dup_ngram_frac", "top_ngram_frac")
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +

@@ -420,3 +420,24 @@ def test_dup_clusters_components(spark):
     got = dedup.dup_clusters(pairs).toPandas().sort_values("doc_id")
     exp = {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 8: 7, 9: 7, 10: 10, 11: 10}
     assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
+
+
+def test_gopher_quality_and_repetition(spark):
+    """Hand-checkable docs: a clean doc passes; a symbol-heavy doc and
+    a hyper-repetitive doc fail the respective signals."""
+    clean = " ".join(f"plain word number {i} runs along nicely here" for i in range(5))
+    symbols = " ".join(["### ... ###"] * 30)
+    repeat = " ".join(["spam spam spam"] * 30)
+    df = spark.createDataFrame(
+        [(1, clean), (2, symbols), (3, repeat)], "doc_id long, text string"
+    )
+    q = text.gopher_quality(df, min_words=10).toPandas().set_index("doc_id")
+    assert bool(q.loc[1, "gopher_pass"])
+    assert not bool(q.loc[2, "gopher_pass"])  # symbol ratio + alpha frac
+    assert q.loc[2, "symbol_ratio"] > 0.1
+    assert q.loc[2, "alpha_word_frac"] == 0.0
+    r = text.ngram_repetition(df, n=3).toPandas().set_index("doc_id")
+    # 'spam spam spam' x30: 88 trigrams, all identical -> dup frac 87/88
+    assert r.loc[3, "top_ngram_frac"] == 1.0
+    assert abs(r.loc[3, "dup_ngram_frac"] - (1 - 1 / 88)) < 1e-6
+    assert r.loc[1, "dup_ngram_frac"] < r.loc[3, "dup_ngram_frac"]
