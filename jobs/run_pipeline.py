@@ -13,8 +13,14 @@ from __future__ import annotations
 
 import argparse
 import json
+import os
+import sys
 
 from pyspark.sql import SparkSession
+
+# bare-python fallback (spark-submit --py-files supplies the package on
+# a cluster; this makes `python jobs/run_pipeline.py` work for debugging)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> None:

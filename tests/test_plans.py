@@ -166,3 +166,48 @@ def test_spark_submit_pyfiles_job(tmp_path):
     metrics = json.loads(out.stdout.strip().splitlines()[-1])
     assert metrics["n_vectors"] > 0 and metrics["total_wall_sec"] > 0
     assert glob.glob(str(tmp_path / "ckpt" / "*" / "metrics.json"))
+
+
+def test_peter_ulz_plan_is_jvm_hash_join(spark, tiny_events, tiny_anchors):
+    """A4 coverage must compile to a hash join (never nested-loop) with
+    zero Python nodes."""
+    from lbf_spark.operators.windows import peter_ulz_coverage
+
+    ev = fixtures.events_to_spark(spark, tiny_events).select(
+        "entity", "ts", "duration"
+    )
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    plan = _explain_str(
+        peter_ulz_coverage(ev, an, span=1000, bucket_w=100)
+    )
+    assert "BroadcastNestedLoopJoin" not in plan and "Cartesian" not in plan
+    for python_node in ("InPandas", "EvalPython"):
+        assert python_node not in plan, python_node
+
+
+def test_text_filters_are_pure_jvm(spark):
+    """Gopher gates + repetition filters must contain no Python nodes
+    (they run inside whole-stage codegen / hash aggregates)."""
+    from lbf_spark.operators import text
+
+    df = spark.createDataFrame(
+        [(1, "some words here for the test runs fine")],
+        "doc_id long, text string",
+    )
+    for out in (text.gopher_quality(df), text.ngram_repetition(df)):
+        plan = _explain_str(out)
+        for python_node in ("InPandas", "EvalPython"):
+            assert python_node not in plan, python_node
+
+
+def test_hybrid_event_features_keeps_fused_exchange_for_cold_entities(
+    spark, tiny_events
+):
+    """With hot_slice_width set, the non-hot branch must still be the
+    fused single-exchange window plan (the hybrid does not tax cold
+    entities), and the hot branch must group by (entity, _slice)."""
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    cfg = P.FeatureConfig(hot_slice_width=4000)
+    plan = _explain_str(P.event_features(ev, cfg))
+    assert "Union" in plan              # two branches
+    assert "_slice" in plan             # sliced branch present
