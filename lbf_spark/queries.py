@@ -869,6 +869,43 @@ def q27(spark, sf_dir):
     return S.exact_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
 
 
+@q(
+    "q58_embed_clusters",
+    """
+    with recursive
+    v as (select vec_id, embedding::DOUBLE[] as e from embeddings),
+    pairs as (
+      select a.vec_id as id_a, b.vec_id as id_b
+      from v a join v b on a.vec_id < b.vec_id
+      where round(list_dot_product(a.e, b.e)
+                  / (sqrt(list_dot_product(a.e, a.e))
+                     * sqrt(list_dot_product(b.e, b.e))), 4) >= 0.4
+    ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b, id_a from pairs
+    ),
+    reach as (
+      select src, dst from edges
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src
+    )
+    select src as vec_id, least(src, min(dst)) as cluster_id
+    from reach group by src
+    """,
+)
+def q58(spark, sf_dir):
+    """Embedding near-dup clusters: cosine ≥ 0.4 pairs (q27) →
+    connected components (same min-label propagation as q55) — the
+    semantic-dedup composition over the embedding column."""
+    pairs = S.exact_near_dup_pairs(t(spark, sf_dir, "embeddings"), threshold=0.4)
+    clusters = dedup.dup_clusters(pairs.select("id_a", "id_b"))
+    return clusters.select(
+        F.col("doc_id").alias("vec_id"), "cluster_id"
+    )
+
+
 def _lang_oracle_sql() -> str:
     from lbf_spark.operators.text import STOPWORDS
 
