@@ -47,6 +47,15 @@ BENCH_QUERIES = [
     "q26_embed_topk",
 ]
 
+# round-2 operators, timed but NOT summed into the headline total so
+# cross-round BENCH values stay comparable
+EXTRA_QUERIES = [
+    "q49_flagship_matrix",
+    "q52_peter_ulz",
+    "q55_dup_clusters",
+    "q57_ngram_repetition",
+]
+
 
 def _flagship_input() -> tuple[str, str]:
     from lbf_spark import fixtures
@@ -126,10 +135,11 @@ def run_bench(master: str, flagship_only: bool = False) -> dict:
         timings["flagship_image_pipeline"] = round(wall, 3)
         rows_per_sec = n_rows / wall
         spark.catalog.clearCache()
+        extra: dict[str, float] = {}
         if not flagship_only:
             from lbf_spark.queries import QUERIES
 
-            for name in BENCH_QUERIES:
+            def best_of_2(name: str) -> float:
                 fn, _ = QUERIES[name]
                 runs = []
                 for _rep in range(2):  # best-of-2: machine noise is bimodal
@@ -137,13 +147,19 @@ def run_bench(master: str, flagship_only: bool = False) -> dict:
                     t0 = time.time()
                     fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
                     runs.append(time.time() - t0)
-                timings[name] = round(min(runs), 3)
+                return round(min(runs), 3)
+
+            for name in BENCH_QUERIES:
+                timings[name] = best_of_2(name)
+            for name in EXTRA_QUERIES:
+                extra[name] = best_of_2(name)
         total = round(sum(timings.values()), 3)
         return {
             "metric": "asof_window_feature_pipeline_total",
             "value": total,
             "unit": "sec",
             "queries": timings,
+            "extra_queries": extra,
             "sf": SF_DIR.rstrip("/").split("sf")[-1],
             "entity_rows_per_sec": round(rows_per_sec, 1),
             "flagship_rows": n_rows,

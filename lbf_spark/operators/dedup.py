@@ -367,26 +367,31 @@ def dup_clusters(
     one equi-join + partial-aggregating min per round, converging in
     O(component diameter) rounds (near-dup clusters are short-diameter
     by construction: every member pairs with a shared near-identical
-    text). Lineage is cut with localCheckpoint every few rounds so the
-    iterative plan cannot snowball; state is one (id, label) row per
-    node. The convergence probe is one count per round on the
-    (node-sized, not edge-sized) label frame.
+    text). The edge frame is checkpointed ONCE so the (possibly
+    expensive) pair-generation lineage never re-executes; the node-sized
+    label frame is checkpointed each round. Convergence probe: the
+    label SUM strictly decreases until fixpoint (labels only ever drop
+    to a smaller id), so one scalar aggregate per round detects it —
+    no self-join, no recompute.
     """
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
+    ).localCheckpoint(eager=True)  # pair lineage executes exactly once
     labels = (
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
-    for i in range(max_iters):
+    _ = checkpoint_every  # kept for API stability; every round is cut
+    prev_sum = labels.agg(F.sum("label").alias("s")).first()["s"]
+    for _i in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        new_labels = (
+        labels = (
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
@@ -394,18 +399,12 @@ def dup_clusters(
                     labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
                 ).alias("label"),
             )
+            .localCheckpoint(eager=True)
         )
-        if (i + 1) % checkpoint_every == 0:
-            new_labels = new_labels.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        cur_sum = labels.agg(F.sum("label").alias("s")).first()["s"]
+        if cur_sum == prev_sum:
             break
+        prev_sum = cur_sum
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
