@@ -231,6 +231,67 @@ def wps(
     return med.withColumn("wps", F.col("wps_raw") - F.col("_med")).drop("_med")
 
 
+def resample_grid(
+    df: DataFrame,
+    step: int,
+    value: str,
+    by: str = "entity",
+    ts_col: str = "ts",
+    how: str = "mean",
+    fill: str | None = None,
+) -> DataFrame:
+    """Resample each entity's event stream onto a fixed-interval grid:
+    bucket ts by ``step``, aggregate ``value`` per bucket, densify the
+    per-entity [min_bucket, max_bucket] range (empty buckets → null),
+    then optionally gap-fill ('ffill' | 'bfill'). The dense-grid analog
+    of the reference's fixed-length per-interval tensors
+    (``fextract/lib.py:182-213`` builds exactly such a dense array per
+    interval before summarizing).
+
+    Determinism: 'mean' is computed as decimal(28,12)-cast sum / count
+    so partial-aggregation order cannot change bits (repo rule).
+    Output: (by, bucket, bucket_ts, value). All JVM; the densify join
+    is per-entity-range — the grid side is |entities| × n_buckets rows.
+    """
+    aggs = {
+        "mean": lambda c: (
+            F.sum(F.col(c).cast("decimal(28,12)")).cast("double")
+            / F.count(F.col(c))
+        ),
+        "sum": lambda c: F.sum(F.col(c).cast("decimal(28,12)")).cast("double"),
+        "min": lambda c: F.min(c),
+        "max": lambda c: F.max(c),
+        "count": lambda c: F.count(c).cast("double"),
+    }
+    if how not in aggs:
+        raise ValueError(f"how must be one of {sorted(aggs)}")
+    bucket = F.floor(F.col(ts_col) / F.lit(int(step))).cast("long")
+    agg = (
+        df.withColumn("bucket", bucket)
+        .groupBy(by, "bucket")
+        .agg(aggs[how](value).alias("_v"))
+    )
+    bounds = agg.groupBy(by).agg(
+        F.min("bucket").alias("_lo"), F.max("bucket").alias("_hi")
+    )
+    grid = bounds.select(
+        by, F.explode(F.sequence("_lo", "_hi")).alias("bucket")
+    )
+    dense = grid.join(agg, [by, "bucket"], "left")
+    if fill == "ffill":
+        dense = ffill(dense, "_v", by=by, order="bucket")
+    elif fill == "bfill":
+        dense = bfill(dense, "_v", by=by, order="bucket")
+    elif fill is not None:
+        raise ValueError("fill must be None, 'ffill' or 'bfill'")
+    return dense.select(
+        by,
+        "bucket",
+        (F.col("bucket") * int(step)).alias("bucket_ts"),
+        F.col("_v").alias(value),
+    )
+
+
 def peter_ulz_coverage(
     events: DataFrame,
     anchors: DataFrame,

@@ -2073,6 +2073,53 @@ def q57(spark, sf_dir):
     return out.select("doc_id", "dup_ngram_frac", "top_ngram_frac")
 
 
+@q(
+    "q59_resample_ffill",
+    f"""
+    with b as (
+      select user_id,
+             cast(ts_us // {_DAY_US} as bigint) as bucket,
+             cast(sum(cast(value as decimal(28,12))) as double)
+               / count(value) as v
+      from {_EVENTS_SQL} group by 1, 2
+    ),
+    bounds as (
+      select user_id, min(bucket) as lo, max(bucket) as hi
+      from b group by user_id
+    ),
+    grid as (
+      select user_id, unnest(generate_series(lo, hi)) as bucket from bounds
+    ),
+    dense as (
+      select g.user_id, g.bucket, b.v
+      from grid g left join b on b.user_id = g.user_id and b.bucket = g.bucket
+    )
+    select user_id, bucket,
+           cast(bucket * {_DAY_US} as bigint) as bucket_ts,
+           round(last_value(v ignore nulls)
+                 over (partition by user_id order by bucket
+                       rows between unbounded preceding and current row),
+                 6) + 0 as value
+    from dense
+    """,
+)
+def q59(spark, sf_dir):
+    """Resample each user's stream onto a daily grid with forward-fill
+    (the dense per-interval tensor analog, `fextract/lib.py:182-213`):
+    bucket → decimal-mean → densify [min, max] → ffill."""
+    from lbf_spark.operators.windows import resample_grid
+
+    ev = _events(spark, sf_dir)
+    out = resample_grid(
+        ev, step=_DAY_US, value="value", by="user_id", ts_col="ts_us",
+        how="mean", fill="ffill",
+    )
+    return out.select(
+        "user_id", "bucket", "bucket_ts",
+        (F.round("value", 6) + F.lit(0.0)).alias("value"),
+    )
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +

@@ -441,3 +441,24 @@ def test_gopher_quality_and_repetition(spark):
     assert r.loc[3, "top_ngram_frac"] == 1.0
     assert abs(r.loc[3, "dup_ngram_frac"] - (1 - 1 / 88)) < 1e-6
     assert r.loc[1, "dup_ngram_frac"] < r.loc[3, "dup_ngram_frac"]
+
+
+def test_resample_grid_hand_case(spark):
+    """Entity with buckets {0, 3}: densified grid 0..3, means exact,
+    ffill carries bucket-0 value through 1 and 2."""
+    from lbf_spark.operators.windows import resample_grid
+
+    rows = [("a", 5, 10.0), ("a", 7, 20.0), ("a", 35, 40.0)]
+    df = spark.createDataFrame(rows, "entity string, ts long, v double")
+    out = (
+        resample_grid(df, step=10, value="v", fill="ffill")
+        .toPandas().sort_values("bucket", ignore_index=True)
+    )
+    assert out["bucket"].tolist() == [0, 1, 2, 3]
+    assert out["bucket_ts"].tolist() == [0, 10, 20, 30]
+    assert out["v"].tolist() == [15.0, 15.0, 15.0, 40.0]
+    raw = (
+        resample_grid(df, step=10, value="v")
+        .toPandas().sort_values("bucket", ignore_index=True)
+    )
+    assert raw["v"].isna().tolist() == [False, True, True, False]
