@@ -152,6 +152,37 @@ def positional_binning(
     )
 
 
+def stratified_sample_exact(
+    df: DataFrame,
+    n_per_group: int,
+    by: list[str] | str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Deterministic exact-n-per-stratum sample: rows are ranked within
+    each group by ``md5(seed:group:id)`` and the first ``n_per_group``
+    kept. Unlike ``sampleBy`` (Bernoulli — approximate counts, engine-
+    specific RNG), this gives exact quotas and is bit-reproducible on
+    any engine that has md5 — the per-source quota step of a training-
+    data mixture. One window over the group hash — skew-bounded by the
+    largest stratum (combine with entity sub-keying if a stratum is a
+    whole-corpus fraction). Ties cannot occur (md5 of distinct ids).
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), *[F.col(c).cast("string") for c in by],
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(*by).orderBy(key, id_col)
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_per_group)
+        .drop("__rk")
+    )
+
+
 def multinomial_subsample(
     df: DataFrame,
     count_col: str,

@@ -2120,6 +2120,31 @@ def q59(spark, sf_dir):
     )
 
 
+@q(
+    "q60_stratified_sample",
+    """
+    with r as (
+      select doc_id, source,
+             row_number() over (
+               partition by source
+               order by md5('42:' || source || ':' || cast(doc_id as varchar)),
+                        doc_id) as rk
+      from documents
+    )
+    select doc_id, source from r where rk <= 10
+    """,
+)
+def q60(spark, sf_dir):
+    """Deterministic exact-quota stratified sample (10 docs per source
+    — a real subset at every sf) via md5 ranking — the per-source
+    mixture-quota step; bit-identical on any engine with md5."""
+    out = D.stratified_sample_exact(
+        t(spark, sf_dir, "documents"), n_per_group=10, by="source",
+        id_col="doc_id", seed=42,
+    )
+    return out.select("doc_id", "source")
+
+
 @q("q50_group_pvalues", None)
 def q50(spark, sf_dir):
     """The p-value halves of the group-contrast family (A18+A19+A20 +

@@ -462,3 +462,14 @@ def test_resample_grid_hand_case(spark):
         .toPandas().sort_values("bucket", ignore_index=True)
     )
     assert raw["v"].isna().tolist() == [False, True, True, False]
+
+
+def test_stratified_sample_exact_quota_and_determinism(spark, docs):
+    df = docs.withColumn("src", (F.col("doc_id") % 2).cast("string"))
+    s1 = D.stratified_sample_exact(df, 2, by="src", id_col="doc_id").toPandas()
+    s2 = D.stratified_sample_exact(df, 2, by="src", id_col="doc_id").toPandas()
+    assert sorted(s1["doc_id"]) == sorted(s2["doc_id"])  # deterministic
+    assert s1.groupby("src")["doc_id"].count().tolist() == [2, 2]  # exact quota
+    s3 = D.stratified_sample_exact(df, 2, by="src", id_col="doc_id", seed=7).toPandas()
+    # a different seed picks a different subset (md5 re-ranks)
+    assert sorted(s1["doc_id"]) != sorted(s3["doc_id"])
