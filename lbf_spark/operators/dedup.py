@@ -98,7 +98,6 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, equi-join on (band_id, band_hash) → candidate
     pairs (a < b). One shuffle; hot buckets are real near-dup clusters."""
-    num_hashes = None  # derived from rows; bands must divide signature length
     sig_len_col = F.size("signature")
     rows_per_band = (sig_len_col / bands).cast("int")
     banded = signed.select(
@@ -119,7 +118,6 @@ def lsh_candidate_pairs(
     ).select(id_col, "band.band_id", "band.band_hash")
     a = banded.alias("a")
     b = banded.alias("b")
-    _ = num_hashes
     return (
         a.join(
             b,
@@ -351,9 +349,7 @@ def simhash_near_dup_pairs(
     )
 
 
-def dup_clusters(
-    pairs: DataFrame, max_iters: int = 25, checkpoint_every: int = 5
-) -> DataFrame:
+def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the smallest doc id in the component (the
     canonical keeper, matching exact_dedup's min-id rule).
@@ -383,7 +379,6 @@ def dup_clusters(
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    _ = checkpoint_every  # kept for API stability; every round is cut
     prev_sum = labels.agg(F.sum("label").alias("s")).first()["s"]
     for _i in range(max_iters):
         nbr = (

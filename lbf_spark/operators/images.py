@@ -103,7 +103,6 @@ def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
             out["w"] = np.int32(out_w)
             out["h"] = np.int32(out_h)
             yield out
-        _ = ys
 
     return df.mapInPandas(batches, schema)
 
