@@ -82,7 +82,12 @@ def _flagship_input() -> tuple[str, str]:
     return ev_path, an_path
 
 
-def run_flagship(spark, repeats: int | None = None, warmup: bool = True) -> tuple[float, int]:
+def run_flagship(
+    spark,
+    repeats: int | None = None,
+    warmup: bool = True,
+    hot_slice: int | None = None,
+) -> tuple[float, int]:
     """Full north_rule pipeline; returns (steady-state wall_sec, rows).
 
     One untimed pass first (Python-worker cold start ≈ 10 s for 32
@@ -104,8 +109,10 @@ def run_flagship(spark, repeats: int | None = None, warmup: bool = True) -> tupl
     n_rows = events.count()
 
     # hot-entity slicing for the Zipf fixture (results identical —
-    # property-tested); LBF_BENCH_HOT_SLICE=0 turns it off
-    hot_slice = int(os.environ.get("LBF_BENCH_HOT_SLICE", "0")) or None
+    # property-tested); default off for the headline number (comparable
+    # across rounds), benched separately as flagship_image_pipeline_sliced
+    if hot_slice is None:
+        hot_slice = int(os.environ.get("LBF_BENCH_HOT_SLICE", "0")) or None
     cfg = P.FeatureConfig(hot_slice_width=hot_slice)
 
     def one_pass() -> float:
@@ -136,6 +143,21 @@ def run_bench(master: str, flagship_only: bool = False) -> dict:
         rows_per_sec = n_rows / wall
         spark.catalog.clearCache()
         extra: dict[str, float] = {}
+        if not flagship_only:
+            # the skew path's cost/benefit at bench scale: same flagship
+            # with hot entities routed through the halo-sliced window
+            # variants (auto hot threshold; slice width = span/cores so
+            # the hottest entity's window work lands in ~CPUS tasks)
+            from pyspark.sql import functions as F
+
+            ev_path, _ = _flagship_input()
+            lo, hi = (
+                spark.read.parquet(ev_path).agg(F.min("ts"), F.max("ts")).first()
+            )
+            width = max(1, int(hi - lo + 1) // CPUS)
+            sliced_wall, _n = run_flagship(spark, hot_slice=width, warmup=False)
+            extra["flagship_image_pipeline_sliced"] = round(sliced_wall, 3)
+            spark.catalog.clearCache()
         if not flagship_only:
             from lbf_spark.queries import QUERIES
 

@@ -148,17 +148,22 @@ def jaccard_pairs(
     ``max_df`` (the 100-TB guard): shingles appearing in more than
     ``max_df`` documents are dropped from the *inverted index* before
     the self-join — a single stopword-like shingle in k docs otherwise
-    produces k² join rows. Candidate pairs then flow through the exact
-    ``array_intersect`` verification (full shingle sets, so reported
-    jaccard values are UNAFFECTED by the cap); only pairs whose every
-    common shingle is hot are missed — the standard trade in every
-    warehouse-scale near-dup system. Without ``max_df`` the original
-    one-shot index join computes n_common directly.
+    produces k² join rows. Jaccard values are UNAFFECTED by the cap:
+    n_common is recovered exactly as (shared-RARE count, aggregated
+    inside the self-join) + (intersection of the per-doc HOT-shingle
+    arrays, which are tiny — ≤ total_shingle_instances / max_df hot
+    shingles exist globally). Only pairs whose every common shingle is
+    hot are missed — the standard trade in every warehouse-scale
+    near-dup system. This shape never shuffles full shingle arrays for
+    candidate verification (that re-intersect cost +41 % at bench
+    scale). Without ``max_df`` the original one-shot index join
+    computes n_common directly.
 
-    The shingle index is persisted: it feeds the self-join (twice) and
-    both size lookups — recomputing the regex/shingle expression 4-6×
-    costs far more than caching it (at warehouse scale this is the
-    materialized shingle index every near-dup system builds anyway).
+    The shingle index (and in the capped path the exploded inverted
+    index) is persisted: it feeds the self-join (twice) and both size
+    lookups — recomputing the regex/shingle expression 4-6× costs far
+    more than caching it (at warehouse scale this is the materialized
+    shingle index every near-dup system builds anyway).
     """
     from pyspark import StorageLevel
 
@@ -167,29 +172,63 @@ def jaccard_pairs(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
     if candidates is None and max_df is not None:
-        inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
-        # shingles are per-doc distinct ⇒ df = count(*); drop hot ones
-        rare = inv.join(
+        inv = shingled.select(id_col, F.explode("shingles").alias("sh")).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        # shingles are per-doc distinct ⇒ df = count(*); split hot/rare
+        hot_sh = (
             inv.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
-            .filter(F.col("df") <= max_df)
-            .select("sh"),
-            "sh",
+            .filter(F.col("df") > max_df)
+            .select("sh")
         )
-        candidates = (
+        rare = inv.join(hot_sh, "sh", "left_anti")
+        pairs_rare = (
             rare.alias("x")
             .join(
                 rare.alias("y"),
                 (F.col("x.sh") == F.col("y.sh"))
                 & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
             )
-            .select(
+            .groupBy(
                 F.col(f"x.{id_col}").alias("id_a"),
                 F.col(f"y.{id_col}").alias("id_b"),
             )
-            .distinct()
+            .agg(F.count(F.lit(1)).alias("n_rare"))
         )
-    if candidates is None:
+        # per-doc HOT shingles: a tiny array (few shingles are hot by
+        # definition); exact n_common = n_rare + |hot_a ∩ hot_b|
+        hot_doc = (
+            inv.join(hot_sh, "sh")
+            .groupBy(id_col)
+            .agg(F.collect_set("sh").alias("hot_arr"))
+        )
+        empty = F.array().cast("array<string>")
+        pairs = (
+            pairs_rare.join(
+                hot_doc.select(F.col(id_col).alias("id_a"), F.col("hot_arr").alias("hot_a")),
+                "id_a",
+                "left",
+            )
+            .join(
+                hot_doc.select(F.col(id_col).alias("id_b"), F.col("hot_arr").alias("hot_b")),
+                "id_b",
+                "left",
+            )
+            .select(
+                "id_a",
+                "id_b",
+                (
+                    F.col("n_rare")
+                    + F.size(
+                        F.array_intersect(
+                            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+                        )
+                    )
+                ).alias("n_common"),
+            )
+        )
+    elif candidates is None:
         inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
         pairs = (
             inv.alias("x")
@@ -349,10 +388,18 @@ def simhash_near_dup_pairs(
     )
 
 
-def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
+def dup_clusters(
+    pairs: DataFrame,
+    max_iters: int = 25,
+    reliable: bool = False,
+    checkpoint_dir: str | None = None,
+    strict: bool = True,
+) -> DataFrame:
     """Connected components over near-dup pairs → (doc_id, cluster_id)
     with cluster_id = the smallest doc id in the component (the
-    canonical keeper, matching exact_dedup's min-id rule).
+    canonical keeper, matching exact_dedup's min-id rule). Works for
+    ANY orderable id type (string ids included — min/least are
+    lexicographic there).
 
     Not in the reference (its dedup is per-read flag filtering); this is
     the standard last step of warehouse-scale near-dup dedup: LSH pairs
@@ -363,43 +410,96 @@ def dup_clusters(pairs: DataFrame, max_iters: int = 25) -> DataFrame:
     one equi-join + partial-aggregating min per round, converging in
     O(component diameter) rounds (near-dup clusters are short-diameter
     by construction: every member pairs with a shared near-identical
-    text). The edge frame is checkpointed ONCE so the (possibly
-    expensive) pair-generation lineage never re-executes; the node-sized
-    label frame is checkpointed each round. Convergence probe: the
-    label SUM strictly decreases until fixpoint (labels only ever drop
-    to a smaller id), so one scalar aggregate per round detects it —
-    no self-join, no recompute.
+    text). Convergence probe: count of rows whose label changed this
+    round (type-agnostic — a label *sum* would be NULL for string ids
+    and silently stop after one round).
+
+    Fault tolerance / memory:
+
+    * ``reliable=False`` (default, single-box): the edge frame is
+      localCheckpoint'ed ONCE so the (possibly expensive)
+      pair-generation lineage never re-executes; each round's label
+      frame is ``persist(MEMORY_AND_DISK)``-materialized and the
+      PRIOR round's blocks are explicitly unpersisted (localCheckpoint
+      blocks cannot be freed through any public API — verified — so
+      per-round checkpointing would leak node-sized blocks every
+      round). Lineage grows one join per round; with ≤``max_iters``
+      rounds the plan stays tiny, and an evicted block recomputes from
+      the checkpointed edges.
+    * ``reliable=True`` (cluster): rounds go through reliable
+      ``checkpoint()`` to ``checkpoint_dir`` (or the session's
+      pre-set one) — executor loss can NOT kill the run, the blocks
+      live on the DFS. This is the mode a 1000-executor job must use.
+
+    Raises (``strict=True``) or warns after ``max_iters`` rounds
+    without a fixpoint — silently returning half-propagated labels
+    would mislabel every component of diameter > max_iters.
     """
+    from pyspark import StorageLevel
+
+    spark = pairs.sparkSession
+    if reliable:
+        if checkpoint_dir is not None:
+            spark.sparkContext.setCheckpointDir(checkpoint_dir)
+        elif spark.sparkContext.getCheckpointDir() is None:
+            raise ValueError(
+                "dup_clusters(reliable=True) needs a checkpoint dir: pass "
+                "checkpoint_dir= or call sparkContext.setCheckpointDir first"
+            )
+
+    def _materialize(df: DataFrame) -> DataFrame:
+        if reliable:
+            return df.checkpoint(eager=True)
+        df = df.persist(StorageLevel.MEMORY_AND_DISK)
+        return df
+
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=True)  # pair lineage executes exactly once
-    labels = (
+    )
+    # pair lineage (LSH join + verify) executes exactly once
+    edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(
+        eager=True
+    )
+    labels = _materialize(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
     )
-    prev_sum = labels.agg(F.sum("label").alias("s")).first()["s"]
+    converged = False
     for _i in range(max_iters):
         nbr = (
             edges.join(labels, edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        labels = (
+        stepped = _materialize(
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
+                labels["label"].alias("_prev"),
                 F.least(
                     labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
                 ).alias("label"),
             )
-            .localCheckpoint(eager=True)
         )
-        cur_sum = labels.agg(F.sum("label").alias("s")).first()["s"]
-        if cur_sum == prev_sum:
+        # one node-sized scan: materializes this round AND probes fixpoint
+        n_changed = stepped.filter(F.col("label") != F.col("_prev")).count()
+        if not reliable:
+            labels.unpersist()
+        labels = stepped.drop("_prev")
+        if n_changed == 0:
+            converged = True
             break
-        prev_sum = cur_sum
+    if not converged:
+        msg = (
+            f"dup_clusters did not converge in max_iters={max_iters} rounds; "
+            "labels for components of larger diameter are still propagating"
+        )
+        if strict:
+            raise RuntimeError(msg)
+        import warnings
+
+        warnings.warn(msg, stacklevel=2)
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )

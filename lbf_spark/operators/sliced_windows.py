@@ -81,15 +81,21 @@ def _halo_rows(
     k = window - 1
 
     def assemble(keys: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        # One forward pass over the slices, carrying a rolling buffer of
+        # the last k prior rows — O(n_slices * window), never quadratic
+        # (a per-slice rescan of all prior tails would be O(n_slices²)
+        # inside ONE task at the 10⁵-10⁶-slice design point).
         pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
-        slices = sorted(pdf["_slice"].unique())
         out = []
-        for s in slices[1:]:  # first slice has no history
-            prior = pdf[pdf["_slice"] < s]
-            if len(prior):
-                h = prior.tail(k).copy()
+        tail = pdf.iloc[0:0]
+        # order_cols starts with ts and _slice = floor(ts/W), so the
+        # sort above is also slice-ordered; groupby keeps intra-slice order.
+        for s, grp in pdf.groupby("_slice", sort=True):
+            if len(tail):
+                h = tail.copy()
                 h["_slice"] = s
                 out.append(h)
+            tail = pd.concat([tail, grp]).tail(k) if len(tail) else grp.tail(k)
         if not out:
             return pdf.iloc[0:0]
         return pd.concat(out, ignore_index=True)

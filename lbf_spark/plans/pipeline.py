@@ -229,7 +229,12 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     hot = _hot_entities(events, cfg)
     if not hot:
         return _fused_windows(_decode_slim(events, cfg), cfg)
-    rest_raw = events.filter(~F.col("entity").isin(hot))
+    # NULL entities must route somewhere: ~isin(hot) is NULL (not true)
+    # for them, so without the isNull arm they'd vanish from BOTH
+    # branches, diverging from the fused plan which keeps them.
+    rest_raw = events.filter(
+        ~F.col("entity").isin(hot) | F.col("entity").isNull()
+    )
     hot_raw = events.filter(F.col("entity").isin(hot))
     return _fused_windows(_decode_slim(rest_raw, cfg), cfg).unionByName(
         _sliced_window_stage(_decode_slim(hot_raw, cfg), cfg)

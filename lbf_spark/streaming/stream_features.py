@@ -156,7 +156,11 @@ def stream_rolling_mean_stateful(
             yield pd.DataFrame(
                 out_rows, columns=[by, ts_col, value_col, "roll_mean"]
             )
-        state.update((tss[-(window - 1):], vals[-(window - 1):]))
+        # window=1 needs an empty carry: [-0:] would keep ALL history
+        tail_n = window - 1
+        state.update(
+            (tss[-tail_n:] if tail_n else [], vals[-tail_n:] if tail_n else [])
+        )
 
     from pyspark.sql.streaming.state import GroupStateTimeout
 

@@ -422,6 +422,51 @@ def test_dup_clusters_components(spark):
     assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
 
 
+def test_dup_clusters_string_ids_long_chain(spark):
+    """String doc ids over a diameter-4 path: the fixpoint probe must
+    count changed labels (a label SUM would be NULL for strings and
+    silently stop after one propagation round, mislabeling d/e)."""
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y")],
+        "id_a string, id_b string",
+    )
+    got = dedup.dup_clusters(pairs).toPandas().sort_values("doc_id")
+    exp = {"a": "a", "b": "a", "c": "a", "d": "a", "e": "a", "x": "x", "y": "x"}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
+
+
+def test_dup_clusters_reliable_checkpoint(spark, tmp_path):
+    """reliable=True routes rounds through DFS checkpoint() files —
+    same labels, blocks recoverable after executor loss at scale."""
+    pairs = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], "id_a long, id_b long"
+    )
+    got = dedup.dup_clusters(
+        pairs, reliable=True, checkpoint_dir=str(tmp_path / "ckpt")
+    ).toPandas().sort_values("doc_id")
+    exp = {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+    assert dict(zip(got["doc_id"], got["cluster_id"])) == exp
+    import os
+
+    assert os.listdir(tmp_path / "ckpt")  # files actually landed there
+
+
+def test_dup_clusters_nonconvergence_raises_or_warns(spark):
+    """A diameter-4 path cannot converge in one round: strict mode must
+    raise instead of returning half-propagated labels; strict=False
+    warns and returns the partial result."""
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")],
+        "id_a string, id_b string",
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iters=1)
+    with _pytest.warns(UserWarning, match="did not converge"):
+        dedup.dup_clusters(pairs, max_iters=1, strict=False).collect()
+
+
 def test_gopher_quality_and_repetition(spark):
     """Hand-checkable docs: a clean doc passes; a symbol-heavy doc and
     a hyper-repetitive doc fail the respective signals."""

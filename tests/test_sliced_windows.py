@@ -126,6 +126,28 @@ def test_sparse_slices_halo_correct(spark):
     )
 
 
+def test_halo_assembly_many_slices_linear(spark):
+    """One hot entity spread over ≥10³ slices: assembly must stay
+    O(n_slices·window) — the old per-slice rescan of all prior tails
+    was O(n_slices²) inside a single pandas task — and stay exact."""
+    import time
+
+    n = 3000  # ts 0..2999, slice_width=2 → 1500 slices
+    df = spark.createDataFrame(
+        [("hot", t, float(t % 97)) for t in range(n)],
+        "entity string, ts long, v double",
+    ).repartition(8)
+    t0 = time.time()
+    got = _sorted(
+        SW.rolling_sliced(df, "v", "r", 8, kernel="mean", slice_width=2).toPandas()
+    )
+    elapsed = time.time() - t0
+    exp = _sorted(W.rolling_mean(df, "v", "r", 8).toPandas())
+    assert len(got) == n
+    assert np.allclose(got["r"], exp["r"], rtol=0, atol=0)
+    assert elapsed < 120, f"halo assembly over 1500 slices took {elapsed:.0f}s"
+
+
 def test_hamming_and_range_count_sliced_equal_unsliced(spark, events):
     exp = _sorted(
         W.rolling_count_range(
