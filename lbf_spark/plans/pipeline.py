@@ -419,19 +419,28 @@ def checkpoint(
 ) -> DataFrame:
     """Materialize a stage to parquet with a lineage manifest; on re-run
     with the same run_id, the stage is *reused, not recomputed* — the
-    ``skip_read_fetching`` resume path (``core.py:266-275``)."""
+    ``skip_read_fetching`` resume path (``core.py:266-275``).
+
+    All manifest IO goes through the Hadoop FileSystem API (``fsio``),
+    so ``base_dir`` may be a bare local path, a ``file:`` URI, or a DFS
+    URI (``hdfs://``, ``s3a://``) — the form a multi-executor run needs
+    (a driver-local manifest would be invisible to a restarted driver).
+    """
+    from lbf_spark import fsio
+
     spark = spark or df.sparkSession
-    path = os.path.join(base_dir, rid, stage)
-    manifest_path = os.path.join(path, "_MANIFEST.json")
-    if not os.path.exists(manifest_path):
+    path = fsio.join(base_dir, rid, stage)
+    manifest_path = fsio.join(path, "_MANIFEST.json")
+    if not fsio.exists(spark, manifest_path):
         t0 = time.time()
         writer = df.write.mode("overwrite")
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
+        names = fsio.list_names(spark, path)
         files = sorted(
-            f for f in os.listdir(path) if f.endswith(".parquet")
-        ) if not partition_by else sorted(os.listdir(path))
+            f for f in names if f.endswith(".parquet")
+        ) if not partition_by else names
         manifest = {
             "run_id": rid,
             "stage": stage,
@@ -440,17 +449,21 @@ def checkpoint(
             "files": files,
             "wall_sec": round(time.time() - t0, 3),
         }
-        with open(manifest_path + ".tmp", "w") as fh:
-            json.dump(manifest, fh, indent=1)
-        os.replace(manifest_path + ".tmp", manifest_path)
+        fsio.write_text_atomic(spark, manifest_path, json.dumps(manifest, indent=1))
     return spark.read.parquet(path)
 
 
-def load_manifest(base_dir: str, rid: str, stage: str) -> dict | None:
-    p = os.path.join(base_dir, rid, stage, "_MANIFEST.json")
-    if os.path.exists(p):
-        with open(p) as fh:
-            return json.load(fh)
+def load_manifest(
+    base_dir: str, rid: str, stage: str, spark: SparkSession | None = None
+) -> dict | None:
+    from pyspark.sql import SparkSession as _S
+
+    from lbf_spark import fsio
+
+    spark = spark or _S.getActiveSession()
+    p = fsio.join(base_dir, rid, stage, "_MANIFEST.json")
+    if fsio.exists(spark, p):
+        return json.loads(fsio.read_text(spark, p))
     return None
 
 
@@ -471,6 +484,10 @@ def run_pipeline(
     finished stage and recomputes only what is missing. Returns the
     metrics dict (also written to ``<dir>/<run_id>/metrics.json``).
 
+    ``checkpoint_dir`` may be a local path, a ``file:`` URI, or any
+    Hadoop-supported DFS URI (``hdfs://``, ``s3a://`` …) — manifest IO
+    goes through the Hadoop FileSystem API, never ``os.*``.
+
     ``stages`` overrides named stages (see ``plans.registry``). run_id
     derives from cfg only — when overriding stages, use a distinct
     checkpoint_dir (or config) so cached results from the default
@@ -485,7 +502,7 @@ def run_pipeline(
     t_all = time.time()
 
     def staged(name: str, df_fn):
-        reused = load_manifest(checkpoint_dir, rid, name) is not None
+        reused = load_manifest(checkpoint_dir, rid, name, spark) is not None
         t0 = time.time()
         out = checkpoint(df_fn(), checkpoint_dir, rid, name, spark)
         metrics["stages"][name] = {
@@ -520,9 +537,10 @@ def run_pipeline(
     metrics["n_vectors"] = vec_ck.count()
     metrics["n_pit_rows"] = pit_ck.count()
     metrics["total_wall_sec"] = round(time.time() - t_all, 3)
-    mpath = os.path.join(checkpoint_dir, rid, "metrics.json")
-    with open(mpath, "w") as fh:
-        json.dump(metrics, fh, indent=1)
+    from lbf_spark import fsio
+
+    mpath = fsio.join(checkpoint_dir, rid, "metrics.json")
+    fsio.write_text_atomic(spark, mpath, json.dumps(metrics, indent=1))
     metrics["metrics_path"] = mpath
     return metrics
 

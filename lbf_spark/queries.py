@@ -2183,6 +2183,147 @@ def q51(spark, sf_dir):
     return sub.select("user_id", "event_type", "subsampled")
 
 
+_FS_ROLL = 16                      # flagship rolling window (rows)
+_FS_SPAN = 2 * 3_600_000_000       # flagship roll_count lookback (µs)
+_FS_GAP = 3_600_000_000            # flagship session gap (µs)
+
+
+@q(
+    "q61_flagship_pit",
+    f"""
+    with ev as (select * from {_EVENTS_UNIQ_SQL}),
+    feats as (
+      select user_id, ts_us, event_id,
+             round(value, 6) as pixel_mean,
+             ('0x' || substr(md5(cast(event_id as varchar)), 1, 15))::bigint as phash
+      from ev
+    ),
+    lagged as (
+      select *,
+             avg(pixel_mean) over (partition by user_id order by ts_us, event_id
+                   rows between {_FS_ROLL - 1} preceding and current row) as roll_mean,
+             count(*) over (partition by user_id order by ts_us
+                   range between {_FS_SPAN} preceding and current row) as roll_count,
+             cast(bit_count(xor(phash, lag(phash) over
+                   (partition by user_id order by ts_us, event_id))) as int) as phash_drift,
+             lag(ts_us) over (partition by user_id order by ts_us, event_id) as prev_ts
+      from feats
+    ),
+    w as (
+      select *,
+             cast(sum(case when ts_us - prev_ts > {_FS_GAP} then 1 else 0 end)
+               over (partition by user_id order by ts_us, event_id
+                     rows between unbounded preceding and current row) as bigint)
+               as session_id
+      from lagged
+    ),
+    anchors as (
+      select user_id, ts_us as anchor_ts, event_id as anchor_id
+      from ev where event_id % 20 = 0
+    )
+    select a.anchor_id,
+           w.pixel_mean,
+           round(w.roll_mean, 6) as roll_mean,
+           cast(w.roll_count as bigint) as roll_count,
+           w.phash_drift,
+           w.session_id,
+           w.ts_us as matched_ts
+    from anchors a asof join w
+      on a.user_id = w.user_id and w.ts_us <= a.anchor_ts
+    """,
+)
+def q61(spark, sf_dir):
+    """The flagship's decode→windows→as-of splice with a full DuckDB
+    oracle: the ACTUAL pipeline stage functions
+    (``plans.pipeline.event_features`` → ``anchor_point_in_time``) run
+    over a deterministic post-decode stats frame (pixel_mean/phash
+    synthesized md5-deterministically from the events table — the
+    non-SQL pixel decode itself stays PSNR-pytest-gated + q33
+    rows-only). Closes the gap where q49 oracled the matrix tail but
+    nothing driver-checked the windows→as-of composition end-to-end
+    (``core.py:263-298`` stages 2-4)."""
+    from lbf_spark.plans import pipeline as P
+
+    ev = _events_uniq(spark, sf_dir)
+    feats_in = ev.select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        F.col("event_id").alias("image_id"),
+        F.round("value", 6).alias("pixel_mean"),
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("phash"),
+    )
+    anchors = ev.filter(F.col("event_id") % 20 == 0).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("anchor_id"),
+    )
+    cfg = P.FeatureConfig(
+        span=_FS_SPAN, session_gap=_FS_GAP, rolling_w=_FS_ROLL,
+        value_col="pixel_mean",
+    )
+    feats = P.event_features(feats_in, cfg)
+    pit = P.anchor_point_in_time(feats, anchors, cfg)
+    return pit.select(
+        "anchor_id",
+        "pixel_mean",
+        F.round("roll_mean", 6).alias("roll_mean"),
+        F.col("roll_count").cast("long").alias("roll_count"),
+        F.col("phash_drift").cast("int").alias("phash_drift"),
+        F.col("session_id").cast("long").alias("session_id"),
+        F.col("ts").alias("matched_ts"),
+    )
+
+
+_SW_GAP_S = 3600  # session-window gap (seconds)
+
+
+@q(
+    "q62_session_window",
+    f"""
+    with ev as (select user_id, ts_us // 1000000 as ts from {_EVENTS_SQL}),
+    lagged as (
+      select user_id, ts,
+             lag(ts) over (partition by user_id order by ts) as prev
+      from ev
+    ),
+    s as (
+      select user_id, ts,
+             sum(case when ts - prev >= {_SW_GAP_S} then 1 else 0 end)
+               over (partition by user_id order by ts
+                     rows between unbounded preceding and current row) as sid
+      from lagged
+    )
+    select user_id, min(ts) as session_start, max(ts) as session_end,
+           count(*) as n_events,
+           max(ts) - min(ts) as session_span
+    from s group by user_id, sid
+    """,
+)
+def q62(spark, sf_dir):
+    """Native ``session_window`` sessionization — the same code path the
+    streaming engine runs (``streaming.stream_features.stream_session_stats``
+    accepts a static frame; Structured Streaming's unified plan). Spark
+    session windows are end-exclusive: an event landing exactly
+    ``gap`` after the previous one starts a NEW session (hence ``>=``
+    in the oracle, vs the ``>`` of the row-window ``sessionize``)."""
+    from lbf_spark.streaming.stream_features import stream_session_stats
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity"),
+        (F.col("ts_us") / 1_000_000).cast("long").alias("ts"),
+    )
+    out = stream_session_stats(ev, gap_seconds=_SW_GAP_S, by="entity")
+    return out.select(
+        F.col("entity").alias("user_id"),
+        "session_start",
+        "session_end",
+        F.col("n_events").cast("long").alias("n_events"),
+        "session_span",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -44,19 +44,23 @@ def write_table(
     n_buckets: int = 16,
     ts_unit_day: int = DAY,
 ) -> dict:
-    """Partitioned write + snapshot manifest. Returns the snapshot."""
+    """Partitioned write + snapshot manifest. Returns the snapshot.
+
+    ``path`` may be local, ``file:``-prefixed, or a DFS URI — all
+    metadata IO goes through the Hadoop FileSystem API (``fsio``), the
+    same requirement Iceberg itself has of its warehouse location."""
+    from lbf_spark import fsio
+
+    spark = df.sparkSession
     pdf = _with_partition_cols(df, n_buckets, ts_unit_day)
     pdf.write.mode(mode).partitionBy("entity_bucket", "ts_day").parquet(
-        os.path.join(path, "data")
+        fsio.join(path, "data")
     )
-    meta_dir = os.path.join(path, "metadata")
-    os.makedirs(meta_dir, exist_ok=True)
-    existing = sorted(f for f in os.listdir(meta_dir) if f.endswith(".json"))
+    meta_dir = fsio.join(path, "metadata")
+    fsio.mkdirs(spark, meta_dir)
+    existing = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
     parent = existing[-1] if existing else None
-    n_files = sum(
-        len([f for f in files if f.endswith(".parquet")])
-        for _, _, files in os.walk(os.path.join(path, "data"))
-    )
+    n_files = fsio.count_files_recursive(spark, fsio.join(path, "data"), ".parquet")
     snapshot = {
         "snapshot_id": len(existing) + 1,
         "parent": parent,
@@ -69,20 +73,19 @@ def write_table(
         "mode": mode,
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
-    with open(os.path.join(meta_dir, name), "w") as fh:
-        json.dump(snapshot, fh, indent=1)
+    fsio.write_text_atomic(spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1))
     return snapshot
 
 
-def current_snapshot(path: str) -> dict | None:
-    meta_dir = os.path.join(path, "metadata")
-    if not os.path.isdir(meta_dir):
-        return None
-    snaps = sorted(f for f in os.listdir(meta_dir) if f.endswith(".json"))
+def current_snapshot(path: str, spark: SparkSession | None = None) -> dict | None:
+    from lbf_spark import fsio
+
+    spark = spark or SparkSession.getActiveSession()
+    meta_dir = fsio.join(path, "metadata")
+    snaps = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
     if not snaps:
         return None
-    with open(os.path.join(meta_dir, snaps[-1])) as fh:
-        return json.load(fh)
+    return json.loads(fsio.read_text(spark, fsio.join(meta_dir, snaps[-1])))
 
 
 def scan(
@@ -98,7 +101,9 @@ def scan(
     partition columns (bucket list, day range) so the source skips whole
     directories — the engine-side half of Iceberg's partition-transform
     pruning. The exact row-level predicate is applied on top."""
-    df = spark.read.parquet(os.path.join(path, "data"))
+    from lbf_spark import fsio
+
+    df = spark.read.parquet(fsio.join(path, "data"))
     if entities:
         bucket_vals = (
             spark.createDataFrame([(e,) for e in entities], "entity string")

@@ -103,6 +103,20 @@ def test_checkpoint_manifest_lineage(spark, tiny_events, tmp_path):
     assert df.count() == len(tiny_events)
 
 
+def test_run_pipeline_file_uri_checkpoint_dir(spark, tiny_events, tiny_anchors, tmp_path):
+    """A scheme-prefixed checkpoint_dir (file:// standing in for
+    hdfs://, s3a://) must work end-to-end: write, manifest, resume."""
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    an = fixtures.anchors_to_spark(spark, tiny_anchors)
+    cfg = P.FeatureConfig(span=1000, bucket_w=100)
+    ckdir = "file://" + str(tmp_path / "ckpt_uri")
+    m1 = P.run_pipeline(ev, an, cfg, ckdir, spark)
+    assert not any(s["reused"] for s in m1["stages"].values())
+    m2 = P.run_pipeline(ev, an, cfg, ckdir, spark)
+    assert all(s["reused"] for s in m2["stages"].values())
+    assert m2["n_vectors"] == m1["n_vectors"]
+
+
 def test_wps_matches_numpy_oracle(spark, tiny_events, tiny_anchors):
     """A7 windowed protection score vs a direct numpy reimplementation."""
     ev = fixtures.events_to_spark(spark, tiny_events)

@@ -28,6 +28,17 @@ def test_write_scan_roundtrip_and_snapshots(spark, tiny_events, tmp_path):
     assert TBL.current_snapshot(path)["snapshot_id"] == 2
 
 
+def test_table_file_uri_roundtrip(spark, tiny_events, tmp_path):
+    """Scheme-prefixed warehouse paths (file:// stands in for hdfs://,
+    s3a://): metadata IO must go through the Hadoop FS API, not os.*."""
+    path = "file://" + str(tmp_path / "tbl_uri")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    snap = TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    assert snap["snapshot_id"] == 1 and snap["n_data_files"] > 0
+    assert TBL.scan(spark, path).count() == len(tiny_events)
+    assert TBL.current_snapshot(path)["snapshot_id"] == 1
+
+
 def test_scan_prunes_partitions(spark, tiny_events, tmp_path):
     path = str(tmp_path / "tbl2")
     ev = fixtures.events_to_spark(spark, tiny_events)
