@@ -180,6 +180,68 @@ def gopher_quality(
     return out.withColumn("gopher_pass", gate)
 
 
+def c4_quality(
+    df: DataFrame,
+    text_col: str = "text",
+    min_line_words: int = 3,
+    min_sentences: int = 3,
+    bad_words: list[str] | None = None,
+) -> DataFrame:
+    """C4-style line/page cleaning signals (Raffel et al. 2020 §2.2 —
+    published heuristics, no external lists): keep lines that end in a
+    terminal punctuation mark, have ≥ ``min_line_words`` whitespace
+    words, and don't mention 'javascript'; flag pages containing
+    'lorem ipsum' or a curly brace (code), or any caller-supplied
+    ``bad_words``; count sentences in the kept text. Adds the signal
+    columns + a single ``c4_pass`` flag (pass = enough sentences and no
+    page-level flag). All JVM expressions — exactly reproducible in
+    ANSI SQL; line splitting is on newline, sentence counting on
+    terminal punctuation, both engine-identical."""
+    lines = F.transform(F.split(F.col(text_col), "\n"), lambda x: F.trim(x))
+    is_kept = (
+        lambda x: x.rlike('[.!?"]$')
+        & ~F.lower(x).contains("javascript")
+        & (
+            F.size(F.filter(F.split(x, "\\s+"), lambda w: w != ""))
+            >= min_line_words
+        )
+    )
+    kept = F.filter(lines, is_kept)
+    clean = F.concat_ws("\n", kept)
+    n_sent = F.size(F.split(clean, "[.!?]", -1)) - 1
+    lower = F.lower(F.col(text_col))
+    has_lorem = lower.contains("lorem ipsum")
+    has_brace = F.col(text_col).contains("{")
+    has_bad = F.lit(False)
+    for w in bad_words or []:
+        has_bad = has_bad | lower.rlike(f"\\b{w}\\b")
+    out = (
+        df.withColumn("n_lines", F.size(lines).cast("long"))
+        .withColumn("n_lines_kept", F.size(kept).cast("long"))
+        .withColumn(
+            "dup_line_frac",
+            F.round(
+                F.when(
+                    F.size(lines) > 0,
+                    1.0 - F.size(F.array_distinct(lines)) / F.size(lines).cast("double"),
+                ).otherwise(0.0),
+                6,
+            ),
+        )
+        .withColumn("n_sentences", n_sent.cast("long"))
+        .withColumn("has_lorem", has_lorem.cast("int"))
+        .withColumn("has_brace", has_brace.cast("int"))
+        .withColumn("has_bad_word", has_bad.cast("int"))
+    )
+    gate = (
+        (F.col("n_sentences") >= min_sentences)
+        & (F.col("has_lorem") == 0)
+        & (F.col("has_brace") == 0)
+        & (F.col("has_bad_word") == 0)
+    )
+    return out.withColumn("c4_pass", gate.cast("int"))
+
+
 def ngram_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

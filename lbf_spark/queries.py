@@ -2324,6 +2324,88 @@ def q62(spark, sf_dir):
     )
 
 
+@q(
+    "q63_c4_rules",
+    """
+    with d as (
+      select doc_id, text,
+             list_transform(string_split(text, chr(10)), x -> trim(x)) as lines
+      from documents
+    ),
+    k as (
+      select doc_id, text, lines,
+             list_filter(lines, x -> regexp_matches(x, '[.!?"]$')
+                 and not contains(lower(x), 'javascript')
+                 and len(list_filter(string_split_regex(x, '\\s+'), w -> w <> '')) >= 3)
+               as kept
+      from d
+    ),
+    s as (
+      select doc_id, text, lines, kept,
+             len(string_split_regex(coalesce(array_to_string(kept, chr(10)), ''),
+                 '[.!?]')) - 1 as n_sentences,
+             cast(contains(lower(text), 'lorem ipsum') as int) as has_lorem,
+             cast(contains(text, '{') as int) as has_brace
+      from k
+    )
+    select doc_id,
+           cast(len(lines) as bigint) as n_lines,
+           cast(len(kept) as bigint) as n_lines_kept,
+           round(case when len(lines) > 0
+                      then 1.0 - len(list_distinct(lines)) / cast(len(lines) as double)
+                      else 0.0 end, 6) as dup_line_frac,
+           cast(n_sentences as bigint) as n_sentences,
+           has_lorem, has_brace,
+           cast(n_sentences >= 3 and has_lorem = 0 and has_brace = 0 as int) as c4_pass
+    from s
+    """,
+)
+def q63(spark, sf_dir):
+    """C4 page/line cleaning rules (Raffel et al. 2020 §2.2, published
+    heuristics): terminal-punctuation line keep, ≥3-word lines,
+    javascript-line drop, lorem-ipsum / curly-brace page flags,
+    sentence-count gate, within-page duplicate-line fraction. Row-local
+    JVM expressions — embarrassingly parallel at 100 TB."""
+    docs = t(spark, sf_dir, "documents")
+    out = text.c4_quality(docs)
+    return out.select(
+        "doc_id", "n_lines", "n_lines_kept", "dup_line_frac",
+        "n_sentences", "has_lorem", "has_brace", "c4_pass",
+    )
+
+
+_TW_S = 86_400  # tumbling window width (seconds) — daily buckets
+
+
+@q(
+    "q64_tumbling_window",
+    f"""
+    select user_id,
+           (ts_us // 1000000 // {_TW_S}) * {_TW_S} as bucket_start,
+           count(*) as n_events
+    from {_EVENTS_SQL}
+    group by 1, 2
+    """,
+)
+def q64(spark, sf_dir):
+    """Native tumbling windows — the same code path the streaming
+    engine runs (``stream_tumbling_counts`` accepts a static frame;
+    epoch-aligned daily buckets, counts only so the result is
+    order-independent and bit-exact)."""
+    from lbf_spark.streaming.stream_features import stream_tumbling_counts
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").alias("entity"),
+        (F.col("ts_us") / 1_000_000).cast("long").alias("ts"),
+    )
+    out = stream_tumbling_counts(ev, window_seconds=_TW_S, by="entity")
+    return out.select(
+        F.col("entity").alias("user_id"),
+        "bucket_start",
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -488,6 +488,34 @@ def test_gopher_quality_and_repetition(spark):
     assert r.loc[1, "dup_ngram_frac"] < r.loc[3, "dup_ngram_frac"]
 
 
+def test_c4_quality_hand_cases(spark):
+    """C4 line/page rules on hand-built pages: clean multi-sentence page
+    passes; short-line page loses its lines; lorem-ipsum / brace /
+    javascript / duplicate-line pages are flagged."""
+    clean = "\n".join(
+        f"This is a perfectly reasonable sentence number {i}." for i in range(5)
+    )
+    shorty = "\n".join(["ok."] * 10)                      # <3 words per line
+    lorem = clean + "\nLorem Ipsum dolor sit amet."
+    codey = clean + "\nif (x) { return 1; }"
+    js = clean + "\nPlease enable javascript to continue browsing here."
+    dupl = "\n".join(["A duplicated line appears here."] * 4)
+    df = spark.createDataFrame(
+        [(1, clean), (2, shorty), (3, lorem), (4, codey), (5, js), (6, dupl)],
+        "doc_id long, text string",
+    )
+    r = text.c4_quality(df).toPandas().set_index("doc_id")
+    assert r.loc[1, "c4_pass"] == 1 and r.loc[1, "n_lines_kept"] == 5
+    assert r.loc[2, "n_lines_kept"] == 0 and r.loc[2, "c4_pass"] == 0
+    assert r.loc[3, "has_lorem"] == 1 and r.loc[3, "c4_pass"] == 0
+    assert r.loc[4, "has_brace"] == 1 and r.loc[4, "c4_pass"] == 0
+    assert r.loc[5, "n_lines_kept"] == 5  # javascript line dropped
+    assert abs(r.loc[6, "dup_line_frac"] - 0.75) < 1e-9
+    # bad-words list: word-boundary match flags the page
+    rb = text.c4_quality(df, bad_words=["reasonable"]).toPandas().set_index("doc_id")
+    assert rb.loc[1, "has_bad_word"] == 1 and rb.loc[1, "c4_pass"] == 0
+
+
 def test_resample_grid_hand_case(spark):
     """Entity with buckets {0, 3}: densified grid 0..3, means exact,
     ffill carries bucket-0 value through 1 and 2."""
