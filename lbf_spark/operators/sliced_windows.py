@@ -165,6 +165,79 @@ def rolling_sliced(
     return full.groupBy(*by, "_slice").applyInPandas(fn, schema)
 
 
+def fused_bounded_sliced(
+    df: DataFrame,
+    value_col: str,
+    rolling_w: int,
+    gap: int,
+    phash_col: str = "phash",
+    by="entity",
+    order="ts",
+    ts_col: str | None = None,
+    slice_width: int | None = None,
+    roll_out: str = "roll_mean",
+    drift_out: str = "phash_drift",
+    session_out: str = "session_id",
+) -> DataFrame:
+    """Rolling mean + hamming drift + sessionize in ONE halo-sliced
+    exchange (the flagship's three row-bounded kernels; values identical
+    to the unsliced ops, property-tested).
+
+    Chaining ``rolling_sliced`` → ``hamming_to_prev_sliced`` →
+    ``sessionize_sliced`` costs three full-data shuffles of the hot
+    subset; all three only need the *same* (entity, slice) partitioning
+    with a halo of max(rolling_w−1, 1) prior rows, so one exchange
+    serves them all. The halo also simplifies sessionize: each real
+    row's lag-predecessor inside the slice IS its true predecessor, so
+    the gap test is locally exact and phase 2 reduces to a per-slice
+    prefix sum of boundary counts (one tiny row per slice)."""
+    by, order = _norm(by, order)
+    ts = ts_col or order[0]
+    if slice_width is None:
+        slice_width = _auto_slice_width(df, ts)
+    k = max(rolling_w, 2)  # halo rows: rolling needs w-1, lag needs 1
+    sliced = _with_slice(df, ts, slice_width)
+    halos = _halo_rows(sliced, k, by, order).withColumn("_halo", F.lit(1))
+    full = sliced.withColumn("_halo", F.lit(0)).unionByName(halos)
+
+    w = Window.partitionBy(*by, "_slice").orderBy(*order)
+    w_roll = w.rowsBetween(-(rolling_w - 1), 0)
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    prev_hash = F.lag(phash_col, 1).over(w)
+    is_new = F.when(
+        (F.col(ts) - F.lag(ts, 1).over(w)) > gap, F.lit(1)
+    ).otherwise(F.lit(0))
+    feat = (
+        full.withColumn(roll_out, F.avg(value_col).over(w_roll))
+        .withColumn(
+            drift_out,
+            F.when(prev_hash.isNull(), F.lit(None).cast("int")).otherwise(
+                F.bit_count(F.col(phash_col).bitwiseXOR(prev_hash))
+            ),
+        )
+        .withColumn("_new", is_new)
+        .withColumn(
+            "_local_cum",
+            F.sum(F.when(F.col("_halo") == 0, F.col("_new"))).over(w_cum),
+        )
+        .filter(F.col("_halo") == 0)
+    )
+    # per-slice boundary counts -> exclusive prefix sum = session offset
+    summ = feat.groupBy(*by, "_slice").agg(F.sum("_new").alias("_n_local"))
+    w_ent = Window.partitionBy(*by).orderBy("_slice")
+    offsets = summ.withColumn(
+        "_offset",
+        F.coalesce(
+            F.sum("_n_local").over(w_ent.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ),
+    ).select(*by, "_slice", "_offset")
+    res = feat.join(F.broadcast(offsets), [*by, "_slice"], "inner").withColumn(
+        session_out, F.col("_offset") + F.col("_local_cum")
+    )
+    return res.drop("_slice", "_halo", "_new", "_local_cum", "_offset")
+
+
 def hamming_to_prev_sliced(
     df: DataFrame,
     col: str = "phash",

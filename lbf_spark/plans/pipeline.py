@@ -166,23 +166,23 @@ def _fused_windows(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
 
 def _sliced_window_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
     """Halo-sliced variants for hot entities: identical values
-    (property-tested), work split over span/slice_width tasks."""
+    (property-tested), work split over span/slice_width tasks.
+
+    The three row-bounded kernels (rolling mean, phash drift,
+    sessionize) share ONE (entity, slice)+halo exchange via
+    ``fused_bounded_sliced`` — chaining the standalone sliced ops costs
+    three full-data shuffles for the same partitioning. Only the
+    time-range count keeps its own exchange (its duplication is
+    time-based, incompatible with the row halo)."""
     from lbf_spark.operators import sliced_windows as SW
 
     order = _order_cols(df)
     sw = cfg.hot_slice_width
-    df = SW.rolling_sliced(
-        df, cfg.value_col, "roll_mean", cfg.rolling_w,
-        kernel="mean", order=order, slice_width=sw,
+    df = SW.fused_bounded_sliced(
+        df, cfg.value_col, cfg.rolling_w, cfg.session_gap,
+        order=order, ts_col="ts", slice_width=sw,
     )
     df = SW.rolling_count_range_sliced(df, "roll_count", cfg.span, slice_width=sw)
-    df = SW.hamming_to_prev_sliced(
-        df, "phash", "phash_drift", order=order, slice_width=sw
-    )
-    df = SW.sessionize_sliced(
-        df, cfg.session_gap, "session_id", order=order, ts_col="ts",
-        slice_width=sw,
-    )
     return df
 
 

@@ -126,6 +126,59 @@ def test_sparse_slices_halo_correct(spark):
     )
 
 
+def test_fused_bounded_sliced_equals_unsliced(spark, events):
+    """The one-exchange fused kernel (rolling mean + phash drift +
+    sessionize) must equal the three unsliced operators exactly."""
+    exp = W.sessionize(
+        W.hamming_to_prev(
+            W.rolling_mean(events, "v", "roll_mean", WINDOW),
+            "phash", "phash_drift",
+        ),
+        GAP, out="session_id",
+    )
+    got = SW.fused_bounded_sliced(
+        events, "v", WINDOW, GAP, slice_width=SLICE_W
+    )
+    e = _sorted(exp.toPandas())
+    g = _sorted(got.select(*e.columns).toPandas())
+    assert len(g) == len(e)
+    assert np.allclose(g["roll_mean"], e["roll_mean"], rtol=0, atol=0)
+    assert np.allclose(
+        g["phash_drift"].astype(float), e["phash_drift"].astype(float),
+        equal_nan=True,
+    )
+    assert np.array_equal(
+        g["session_id"].astype("int64").to_numpy(),
+        e["session_id"].astype("int64").to_numpy(),
+    )
+
+
+def test_fused_bounded_sliced_sparse_slices(spark):
+    """Near-empty intermediate slices: drift/session must reach back
+    across multiple prior slices through the halo."""
+    rows = (
+        [("a", t, float(t), t * 7 + 3) for t in range(0, 20)]
+        + [("a", 105, 105.0, 11)]
+        + [("a", t, float(t), t * 13 + 1) for t in range(200, 215)]
+    )
+    df = spark.createDataFrame(rows, "entity string, ts long, v double, phash long")
+    exp = W.sessionize(
+        W.hamming_to_prev(W.rolling_mean(df, "v", "roll_mean", 8), "phash", "phash_drift"),
+        50, out="session_id",
+    )
+    got = SW.fused_bounded_sliced(df, "v", 8, 50, slice_width=100)
+    e = _sorted(exp.toPandas())
+    g = _sorted(got.select(*e.columns).toPandas())
+    assert np.allclose(g["roll_mean"], e["roll_mean"], rtol=0, atol=0)
+    assert np.allclose(
+        g["phash_drift"].astype(float), e["phash_drift"].astype(float), equal_nan=True
+    )
+    assert np.array_equal(
+        g["session_id"].astype("int64").to_numpy(),
+        e["session_id"].astype("int64").to_numpy(),
+    )
+
+
 def test_halo_assembly_many_slices_linear(spark):
     """One hot entity spread over ≥10³ slices: assembly must stay
     O(n_slices·window) — the old per-slice rescan of all prior tails
