@@ -180,6 +180,76 @@ def gopher_quality(
     return out.withColumn("gopher_pass", gate)
 
 
+def vocab_stats(
+    df: DataFrame, text_col: str = "text"
+) -> DataFrame:
+    """Corpus-level vocabulary statistics (tokenizer-training /
+    corpus-quality signals): per-token total count and document
+    frequency, plus rank by count. One partial-aggregating groupBy on
+    token — stopword skew is absorbed map-side (each partition emits one
+    row per distinct token), the standard word-count shape at any scale.
+    Token rank has a total order (count desc, token asc)."""
+    from pyspark.sql import Window as _W
+
+    from lbf_spark.operators.dedup import tokens_col as _tok
+
+    counts = (
+        df.select(F.explode(_tok(text_col)).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n_total"))
+    )
+    # one row per doc ⇒ exploding its DISTINCT tokens counts doc freq
+    dfreq = (
+        df.select(F.explode(F.array_distinct(_tok(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    out = counts.join(dfreq, "token")
+    # global rank: |vocab| rows ≪ corpus (Heaps' law) — the one
+    # single-partition window here is over the aggregate, never the data
+    w = _W.orderBy(F.desc("n_total"), F.asc("token"))
+    return out.withColumn("rank", F.row_number().over(w))
+
+
+def contamination_flags(
+    docs: DataFrame,
+    probe: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    probe_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: flag training documents sharing any
+    word n-gram with a probe (test/benchmark) set — the standard
+    pre-training hygiene pass (e.g. GPT-3 §C / Gopher §A2 report 13-gram
+    variants; n is a parameter).
+
+    Shape at 100 TB: probe n-grams are DISTINCT and usually small
+    (benchmarks are ≪ corpus) — the join is an inverted-index semi-join
+    on the shingle, broadcast when the probe side fits. Output: one row
+    per doc with the number of distinct overlapping n-grams and a flag.
+    """
+    from lbf_spark.operators.dedup import shingles_col, tokens_col as _tok
+
+    doc_sh = docs.select(
+        F.col(id_col), F.explode(shingles_col(_tok(text_col), n)).alias("sh")
+    )
+    probe_sh = (
+        probe.select(F.explode(shingles_col(_tok(probe_text_col), n)).alias("sh"))
+        .distinct()
+    )
+    hits = (
+        doc_sh.join(probe_sh, "sh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return docs.select(F.col(id_col)).join(hits, id_col, "left").select(
+        id_col,
+        F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+        (F.coalesce("n_hits", F.lit(0)) > 0).cast("int").alias("contaminated"),
+    )
+
+
 def c4_quality(
     df: DataFrame,
     text_col: str = "text",

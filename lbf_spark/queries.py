@@ -2406,6 +2406,64 @@ def q64(spark, sf_dir):
     )
 
 
+@q(
+    "q65_vocab_stats",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    flat as (select doc_id, unnest(tk) as token from toks),
+    counts as (select token, count(*) as n_total from flat group by token),
+    dfreq as (select token, count(distinct doc_id) as doc_freq
+              from flat group by token),
+    r as (
+      select c.token, c.n_total, d.doc_freq,
+             cast(row_number() over (order by c.n_total desc, c.token asc)
+                  as int) as rank
+      from counts c join dfreq d on c.token = d.token
+    )
+    select token, n_total, doc_freq, rank from r where rank <= 200
+    """,
+)
+def q65(spark, sf_dir):
+    """Corpus vocabulary statistics (tokenizer-training signal): token
+    totals + document frequencies + rank, top-200 by count. Word-count
+    shape: partial aggregation absorbs stopword skew map-side; the only
+    single-partition window ranks the |vocab|-sized aggregate."""
+    docs = t(spark, sf_dir, "documents")
+    out = text.vocab_stats(docs)
+    return out.filter(F.col("rank") <= 200).select(
+        "token", "n_total", "doc_freq", F.col("rank").cast("int").alias("rank")
+    )
+
+
+@q(
+    "q66_decontaminate",
+    _SHINGLES_SQL
+    + """
+    , probe as (
+      select distinct unnest(shingles) as s from sh where doc_id % 50 = 0
+    ),
+    hits as (
+      select d.doc_id, count(*) as n_hits
+      from (select doc_id, unnest(shingles) as s from sh) d
+      join probe p on d.s = p.s
+      group by d.doc_id
+    )
+    select doc_id,
+           coalesce(h.n_hits, 0) as n_hits,
+           cast(coalesce(h.n_hits, 0) > 0 as int) as contaminated
+    from documents left join hits h using (doc_id)
+    """,
+)
+def q66(spark, sf_dir):
+    """Benchmark decontamination (GPT-3 §C / Gopher §A2 n-gram overlap
+    family): flag training docs sharing any word 3-gram with a probe
+    set (stand-in benchmark: every 50th doc). Inverted-index semi-join
+    on the shingle — probe side is benchmark-sized, broadcastable."""
+    docs = t(spark, sf_dir, "documents")
+    probe = docs.filter(F.col("doc_id") % 50 == 0)
+    return text.contamination_flags(docs, probe, "doc_id", "text", n=3)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

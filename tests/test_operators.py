@@ -516,6 +516,30 @@ def test_c4_quality_hand_cases(spark):
     assert rb.loc[1, "has_bad_word"] == 1 and rb.loc[1, "c4_pass"] == 0
 
 
+def test_vocab_stats_and_contamination(spark):
+    """Hand case: counts/doc-freq/rank exact; contamination flags only
+    docs sharing a 3-gram with the probe."""
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma alpha"),
+            (2, "alpha beta delta"),
+            (3, "zeta eta theta iota"),
+        ],
+        "doc_id long, text string",
+    )
+    v = text.vocab_stats(df).toPandas().set_index("token")
+    assert v.loc["alpha", "n_total"] == 3 and v.loc["alpha", "doc_freq"] == 2
+    assert v.loc["beta", "n_total"] == 2
+    assert v.loc["alpha", "rank"] == 1  # 3 occurrences, top
+    # probe shares 'alpha beta gamma' with doc 1 only
+    probe = spark.createDataFrame(
+        [(99, "alpha beta gamma epsilon")], "doc_id long, text string"
+    )
+    c = text.contamination_flags(df, probe, n=3).toPandas().set_index("doc_id")
+    assert c.loc[1, "contaminated"] == 1 and c.loc[1, "n_hits"] == 1
+    assert c.loc[2, "contaminated"] == 0 and c.loc[3, "contaminated"] == 0
+
+
 def test_resample_grid_hand_case(spark):
     """Entity with buckets {0, 3}: densified grid 0..3, means exact,
     ffill carries bucket-0 value through 1 and 2."""
