@@ -35,6 +35,16 @@ def main() -> None:
     ap.add_argument("--num-hashes", type=int, default=16)
     ap.add_argument("--bands", type=int, default=8)
     ap.add_argument("--threshold", type=float, default=0.8)
+    ap.add_argument(
+        "--checkpoint-dir",
+        default=None,
+        help="DFS dir for reliable per-round checkpoints of the "
+        "connected-components labels (hdfs://, s3a://, file:). On a "
+        "multi-executor cluster ALWAYS set this: the default "
+        "localCheckpoint path stores blocks on executors and an "
+        "executor loss kills the run.",
+    )
+    ap.add_argument("--max-iters", type=int, default=25)
     args = ap.parse_args()
 
     spark = SparkSession.builder.appName("lbf_dedup").getOrCreate()
@@ -52,7 +62,12 @@ def main() -> None:
         bands=args.bands,
         threshold=args.threshold,
     )
-    clusters = dup_clusters(pairs)
+    clusters = dup_clusters(
+        pairs,
+        max_iters=args.max_iters,
+        reliable=args.checkpoint_dir is not None,
+        checkpoint_dir=args.checkpoint_dir,
+    )
     out = (
         docs.select(args.id_col)
         .join(

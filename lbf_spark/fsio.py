@@ -75,6 +75,24 @@ def list_names(spark, path: str) -> list[str]:
     return sorted(st.getPath().getName() for st in fs.listStatus(p))
 
 
+def list_files_recursive(spark, path: str, suffix: str) -> list[dict]:
+    """All files under ``path`` with that suffix, as
+    {path (relative), bytes} — FS metadata only, no data read."""
+    fs, p, _ = _fs_path(spark, path)
+    if not fs.exists(p):
+        return []
+    base = str(fs.makeQualified(p).toUri().getPath())
+    it = fs.listFiles(p, True)
+    out = []
+    while it.hasNext():
+        st = it.next()
+        full = str(st.getPath().toUri().getPath())
+        if full.endswith(suffix):
+            rel = full[len(base):].lstrip("/") if full.startswith(base) else full
+            out.append({"path": rel, "bytes": int(st.getLen())})
+    return sorted(out, key=lambda d: d["path"])
+
+
 def count_files_recursive(spark, path: str, suffix: str) -> int:
     fs, p, _ = _fs_path(spark, path)
     if not fs.exists(p):

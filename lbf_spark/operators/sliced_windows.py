@@ -195,6 +195,8 @@ def fused_bounded_sliced(
     ts = ts_col or order[0]
     if slice_width is None:
         slice_width = _auto_slice_width(df, ts)
+    from pyspark import StorageLevel
+
     k = max(rolling_w, 2)  # halo rows: rolling needs w-1, lag needs 1
     sliced = _with_slice(df, ts, slice_width)
     halos = _halo_rows(sliced, k, by, order).withColumn("_halo", F.lit(1))
@@ -221,6 +223,11 @@ def fused_bounded_sliced(
             F.sum(F.when(F.col("_halo") == 0, F.col("_new"))).over(w_cum),
         )
         .filter(F.col("_halo") == 0)
+        # persisted: the main output AND the session-offset aggregation
+        # both consume this frame — without it the offsets branch
+        # re-executes the entire upstream lineage (halo assembly, the
+        # window pass, and at flagship scale the pixel decode)
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # per-slice boundary counts -> exclusive prefix sum = session offset
     summ = feat.groupBy(*by, "_slice").agg(F.sum("_new").alias("_n_local"))

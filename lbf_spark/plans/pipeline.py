@@ -437,16 +437,20 @@ def checkpoint(
         if partition_by:
             writer = writer.partitionBy(*partition_by)
         writer.parquet(path)
-        names = fsio.list_names(spark, path)
-        files = sorted(
-            f for f in names if f.endswith(".parquet")
-        ) if not partition_by else names
+        # per-partition lineage: every data file with its size (FS
+        # metadata, free) + the stage row count (parquet-footer-only
+        # count(*), no data scan) — enough to audit exactly what a
+        # resumed run will reuse
+        files = fsio.list_files_recursive(spark, path, ".parquet")
         manifest = {
             "run_id": rid,
             "stage": stage,
             "schema": df.schema.json(),
             "partition_by": partition_by or [],
             "files": files,
+            "n_files": len(files),
+            "n_rows": spark.read.parquet(path).count(),
+            "total_bytes": sum(f["bytes"] for f in files),
             "wall_sec": round(time.time() - t0, 3),
         }
         fsio.write_text_atomic(spark, manifest_path, json.dumps(manifest, indent=1))
