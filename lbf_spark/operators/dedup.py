@@ -5,13 +5,15 @@ filters); these are the first-class data-pipeline additions required by
 the build contract: exact dedup, MinHash+LSH, SimHash, n-gram Jaccard,
 embedding-cosine near-dup (see similarity.py for the ANN side).
 
-Portability note: MinHash permutations are implemented as
-``md5(f"{i}:" + shingle)`` with *lexicographic* min — md5 is identical
-in every engine, so a DuckDB/ANSI-SQL oracle reproduces signatures
-exactly (no engine-specific hash like xxhash64 in any correctness
-path). At scale: shingling+hashing is embarrassingly parallel; the LSH
-band join is an equi-join on (band_id, band_hash) — shuffle on a
-well-distributed key, broadcast-free, skew-safe by construction.
+Portability note: MinHash hashes each shingle ONCE with md5 (identical
+in every engine — no engine-specific hash like xxhash64 in any
+correctness path) and derives the k permutations by fixed-coefficient
+universal hashing ``(aᵢ·h + bᵢ) mod (2⁶¹−1)`` over the digest's 32-bit
+prefix, so a DuckDB/ANSI-SQL oracle reproduces signatures exactly at
+1/k-th the hashing cost of per-permutation md5. At scale:
+shingling+hashing is embarrassingly parallel; the LSH band join is an
+equi-join on (band_id, band_hash) — shuffle on a well-distributed key,
+broadcast-free, skew-safe by construction.
 """
 
 from __future__ import annotations
@@ -64,31 +66,54 @@ def with_shingles(
     )
 
 
+_MH_P = (1 << 61) - 1  # Mersenne prime modulus for the permutations
+
+
+def mh_coeffs(num_hashes: int) -> tuple[list[int], list[int]]:
+    """Fixed universal-hash coefficients (deterministic constants from
+    the Knuth/Fibonacci multipliers — no RNG, identical everywhere;
+    a_i odd and < 2³⁰ so a·h < 2⁶² never overflows int64 in ANY
+    engine, h being a 32-bit md5 prefix)."""
+    a = [((0x9E3779B1 * (i + 1)) % (1 << 29)) | 1 for i in range(num_hashes)]
+    b = [(0x85EBCA77 * (i + 1)) % _MH_P for i in range(num_hashes)]
+    return a, b
+
+
 def minhash_signature(
     shingled: DataFrame, num_hashes: int = 16, id_col: str = "doc_id"
 ) -> DataFrame:
-    """k-permutation MinHash over md5 — portable across engines.
-
-    signature[i] = min over shingles s of md5(concat(i, ':', s)),
-    lexicographic min over the 32-char hex digest.
+    """k-permutation MinHash — portable across engines AND cheap:
+    ONE md5 per shingle (its first 8 hex chars → a 32-bit integer h),
+    then k universal-hash permutations ``(aᵢ·h + bᵢ) mod (2⁶¹−1)``
+    with fixed coefficients. signature[i] = min over shingles of
+    permᵢ(h). The earlier scheme (md5 per permutation per shingle —
+    k× the hashing cost) was the round-2 bench bottleneck; arithmetic
+    permutations over one digest are the standard minhash construction
+    (Broder 1997 §4) and reproduce bit-identically in ANSI SQL.
 
     Shingle-less documents (< n tokens) are dropped: they cannot be
     shingle-near-dups of anything, and keeping them would give every
-    such doc the identical all-null signature → identical band hashes →
-    a quadratic candidate blowup among short/empty docs.
+    such doc the identical empty-min signature → identical band hashes
+    → a quadratic candidate blowup among short/empty docs.
     """
     shingled = shingled.filter(F.size("shingles") > 0)
+    a, b = mh_coeffs(num_hashes)
+    hs = F.transform(
+        F.col("shingles"),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+    )
+    with_h = shingled.withColumn("_hs", hs)  # md5 evaluated ONCE per shingle
+
+    def _perm(A: int, B: int):
+        return lambda h: (F.lit(A) * h + F.lit(B)) % F.lit(_MH_P)
+
     sig = F.array(
         *[
-            F.array_min(
-                F.transform(
-                    F.col("shingles"), lambda s, i=i: F.md5(F.concat(F.lit(f"{i}:"), s))
-                )
-            )
-            for i in range(num_hashes)
+            F.array_min(F.transform(F.col("_hs"), _perm(A, B)))
+            for A, B in zip(a, b)
         ]
     )
-    return shingled.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
+    return with_h.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
 
 
 def lsh_candidate_pairs(
@@ -109,7 +134,13 @@ def lsh_candidate_pairs(
                     b.alias("band_id"),
                     F.md5(
                         F.concat_ws(
-                            "|", F.slice("signature", b * rows_per_band + 1, rows_per_band)
+                            "|",
+                            F.transform(
+                                F.slice(
+                                    "signature", b * rows_per_band + 1, rows_per_band
+                                ),
+                                lambda x: x.cast("string"),
+                            ),
                         )
                     ).alias("band_hash"),
                 ),

@@ -728,9 +728,12 @@ def q23(spark, sf_dir):
 
 
 def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, threshold: float = 0.1):
+    from lbf_spark.operators.dedup import _MH_P, mh_coeffs
+
     rpb = num_hashes // bands
+    a, b = mh_coeffs(num_hashes)
     sig = ", ".join(
-        f"list_min(list_transform(shingles, s -> md5('{i}:' || s)))"
+        f"list_min(list_transform(hs, h -> ({a[i]} * h + {b[i]}) % {_MH_P}))"
         for i in range(num_hashes)
     )
     band_rows = ", ".join(
@@ -740,8 +743,14 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, threshold: float =
     return (
         _SHINGLES_SQL
         + f"""
-    , sig as (
-      select doc_id, shingles, [{sig}] as signature from sh
+    , hsh as (
+      select doc_id, shingles,
+             list_transform(shingles,
+                            s -> ('0x' || substr(md5(s), 1, 8))::bigint) as hs
+      from sh
+    ),
+    sig as (
+      select doc_id, shingles, [{sig}] as signature from hsh
     ),
     banded as (
       select doc_id, bb.band_id, bb.band_hash
@@ -770,9 +779,10 @@ def _minhash_oracle_sql(num_hashes: int = 16, bands: int = 8, threshold: float =
 
 @q("q24_minhash_lsh", _minhash_oracle_sql())
 def q24(spark, sf_dir):
-    """MinHash-LSH near-dup dedup (16 md5 permutations, 8 bands) with
-    exact-Jaccard verification — the oracle reimplements the identical
-    portable algorithm in SQL, so candidates match exactly."""
+    """MinHash-LSH near-dup dedup (one md5 per shingle + 16 fixed
+    universal-hash permutations, 8 bands) with exact-Jaccard
+    verification — the oracle reimplements the identical portable
+    algorithm in SQL, so candidates match exactly."""
     pairs = dedup.minhash_dedup_pairs(
         t(spark, sf_dir, "documents"),
         num_hashes=16,
