@@ -112,6 +112,63 @@ def run_stream_to_memory(
     q.awaitTermination()
 
 
+def stream_asof_enrich(
+    tagged: DataFrame,
+    by: str = "entity",
+    ts_col: str = "ts",
+    value_col: str = "v",
+    kind_col: str = "kind",
+) -> DataFrame:
+    """Custom stateful operator via ``applyInPandasWithState``: the
+    point-in-time (backward, ts ≤ anchor_ts) as-of join, incrementalized
+    — the streaming restatement of ``operators.asof.asof_join``'s
+    union+last-carry plan (the engine's core operator; the union
+    strategy's "last feature carried forward" IS the group state here).
+
+    Input: ONE tagged stream per entity — feature rows
+    (``kind='f'``: ts + value) interleaved with anchor rows
+    (``kind='a'``). Each anchor emits the latest feature at or before
+    its ts; an anchor before any feature emits nulls (exactly the batch
+    left-join semantics). State per entity: one (last_ts, last_value)
+    pair — O(1), carried across micro-batches.
+
+    Ordering contract (same as ``stream_rolling_mean_stateful``): rows
+    arrive in non-decreasing ts per entity ACROSS triggers; within a
+    batch they are sorted (feature-before-anchor at equal ts, matching
+    DuckDB/batch ASOF tie semantics).
+    """
+    import pandas as pd
+
+    out_schema = f"{by} string, anchor_ts long, matched_ts long, matched_v double"
+    state_schema = "last_ts long, last_v double"
+
+    def fn(key, pdf_iter, state):
+        (entity,) = key
+        last_ts, last_v = state.get if state.exists else (None, None)
+        for pdf in pdf_iter:
+            pdf = pdf.copy()
+            # feature sorts before anchor at equal ts ⇒ inclusive match
+            pdf["_k"] = (pdf[kind_col] != "f").astype(int)
+            pdf = pdf.sort_values([ts_col, "_k"], kind="mergesort")
+            rows = []
+            for k, t, v in zip(pdf["_k"], pdf[ts_col], pdf[value_col]):
+                if k == 0:
+                    last_ts, last_v = int(t), float(v)
+                else:
+                    rows.append((entity, int(t), last_ts, last_v))
+            yield pd.DataFrame(
+                rows, columns=[by, "anchor_ts", "matched_ts", "matched_v"]
+            )
+        if last_ts is not None:
+            state.update((last_ts, last_v))
+
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return tagged.groupBy(by).applyInPandasWithState(
+        fn, out_schema, state_schema, "append", GroupStateTimeout.NoTimeout
+    )
+
+
 def stream_rolling_mean_stateful(
     events: DataFrame,
     window: int = 16,

@@ -86,6 +86,73 @@ def test_watermark_drops_very_late_events(spark, tmp_path):
     assert not (got["session_start"] == 2_000_000).any()
 
 
+def test_stateful_asof_enrich_stream_equals_batch(spark, tmp_path, tiny_events):
+    """Streaming point-in-time join: a tagged feature+anchor stream
+    split over 3 time-ordered micro-batches must reproduce the batch
+    asof_join exactly — anchors matching features from EARLIER batches
+    prove the state carry; anchors before any feature emit nulls."""
+    import os
+    import numpy as np
+    from lbf_spark.operators.asof import asof_join
+    from lbf_spark.streaming.stream_features import stream_asof_enrich
+
+    pdf = (
+        tiny_events.drop(columns=["bytes"])
+        .drop_duplicates(subset=["entity", "ts"])
+        .sort_values("ts", ignore_index=True)
+    )
+    pdf["v"] = (pdf["phash"] % 1000).astype(float)
+    feats = pdf[["entity", "ts", "v"]].assign(kind="f")
+    anchors = (
+        pdf.iloc[::7][["entity", "ts"]]
+        .assign(ts=lambda d: d["ts"] + 3, v=0.0, kind="a")
+    )
+    tagged = (
+        pd.concat([feats, anchors[["entity", "ts", "v", "kind"]]])
+        .sort_values("ts", ignore_index=True)
+    )
+    d = tmp_path / "src"
+    d.mkdir()
+    n = len(tagged)
+    for i, (lo, hi) in enumerate([(0, n // 3), (n // 3, 2 * n // 3), (2 * n // 3, n)]):
+        p = str(d / f"part{i}.parquet")
+        pq.write_table(pa.Table.from_pandas(tagged.iloc[lo:hi], preserve_index=False), p)
+        os.utime(p, (1_700_000_000 + i * 60, 1_700_000_000 + i * 60))
+
+    src = spark.readStream.schema(
+        spark.read.parquet(str(d)).schema
+    ).option("maxFilesPerTrigger", 1).parquet(str(d))
+    q = (
+        stream_asof_enrich(src)
+        .writeStream.format("memory")
+        .queryName("asof_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = (
+        spark.sql("select * from asof_tbl").toPandas()
+        .sort_values(["entity", "anchor_ts"], ignore_index=True)
+    )
+    ev = spark.createDataFrame(feats[["entity", "ts", "v"]])
+    an = spark.createDataFrame(
+        anchors[["entity", "ts"]].rename(columns={"ts": "anchor_ts"})
+    )
+    exp = (
+        asof_join(ev, an, select=["v", "ts"])
+        .toPandas()
+        .sort_values(["entity", "anchor_ts"], ignore_index=True)
+    )
+    assert len(got) == len(exp) and len(got) > 10
+    a = got["matched_v"].astype(float).to_numpy()
+    b = exp["v"].astype(float).to_numpy()
+    assert np.all((a == b) | (np.isnan(a) & np.isnan(b)))
+    at = got["matched_ts"].astype(float).to_numpy()
+    bt = exp["ts"].astype(float).to_numpy()
+    assert np.all((at == bt) | (np.isnan(at) & np.isnan(bt)))
+
+
 def test_stateful_rolling_mean_stream_equals_batch(spark, tmp_path, tiny_events):
     """applyInPandasWithState custom operator: rolling mean state must
     carry across micro-batches — 3 time-ordered files, one per trigger,
