@@ -147,7 +147,10 @@ def run_bench(master: str, flagship_only: bool = False) -> dict:
             # the skew path's cost/benefit at bench scale: same flagship
             # with hot entities routed through the halo-sliced window
             # variants (auto hot threshold; slice width = span/cores so
-            # the hottest entity's window work lands in ~CPUS tasks)
+            # the hottest entity's window work lands in ~CPUS tasks).
+            # warmup=True: the sliced plan's applyInPandas halo path has
+            # not run yet, so it needs its own warm-up pass (CLAUDE.md
+            # steady-state rule) before the timed best-of-2.
             from pyspark.sql import functions as F
 
             ev_path, _ = _flagship_input()
@@ -155,10 +158,10 @@ def run_bench(master: str, flagship_only: bool = False) -> dict:
                 spark.read.parquet(ev_path).agg(F.min("ts"), F.max("ts")).first()
             )
             width = max(1, int(hi - lo + 1) // CPUS)
-            sliced_wall, _n = run_flagship(spark, hot_slice=width, warmup=False)
+            sliced_wall, _n = run_flagship(spark, hot_slice=width, warmup=True)
             extra["flagship_image_pipeline_sliced"] = round(sliced_wall, 3)
             spark.catalog.clearCache()
-        if not flagship_only:
+
             from lbf_spark.queries import QUERIES
 
             def best_of_2(name: str) -> float:

@@ -24,6 +24,11 @@ def join(*parts: str) -> str:
 
 
 def _fs_path(spark, path_str: str):
+    if spark is None:
+        raise ValueError(
+            "fsio needs an active SparkSession to reach the Hadoop "
+            f"FileSystem API (path: {path_str}); create one first"
+        )
     jvm = spark._jvm
     hconf = spark._jsc.hadoopConfiguration()
     jpath = jvm.org.apache.hadoop.fs.Path(path_str)
@@ -33,11 +38,6 @@ def _fs_path(spark, path_str: str):
 def exists(spark, path: str) -> bool:
     fs, p, _ = _fs_path(spark, path)
     return bool(fs.exists(p))
-
-
-def is_dir(spark, path: str) -> bool:
-    fs, p, _ = _fs_path(spark, path)
-    return bool(fs.exists(p)) and bool(fs.getFileStatus(p).isDirectory())
 
 
 def read_text(spark, path: str) -> str:

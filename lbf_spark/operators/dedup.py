@@ -492,10 +492,11 @@ def dup_clusters(
     edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(
         eager=True
     )
-    labels = _materialize(
+    materialized = _materialize(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
+    labels = materialized
     converged = False
     for _i in range(max_iters):
         nbr = (
@@ -516,7 +517,10 @@ def dup_clusters(
         # one node-sized scan: materializes this round AND probes fixpoint
         n_changed = stepped.filter(F.col("label") != F.col("_prev")).count()
         if not reliable:
-            labels.unpersist()
+            # unpersist the frame that was actually persisted — calling
+            # unpersist on a projection over it (labels) is a silent no-op
+            materialized.unpersist()
+        materialized = stepped
         labels = stepped.drop("_prev")
         if n_changed == 0:
             converged = True

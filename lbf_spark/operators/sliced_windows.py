@@ -190,7 +190,14 @@ def fused_bounded_sliced(
     serves them all. The halo also simplifies sessionize: each real
     row's lag-predecessor inside the slice IS its true predecessor, so
     the gap test is locally exact and phase 2 reduces to a per-slice
-    prefix sum of boundary counts (one tiny row per slice)."""
+    prefix sum of boundary counts (one tiny row per slice).
+
+    The post-window frame stays persisted for the session (both the
+    output and the offsets consume it; unpersisting inside the operator
+    would drop it before the caller's action). Long-lived sessions
+    invoking this repeatedly should `spark.catalog.clearCache()`
+    between runs — `run_pipeline` materializes stages to parquet right
+    after, so the cache is only live within one stage."""
     by, order = _norm(by, order)
     ts = ts_col or order[0]
     if slice_width is None:

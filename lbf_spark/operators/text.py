@@ -282,9 +282,13 @@ def c4_quality(
     lower = F.lower(F.col(text_col))
     has_lorem = lower.contains("lorem ipsum")
     has_brace = F.col(text_col).contains("{")
+    import re as _re
+
     has_bad = F.lit(False)
     for w in bad_words or []:
-        has_bad = has_bad | lower.rlike(f"\\b{w}\\b")
+        # escape regex metacharacters ("c++") and match case-insensitively
+        # (the haystack is lowercased)
+        has_bad = has_bad | lower.rlike(f"\\b{_re.escape(w.lower())}\\b")
     out = (
         df.withColumn("n_lines", F.size(lines).cast("long"))
         .withColumn("n_lines_kept", F.size(kept).cast("long"))

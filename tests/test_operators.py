@@ -511,9 +511,13 @@ def test_c4_quality_hand_cases(spark):
     assert r.loc[4, "has_brace"] == 1 and r.loc[4, "c4_pass"] == 0
     assert r.loc[5, "n_lines_kept"] == 5  # javascript line dropped
     assert abs(r.loc[6, "dup_line_frac"] - 0.75) < 1e-9
-    # bad-words list: word-boundary match flags the page
-    rb = text.c4_quality(df, bad_words=["reasonable"]).toPandas().set_index("doc_id")
+    # bad-words list: word-boundary match flags the page; entries are
+    # regex-escaped ("c++" must not crash) and case-insensitive
+    rb = text.c4_quality(
+        df, bad_words=["Reasonable", "c++"]
+    ).toPandas().set_index("doc_id")
     assert rb.loc[1, "has_bad_word"] == 1 and rb.loc[1, "c4_pass"] == 0
+    assert rb.loc[2, "has_bad_word"] == 0
 
 
 def test_vocab_stats_and_contamination(spark):
