@@ -10,8 +10,10 @@ partitioned parquet:
   Zipf-skewed entities, the day column gives time-range pruning (the
   Iceberg `bucket(N, entity), days(ts)` transform pair);
 * **snapshot manifests**: every write appends a JSON snapshot (schema,
-  partition spec, file count, parent pointer) — enough lineage to know
-  exactly what a run read;
+  partition spec, the exact data files the write ADDED, parent pointer)
+  — enough lineage to know exactly what a run read, and enough for
+  **time travel** (`scan(snapshot_id=…)`) and **incremental reads**
+  (`incremental_files` — the Iceberg changelog-read analog);
 * **partition pruning**: `scan()` turns entity/time predicates into
   partition-column predicates so the parquet source prunes directories
   (verified via PartitionFilters in the physical plan).
@@ -23,8 +25,6 @@ catalog calls; every operator above this layer is unchanged.
 from __future__ import annotations
 
 import json
-import os
-import time
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -60,7 +60,17 @@ def write_table(
     fsio.mkdirs(spark, meta_dir)
     existing = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
     parent = existing[-1] if existing else None
-    n_files = fsio.count_files_recursive(spark, fsio.join(path, "data"), ".parquet")
+    all_files = [
+        f["path"]
+        for f in fsio.list_files_recursive(spark, fsio.join(path, "data"), ".parquet")
+    ]
+    if mode == "overwrite" or parent is None:
+        prev_cumulative: set[str] = set()
+    else:
+        prev_cumulative = set(
+            _cumulative_files(spark, path, _read_snaps(spark, meta_dir))
+        )
+    added = sorted(set(all_files) - prev_cumulative)
     snapshot = {
         "snapshot_id": len(existing) + 1,
         "parent": parent,
@@ -69,12 +79,46 @@ def write_table(
             "entity_bucket": f"bucket({n_buckets}, entity)",
             "ts_day": f"floor(ts / {ts_unit_day})",
         },
-        "n_data_files": n_files,
+        "added_files": added,
+        "n_data_files": len(all_files),
         "mode": mode,
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
     fsio.write_text_atomic(spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1))
     return snapshot
+
+
+def _read_snaps(spark, meta_dir: str) -> list[dict]:
+    from lbf_spark import fsio
+
+    names = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
+    return [
+        json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))) for n in names
+    ]
+
+
+def _cumulative_files(
+    spark, path: str, snaps: list[dict], as_of: int | None = None
+) -> list[str]:
+    """The data files visible at snapshot ``as_of`` (default: latest):
+    replay added_files, resetting at each overwrite — Iceberg's
+    manifest-list reachability, one JSON per snapshot here. Raises if
+    ``as_of`` predates the last overwrite (those files are gone)."""
+    if as_of is not None and any(
+        s["mode"] == "overwrite" and s["snapshot_id"] > as_of for s in snaps
+    ):
+        raise ValueError(
+            f"snapshot {as_of} predates an overwrite — its data files "
+            "no longer exist (this shim does not retain overwritten files)"
+        )
+    files: list[str] = []
+    for s in snaps:
+        if as_of is not None and s["snapshot_id"] > as_of:
+            break
+        if s["mode"] == "overwrite":
+            files = []
+        files.extend(s.get("added_files", []))
+    return files
 
 
 def current_snapshot(path: str, spark: SparkSession | None = None) -> dict | None:
@@ -88,6 +132,32 @@ def current_snapshot(path: str, spark: SparkSession | None = None) -> dict | Non
     return json.loads(fsio.read_text(spark, fsio.join(meta_dir, snaps[-1])))
 
 
+def incremental_files(
+    spark: SparkSession, path: str, after: int, until: int | None = None
+) -> list[str]:
+    """Data files added by snapshots in (after, until] — the Iceberg
+    incremental/changelog read: a consumer that processed snapshot
+    ``after`` reads exactly the new files, never rescanning the table.
+    Raises if an overwrite happened in the range (a changelog consumer
+    must restart from the overwrite)."""
+    from lbf_spark import fsio
+
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    picked: list[str] = []
+    for s in snaps:
+        sid = s["snapshot_id"]
+        if sid <= after or (until is not None and sid > until):
+            continue
+        if s["mode"] == "overwrite":
+            raise ValueError(
+                f"snapshot {sid} is an overwrite — incremental reads "
+                "across it are undefined; re-read the table from scratch"
+            )
+        picked.extend(s.get("added_files", []))
+    data_dir = fsio.join(path, "data")
+    return [fsio.join(data_dir, f) for f in picked]
+
+
 def scan(
     spark: SparkSession,
     path: str,
@@ -96,14 +166,27 @@ def scan(
     ts_max: int | None = None,
     n_buckets: int = 16,
     ts_unit_day: int = DAY,
+    snapshot_id: int | None = None,
 ) -> DataFrame:
     """Pruned scan: entity/time predicates are rewritten onto the
     partition columns (bucket list, day range) so the source skips whole
     directories — the engine-side half of Iceberg's partition-transform
-    pruning. The exact row-level predicate is applied on top."""
+    pruning. The exact row-level predicate is applied on top.
+
+    ``snapshot_id`` time-travels: only the data files visible at that
+    snapshot are read (basePath keeps the hive partition columns), back
+    to the most recent overwrite."""
     from lbf_spark import fsio
 
-    df = spark.read.parquet(fsio.join(path, "data"))
+    data_dir = fsio.join(path, "data")
+    if snapshot_id is None:
+        df = spark.read.parquet(data_dir)
+    else:
+        snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+        files = _cumulative_files(spark, path, snaps, as_of=snapshot_id)
+        df = spark.read.option("basePath", data_dir).parquet(
+            *[fsio.join(data_dir, f) for f in files]
+        )
     if entities:
         bucket_vals = (
             spark.createDataFrame([(e,) for e in entities], "entity string")

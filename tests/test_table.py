@@ -39,6 +39,47 @@ def test_table_file_uri_roundtrip(spark, tiny_events, tmp_path):
     assert TBL.current_snapshot(path)["snapshot_id"] == 1
 
 
+def test_time_travel_and_incremental_reads(spark, tiny_events, tmp_path):
+    """Snapshot file lists: scan(snapshot_id=N) reproduces the table as
+    of N; incremental_files gives exactly the files a changelog
+    consumer must read; overwrites invalidate history before them."""
+    import pytest as _pytest
+
+    from lbf_spark.sources.table import incremental_files
+
+    path = str(tmp_path / "tbl_tt")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)        # snap 1
+    n1 = len(tiny_events)
+    extra = fixtures.events_to_spark(spark, tiny_events.iloc[:100])
+    TBL.write_table(extra, path, mode="append", ts_unit_day=10_000)        # snap 2
+    extra2 = fixtures.events_to_spark(spark, tiny_events.iloc[100:150])
+    TBL.write_table(extra2, path, mode="append", ts_unit_day=10_000)       # snap 3
+
+    assert TBL.scan(spark, path, snapshot_id=1).count() == n1
+    assert TBL.scan(spark, path, snapshot_id=2).count() == n1 + 100
+    assert TBL.scan(spark, path, snapshot_id=3).count() == n1 + 150
+    assert TBL.scan(spark, path).count() == n1 + 150
+    # time-traveled scans keep the hive partition columns (basePath)
+    assert "entity_bucket" in TBL.scan(spark, path, snapshot_id=1).columns
+
+    # changelog read: snapshots (1, 3] = the 150 appended rows
+    inc = incremental_files(spark, path, after=1)
+    assert spark.read.option(
+        "basePath", path + "/data"
+    ).parquet(*inc).count() == 150
+    inc23 = incremental_files(spark, path, after=2, until=3)
+    assert spark.read.option("basePath", path + "/data").parquet(*inc23).count() == 50
+
+    # an overwrite invalidates earlier snapshots and breaks changelogs
+    TBL.write_table(extra2, path, mode="overwrite", ts_unit_day=10_000)    # snap 4
+    assert TBL.scan(spark, path, snapshot_id=4).count() == 50
+    with _pytest.raises(ValueError, match="predates an overwrite"):
+        TBL.scan(spark, path, snapshot_id=2).count()
+    with _pytest.raises(ValueError, match="overwrite"):
+        incremental_files(spark, path, after=3)
+
+
 def test_scan_prunes_partitions(spark, tiny_events, tmp_path):
     path = str(tmp_path / "tbl2")
     ev = fixtures.events_to_spark(spark, tiny_events)
