@@ -138,13 +138,20 @@ def rolling_sliced(
     full = sliced.withColumn("_halo", F.lit(0)).unionByName(halos)
 
     out_field = T.StructField(out, T.DoubleType(), True)
-    if kernel in _JVM_KERNELS:
+    if kernel in _JVM_KERNELS or (kernel == "median" and window <= 64):
+        from lbf_spark.operators.windows import _median_over
+
         w = (
             Window.partitionBy(*by, "_slice")
             .orderBy(*order)
             .rowsBetween(-(window - 1), 0)
         )
-        res = full.withColumn(out, _JVM_KERNELS[kernel](col).over(w))
+        expr = (
+            _median_over(col, w)
+            if kernel == "median"
+            else _JVM_KERNELS[kernel](col).over(w)
+        )
+        res = full.withColumn(out, expr)
         return res.filter(F.col("_halo") == 0).drop("_slice", "_halo")
     if kernel != "median":
         raise ValueError(f"unsupported kernel: {kernel}")

@@ -119,9 +119,17 @@ def rolling_median(
     slice_width: int | None = None,
 ) -> DataFrame:
     """Exact trailing rolling median (WPS smoothing analog,
-    ``signal_transformer.py:276``). Spark has no exact rolling-median
-    kernel, so this is a grouped Arrow-batched pandas UDF — the
-    sanctioned slow path (SURVEY.md §7 hard-part e).
+    ``signal_transformer.py:276``). Spark has no rolling-median kernel;
+    two exact implementations:
+
+    * ``window ≤ 64`` (the common smoothing case): pure JVM —
+      ``array_sort(collect_list(x) over frame)`` then the middle
+      element(s). Whole-stage codegen, no Python workers, O(w log w)
+      per row on a ≤64-element array. min_periods=1 falls out of the
+      growing frame at partition start.
+    * larger windows: the grouped Arrow pandas kernel (collect_list
+      arrays per row would cost O(w) memory each) — the sanctioned
+      slow path (SURVEY.md §7 hard-part e).
 
     ``slice_width`` routes through the halo-sliced variant
     (``sliced_windows.rolling_sliced``): identical results, but a hot
@@ -135,6 +143,9 @@ def rolling_median(
             df, col, out, window, kernel="median", by=by, order=order,
             slice_width=slice_width,
         )
+    if window <= 64:
+        w = _w(by, order).rowsBetween(-(window - 1), 0)
+        return df.withColumn(out, _median_over(col, w))
     by = [by] if isinstance(by, str) else list(by)
     schema = T.StructType(df.schema.fields + [T.StructField(out, T.DoubleType(), True)])
 
@@ -148,6 +159,19 @@ def rolling_median(
         return pdf
 
     return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def _median_over(col: str, w) -> F.Column:
+    """Exact median over a window frame, all-JVM: sort the collected
+    frame values, average the middle pair (== the single middle element
+    when the count is odd, since both 1-based indexes coincide).
+    Null inputs are skipped (collect_list drops them, matching pandas
+    rolling median's NaN handling); an all-null frame yields null."""
+    arr = F.array_sort(F.collect_list(F.col(col).cast("double")).over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    return F.when(n > 0, (lo + hi) / 2.0)
 
 
 def hamming_to_prev(

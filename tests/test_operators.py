@@ -520,7 +520,31 @@ def test_c4_quality_hand_cases(spark):
     assert rb.loc[2, "has_bad_word"] == 0
 
 
-def test_vocab_stats_and_contamination(spark):
+def test_jvm_rolling_median_nulls_and_parity(spark):
+    """The ≤64-window JVM median (array_sort middle pair) must equal
+    pandas rolling(min_periods=1).median incl. null skipping, even and
+    odd frame sizes, and all-null frames."""
+    import numpy as np
+    import pandas as pd
+
+    from lbf_spark.operators.windows import rolling_median
+
+    vals = [5.0, None, 3.0, 8.0, None, None, 1.0, 9.0, 2.0, None]
+    rows = [("a", i, v) for i, v in enumerate(vals)] + [
+        ("b", 0, None), ("b", 1, None)  # all-null entity
+    ]
+    df = spark.createDataFrame(rows, "entity string, ts long, v double")
+    got = (
+        rolling_median(df, "v", "m", 4)
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    exp = []
+    for ent in ["a", "b"]:
+        s = pd.Series([v for e, _, v in rows if e == ent], dtype="float64")
+        exp.extend(s.rolling(4, min_periods=1).median().tolist())
+    g = got["m"].astype(float).to_numpy()
+    e = np.array(exp)
+    assert np.all((g == e) | (np.isnan(g) & np.isnan(e)))
     """Hand case: counts/doc-freq/rank exact; contamination flags only
     docs sharing a 3-gram with the probe."""
     df = spark.createDataFrame(
