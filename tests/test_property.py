@@ -122,6 +122,46 @@ def test_sessionize_matches_numpy(spark, ts_lists, gap):
         st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=60),
         min_size=1, max_size=4,
     ),
+    window=st.integers(min_value=1, max_value=9),
+    slice_w=st.integers(min_value=7, max_value=900),
+    gap=st.integers(min_value=1, max_value=500),
+)
+@SETTINGS
+def test_fused_bounded_sliced_property(spark, ts_lists, window, slice_w, gap):
+    """Random timestamps / window sizes / slice widths (window=1
+    included): the ONE-exchange fused kernel must equal the three
+    unsliced operators — rolling mean, lag-1 hamming drift, sessionize."""
+    from lbf_spark.operators import sliced_windows as SW, windows as W
+
+    rows = []
+    for i, ts in enumerate(ts_lists):
+        for t in sorted(set(ts)):
+            rows.append((f"e{i}", t, float((t * 31 + i) % 97), (t * 2654435761 + i) % (1 << 62)))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts", "v", "phash"])
+    df = spark.createDataFrame(pdf, "entity string, ts long, v double, phash long")
+    exp = (
+        W.sessionize(
+            W.hamming_to_prev(W.rolling_mean(df, "v", "roll_mean", window), "phash", "phash_drift"),
+            gap, out="session_id",
+        )
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    got = (
+        SW.fused_bounded_sliced(df, "v", window, gap, slice_width=slice_w)
+        .toPandas().sort_values(["entity", "ts"], ignore_index=True)
+    )
+    assert np.allclose(got["roll_mean"], exp["roll_mean"], rtol=0, atol=0)
+    g = got["phash_drift"].astype("float64").to_numpy()
+    e = exp["phash_drift"].astype("float64").to_numpy()
+    assert np.all((g == e) | (np.isnan(g) & np.isnan(e)))
+    assert got["session_id"].tolist() == exp["session_id"].tolist()
+
+
+@given(
+    ts_lists=st.lists(
+        st.lists(st.integers(min_value=0, max_value=3000), min_size=1, max_size=60),
+        min_size=1, max_size=4,
+    ),
     window=st.integers(min_value=2, max_value=9),
     slice_w=st.integers(min_value=7, max_value=900),
     gap=st.integers(min_value=1, max_value=500),
