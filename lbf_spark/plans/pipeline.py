@@ -182,7 +182,12 @@ def _sliced_window_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
         df, cfg.value_col, cfg.rolling_w, cfg.session_gap,
         order=order, ts_col="ts", slice_width=sw,
     )
-    df = SW.rolling_count_range_sliced(df, "roll_count", cfg.span, slice_width=sw)
+    # the time-range count duplicates each row into every slice its
+    # trailing span can reach — a slice narrower than the span means
+    # span/width copies per row; clamp so duplication stays ≤ 2×
+    df = SW.rolling_count_range_sliced(
+        df, "roll_count", cfg.span, slice_width=max(sw, cfg.span)
+    )
     return df
 
 
@@ -218,10 +223,17 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     Physical shape: decode only needs *parallelism* (row-local →
     round-robin to all cores, SMT-aware cap); the window stage is ONE
     exchange + sort (see _fused_windows). With ``hot_slice_width`` set,
-    entities above ``hot_entity_threshold`` are split out BEFORE the
-    decode (so decode work is never duplicated) and routed through the
+    entities above ``hot_entity_threshold`` route through the
     halo-sliced window variants; everything else keeps the fused plan;
-    results are identical (property-tested)."""
+    results are identical (property-tested).
+
+    The hybrid decodes ONCE over everything and persists the slim
+    (~80 B/row, payload dropped) frame, then splits hot/rest by filter
+    — decoding per branch instead runs two full-width Python decode
+    stages concurrently under the union (measured 2× worker
+    oversubscription on a 32-core box) and re-executes the scan twice.
+    Cache lifetime: the session's, like every multi-consumer frame here
+    (run_pipeline materializes the stage to parquet right after)."""
     if not cfg.hot_slice_width:
         return _fused_windows(_decode_slim(events, cfg), cfg)
     if cfg.hot_entity_threshold == 0:  # pure-sliced plan (every entity)
@@ -229,15 +241,16 @@ def event_features(events: DataFrame, cfg: FeatureConfig) -> DataFrame:
     hot = _hot_entities(events, cfg)
     if not hot:
         return _fused_windows(_decode_slim(events, cfg), cfg)
+    from pyspark import StorageLevel
+
+    slim = _decode_slim(events, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     # NULL entities must route somewhere: ~isin(hot) is NULL (not true)
     # for them, so without the isNull arm they'd vanish from BOTH
     # branches, diverging from the fused plan which keeps them.
-    rest_raw = events.filter(
-        ~F.col("entity").isin(hot) | F.col("entity").isNull()
-    )
-    hot_raw = events.filter(F.col("entity").isin(hot))
-    return _fused_windows(_decode_slim(rest_raw, cfg), cfg).unionByName(
-        _sliced_window_stage(_decode_slim(hot_raw, cfg), cfg)
+    rest = slim.filter(~F.col("entity").isin(hot) | F.col("entity").isNull())
+    hot_df = slim.filter(F.col("entity").isin(hot))
+    return _fused_windows(rest, cfg).unionByName(
+        _sliced_window_stage(hot_df, cfg)
     )
 
 
