@@ -183,6 +183,47 @@ def stratified_sample_exact(
     )
 
 
+def mixture_sample(
+    df: DataFrame,
+    quotas: dict,
+    by: str,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Exact quota sampling with a DIFFERENT quota per group — the
+    data-mixing step of training-corpus assembly ("2 parts web, 1 part
+    books"): rows rank within each group by ``md5(seed:group:id)`` and
+    the first ``quotas[group]`` are kept. Bit-reproducible on any
+    engine with md5 (unlike Bernoulli ``sampleBy``); groups absent from
+    ``quotas`` are dropped; a quota exceeding the group size keeps the
+    whole group. The quota map broadcasts (mixtures are tiny);
+    skew-bounded by the largest stratum like
+    ``stratified_sample_exact``."""
+    spark = df.sparkSession
+    qdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in quotas.items()],
+        T.StructType(
+            [
+                df.schema[by],
+                T.StructField("__quota", T.IntegerType(), False),
+            ]
+        ),
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(by).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(by).orderBy(key, id_col)
+    return (
+        df.join(F.broadcast(qdf), by)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("__quota"))
+        .drop("__rk", "__quota")
+    )
+
+
 def multinomial_subsample(
     df: DataFrame,
     count_col: str,

@@ -2474,6 +2474,40 @@ def q66(spark, sf_dir):
     return text.contamination_flags(docs, probe, "doc_id", "text", n=3)
 
 
+_MIX_QUOTAS = {"src0": 15, "src1": 5, "src3": 1000}  # src3 > group ⇒ keep all
+
+
+@q(
+    "q67_mixture_sample",
+    """
+    with q as (
+      select * from (values ('src0', 15), ('src1', 5), ('src3', 1000))
+             v(source, quota)
+    ),
+    r as (
+      select doc_id, d.source, q.quota,
+             row_number() over (
+               partition by d.source
+               order by md5('42:' || d.source || ':' || cast(doc_id as varchar)),
+                        doc_id) as rk
+      from documents d join q on d.source = q.source
+    )
+    select doc_id, source from r where rk <= quota
+    """,
+)
+def q67(spark, sf_dir):
+    """Training-corpus data mixing: exact per-source quotas ("15 of
+    src0, 5 of src1, all of src3"), md5-ranked within source so the
+    sample is bit-reproducible on any engine; unlisted sources drop,
+    over-large quotas keep the whole group. Broadcast quota map + one
+    window per stratum."""
+    out = D.mixture_sample(
+        t(spark, sf_dir, "documents"), _MIX_QUOTAS, by="source",
+        id_col="doc_id", seed=42,
+    )
+    return out.select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every
