@@ -2508,6 +2508,95 @@ def q67(spark, sf_dir):
     return out.select("doc_id", "source")
 
 
+@q(
+    "q68_group_quantiles",
+    f"""
+    select event_type,
+           round(quantile_cont(value, 0.25), 6) as q25,
+           round(quantile_cont(value, 0.5), 6) as q50,
+           round(quantile_cont(value, 0.75), 6) as q75,
+           round(quantile_cont(value, 0.99), 6) as q99
+    from {_EVENTS_SQL}
+    group by event_type
+    """,
+)
+def q68(spark, sf_dir):
+    """Exact per-group quantiles (linear interpolation — Spark
+    ``percentile`` and DuckDB ``quantile_cont`` implement the same
+    type-7 estimator). Exact, not approx: percentile sorts per group —
+    at 100 TB switch to ``percentile_approx`` (t-digest-style sketch,
+    mergeable map-side) and drop the oracle to tolerance; the exact
+    form is the correctness anchor."""
+    ev = _events(spark, sf_dir)
+    return ev.groupBy("event_type").agg(
+        *[
+            F.round(F.percentile("value", F.lit(p)), 6).alias(name)
+            for p, name in [(0.25, "q25"), (0.5, "q50"), (0.75, "q75"), (0.99, "q99")]
+        ]
+    )
+
+
+@q(
+    "q69_group_corr",
+    f"""
+    with s as (
+      select user_id,
+             count(*) as n,
+             cast(sum(cast(value as decimal(28,10))) as double) as sx,
+             cast(sum(cast(epoch_us(ts) % 1000000 as decimal(28,10))) as double) as sy,
+             cast(sum(cast(value as decimal(28,10))
+                      * cast(value as decimal(28,10))) as double) as sxx,
+             cast(sum(cast(epoch_us(ts) % 1000000 as decimal(28,10))
+                      * cast(epoch_us(ts) % 1000000 as decimal(28,10))) as double) as syy,
+             cast(sum(cast(value as decimal(28,10))
+                      * cast(epoch_us(ts) % 1000000 as decimal(28,10))) as double) as sxy
+      from events
+      group by user_id
+    )
+    select user_id,
+           round(case when (n * sxx - sx * sx) * (n * syy - sy * sy) > 0
+                      then (n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+                      else 0.0 end, 6) + 0 as corr_xy
+    from s
+    """,
+)
+def q69(spark, sf_dir):
+    """Per-group Pearson correlation made bit-stable: built-in corr()
+    accumulates double co-moments whose value depends on partial-agg
+    order, so it cannot hash-match across engines — instead the five
+    power sums are DECIMAL (associative ⇒ order-proof) and the
+    correlation assembles from them in one deterministic expression
+    (the repo determinism rule applied to a two-variable statistic).
+    Degenerate groups (zero variance) report 0."""
+    ev = t(spark, sf_dir, "events")
+    x = F.col("value").cast("decimal(28,10)")
+    y = (F.unix_micros(F.col("ts").cast("timestamp")) % 1_000_000).cast(
+        "decimal(28,10)"
+    )
+    s = ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(x).cast("double").alias("sx"),
+        F.sum(y).cast("double").alias("sy"),
+        F.sum(x * x).cast("double").alias("sxx"),
+        F.sum(y * y).cast("double").alias("syy"),
+        F.sum(x * y).cast("double").alias("sxy"),
+    )
+    num = F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den2 = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")) * (
+        F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")
+    )
+    return s.select(
+        "user_id",
+        (
+            F.round(
+                F.when(den2 > 0, num / F.sqrt(den2)).otherwise(F.lit(0.0)), 6
+            )
+            + F.lit(0.0)
+        ).alias("corr_xy"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every
