@@ -224,6 +224,48 @@ def mixture_sample(
     )
 
 
+def weighted_sample_topk(
+    df: DataFrame,
+    weight_col: str,
+    k: int,
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Weighted sampling without replacement via Efraimidis–Spirakis
+    A-Res (2006, published): each row draws a uniform u from
+    ``md5(seed:id)`` and gets key ``−ln(u)/w``; the k smallest keys are
+    the sample — exactly equivalent to drawing k items sequentially
+    with probability ∝ weight. The uniform is a 60-bit md5 prefix over
+    2^60 (identical in any engine with md5); ranking is on the key
+    *rounded to 12 digits* with an id tiebreak so the selection is
+    bit-stable across engines (ln differs by ≤1 ulp ≪ rounding margin).
+
+    Shape at 100 TB: keys are row-local; selection is
+    ``orderBy(key).limit(k)`` which Spark plans as
+    TakeOrderedAndProject — each partition keeps its local top-k and
+    only k rows per partition reach the driver-side merge, never a
+    single-partition window. Rows with weight ≤ 0 are excluded (they
+    have sampling probability 0)."""
+    # u ∈ (0, 1]: (v + 1) / 2^60 over the 60-bit prefix v of md5
+    v = F.conv(
+        F.substring(
+            F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    u = (v + 1) / F.lit(float(1 << 60))
+    key = F.round(-F.log(u) / F.col(weight_col), 12)
+    return (
+        df.filter(F.col(weight_col) > 0)
+        .withColumn("es_key", key)
+        .orderBy(F.asc("es_key"), F.asc(id_col))
+        .limit(k)
+    )
+
+
 def multinomial_subsample(
     df: DataFrame,
     count_col: str,

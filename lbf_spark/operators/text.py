@@ -316,6 +316,118 @@ def c4_quality(
     return out.withColumn("c4_pass", gate.cast("int"))
 
 
+def chunk_tokens(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    chunk_size: int = 32,
+    stride: int = 24,
+) -> DataFrame:
+    """Overlapping token-window chunking (the standard LLM pre-training
+    prep step: long documents → fixed-size training windows with
+    ``chunk_size − stride`` tokens of overlap). One output row per
+    chunk: ``(id, chunk_id, n_tokens, chunk_hash)`` where ``chunk_hash``
+    is md5 of the space-joined chunk — the downstream join key for
+    chunk-level dedup. Docs with zero tokens emit zero chunks.
+
+    Shape at 100 TB: a pure row-local explode (no shuffle at all) that
+    multiplies rows by ~len/stride; chunk text is hashed *before* any
+    exchange so only 32-byte digests ever move."""
+    if stride <= 0 or chunk_size <= 0:
+        raise ValueError("chunk_size and stride must be positive")
+    toks = tokens_col(text_col)
+    starts = F.when(
+        F.size(toks) > 0,
+        F.sequence(F.lit(0), F.size(toks) - 1, F.lit(stride)),
+    ).otherwise(F.array().cast("array<int>"))
+    out = df.select(
+        F.col(id_col), toks.alias("__tk"), F.explode(starts).alias("__start")
+    )
+    chunk = F.slice(F.col("__tk"), F.col("__start") + 1, chunk_size)
+    return out.select(
+        id_col,
+        F.floor(F.col("__start") / stride).cast("long").alias("chunk_id"),
+        F.size(chunk).cast("long").alias("n_tokens"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_hash"),
+    )
+
+
+def tfidf_topk(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Top-k TF-IDF terms per document (smooth idf:
+    ``ln((N+1)/(df+1)) + 1``, sklearn's formulation — a published,
+    engine-reproducible formula). Rank is total-ordered on the
+    *rounded* score (6 digits) then token asc, so the selection is
+    bit-identical across engines (raw doubles differ by ≤1 ulp in ln,
+    far inside the rounding margin).
+
+    Shape at 100 TB: tf is a per-(doc, token) partial-aggregating
+    groupBy (row-local by doc, skew-free); df is the word-count shape
+    (vocab ≪ corpus by Heaps' law, absorbed map-side); N is a broadcast
+    scalar; the final window partitions by doc — never global."""
+    from pyspark.sql import Window as _W
+
+    toks = tokens_col(text_col)
+    flat = df.select(F.col(id_col), F.explode(toks).alias("token"))
+    tf = flat.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = (
+        flat.distinct().groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    )
+    n_docs = df.select(F.count(F.lit(1)).alias("__n"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "token")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "tfidf",
+            F.round(
+                F.col("tf")
+                * (
+                    F.log((F.col("__n") + 1) / (F.col("df") + 1))
+                    + F.lit(1.0)
+                ),
+                6,
+            ),
+        )
+    )
+    w = _W.partitionBy(id_col).orderBy(F.desc("tfidf"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "tfidf", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+# PII patterns chosen to parse identically under Java regex (Spark) and
+# RE2 (DuckDB): character classes, bounded repetition, \b only.
+EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
+
+
+def pii_scrub(
+    df: DataFrame,
+    text_col: str = "text",
+    out: str = "clean_text",
+) -> DataFrame:
+    """PII redaction pass (web-corpus hygiene): replace email-like and
+    phone-like spans with ``<EMAIL>`` / ``<PHONE>`` placeholder tokens
+    and report per-row match counts. Row-local JVM regex — no shuffle,
+    no Python; the patterns are restricted to the regex subset that
+    Java and RE2 interpret identically (no backrefs / lookaround)."""
+    col = F.col(text_col)
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(col, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        df.withColumn("n_emails", F.regexp_count(col, F.lit(EMAIL_RE)).cast("long"))
+        .withColumn("n_phones", F.regexp_count(col, F.lit(PHONE_RE)).cast("long"))
+        .withColumn(out, scrubbed)
+    )
+
+
 def ngram_repetition(
     df: DataFrame,
     id_col: str = "doc_id",

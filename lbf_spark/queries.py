@@ -2597,6 +2597,149 @@ def q69(spark, sf_dir):
     )
 
 
+@q(
+    "q70_doc_chunking",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    starts as (
+      select doc_id, tk, unnest(range(0, len(tk), 24)) as s from toks
+    )
+    select doc_id,
+           s // 24 as chunk_id,
+           len(tk[s + 1 : s + 32]) as n_tokens,
+           md5(array_to_string(tk[s + 1 : s + 32], ' ')) as chunk_hash
+    from starts
+    """,
+)
+def q70(spark, sf_dir):
+    """Overlapping token-window chunking (LLM pre-training prep: docs →
+    32-token windows, stride 24). Pure row-local explode; chunk text is
+    hashed before any exchange so only digests move."""
+    return text.chunk_tokens(
+        t(spark, sf_dir, "documents"), "doc_id", "text", chunk_size=32, stride=24
+    )
+
+
+@q(
+    "q71_tfidf_topk",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    flat as (select doc_id, unnest(tk) as token from toks),
+    tf as (select doc_id, token, count(*) as tf from flat
+           group by doc_id, token),
+    dfreq as (select token, count(distinct doc_id) as df from flat
+              group by token),
+    n as (select count(*) as n_docs from documents),
+    scored as (
+      select tf.doc_id, tf.token,
+             round(tf * (ln((n_docs + 1.0) / (df + 1.0)) + 1.0), 6) as tfidf
+      from tf join dfreq using (token) cross join n
+    ),
+    r as (
+      select doc_id, token, tfidf,
+             cast(row_number() over (partition by doc_id
+                                     order by tfidf desc, token asc) as int)
+               as rank
+      from scored
+    )
+    select doc_id, token, tfidf, rank from r where rank <= 3
+    """,
+)
+def q71(spark, sf_dir):
+    """Top-3 TF-IDF terms per document (smooth sklearn idf). Rank is
+    total-ordered on the rounded score + token so both engines select
+    identically; df side broadcasts (Heaps' law), window is per-doc."""
+    return text.tfidf_topk(t(spark, sf_dir, "documents"), "doc_id", "text", k=3)
+
+
+_PII_INJECT_SQL = """
+      select doc_id,
+             text || case when doc_id % 3 = 0
+                          then ' reach user' || cast(doc_id as varchar) || '@'
+                               || source || '.example.com or call 555-'
+                               || lpad(cast(doc_id % 10000 as varchar), 4, '0')
+                          else '' end as text
+      from documents
+"""
+
+
+@q(
+    "q72_pii_scrub",
+    f"""
+    with aug as ({_PII_INJECT_SQL})
+    select doc_id,
+           len(regexp_extract_all(text, '{text.EMAIL_RE}')) as n_emails,
+           len(regexp_extract_all(text, '{text.PHONE_RE}')) as n_phones,
+           md5(regexp_replace(
+                 regexp_replace(text, '{text.EMAIL_RE}', '<EMAIL>', 'g'),
+                 '{text.PHONE_RE}', '<PHONE>', 'g')) as clean_hash
+    from aug
+    """,
+)
+def q72(spark, sf_dir):
+    """PII redaction (email/phone → placeholder tokens + match counts).
+    The corpus is synthetic word-salad with no PII, so the query
+    deterministically injects address-like spans into every 3rd doc
+    first (same expression in both engines), then scrubs — the scrub
+    mechanics are what's under test. Row-local JVM regex, patterns
+    restricted to the Java∩RE2 subset."""
+    docs = t(spark, sf_dir, "documents")
+    inject = F.concat(
+        F.lit(" reach user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@"),
+        F.col("source"),
+        F.lit(".example.com or call 555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    aug = docs.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.when(F.col("doc_id") % 3 == 0, inject).otherwise(F.lit("")),
+        ),
+    )
+    out = text.pii_scrub(aug, "text", out="clean_text")
+    return out.select(
+        "doc_id", "n_emails", "n_phones", F.md5("clean_text").alias("clean_hash")
+    )
+
+
+@q(
+    "q73_weighted_sample",
+    """
+    with keys as (
+      select doc_id, n_chars,
+             round(-ln((('0x' || substr(md5('42:' || cast(doc_id as varchar)),
+                                        1, 15))::bigint + 1)
+                       / 1152921504606846976.0)
+                   / n_chars, 12) as es_key
+      from documents
+      where n_chars > 0
+    )
+    select doc_id, n_chars, round(es_key, 6) + 0 as es_key
+    from keys
+    order by es_key, doc_id
+    limit 25
+    """,
+)
+def q73(spark, sf_dir):
+    """Weighted sampling without replacement (Efraimidis–Spirakis
+    A-Res, weight = n_chars): the 25 docs with smallest −ln(u)/w keys,
+    u from a 60-bit md5 prefix — bit-reproducible in any engine.
+    Selection is orderBy+limit → TakeOrderedAndProject (local top-k per
+    partition, k-row merge), never a single-partition window."""
+    out = D.weighted_sample_topk(
+        t(spark, sf_dir, "documents"), weight_col="n_chars", k=25,
+        id_col="doc_id", seed=42,
+    )
+    return out.select(
+        "doc_id",
+        "n_chars",
+        (F.round("es_key", 6) + F.lit(0.0)).alias("es_key"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -598,3 +598,75 @@ def test_stratified_sample_exact_quota_and_determinism(spark, docs):
     s3 = D.stratified_sample_exact(df, 2, by="src", id_col="doc_id", seed=7).toPandas()
     # a different seed picks a different subset (md5 re-ranks)
     assert sorted(s1["doc_id"]) != sorted(s3["doc_id"])
+
+
+def test_chunk_tokens_windows(spark):
+    """12-token doc, chunk=5/stride=4 -> starts 0,4,8: chunks of 5,5,4
+    tokens; empty doc emits no chunks; chunk hashes join across dups."""
+    words = " ".join(f"w{i}" for i in range(12))
+    df = spark.createDataFrame(
+        [(1, words), (2, ""), (3, words)], "doc_id long, text string"
+    )
+    out = (
+        text.chunk_tokens(df, chunk_size=5, stride=4)
+        .toPandas()
+        .sort_values(["doc_id", "chunk_id"], ignore_index=True)
+    )
+    assert out[out.doc_id == 1]["n_tokens"].tolist() == [5, 5, 4]
+    assert out[out.doc_id == 1]["chunk_id"].tolist() == [0, 1, 2]
+    assert (out.doc_id != 2).all()
+    # identical docs produce identical chunk hashes (chunk-level dedup key)
+    assert (
+        out[out.doc_id == 1]["chunk_hash"].tolist()
+        == out[out.doc_id == 3]["chunk_hash"].tolist()
+    )
+
+
+def test_tfidf_topk_ranks_distinctive_terms(spark):
+    """A term appearing in one doc only outranks corpus-wide terms."""
+    df = spark.createDataFrame(
+        [
+            (1, "common zebra zebra zebra"),
+            (2, "common words here"),
+            (3, "common words there"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.tfidf_topk(df, k=1).toPandas().set_index("doc_id")
+    # tf=3 with df=1 (idf 1.69) beats tf=1 with df=3 (idf 1.0)
+    assert out.loc[1, "token"] == "zebra"
+    n, dfreq, tf = 3, 1, 3
+    expected = round(tf * (math.log((n + 1) / (dfreq + 1)) + 1.0), 6)
+    assert abs(out.loc[1, "tfidf"] - expected) < 1e-9
+
+
+def test_pii_scrub_counts_and_replacement(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "mail me at bob.smith@corp-site.example.org or 555-1234 now"),
+            (2, "no pii here, just 12-34 and a@b (not an email)"),
+        ],
+        "doc_id long, text string",
+    )
+    out = text.pii_scrub(df).toPandas().set_index("doc_id")
+    assert out.loc[1, "n_emails"] == 1 and out.loc[1, "n_phones"] == 1
+    assert out.loc[1, "clean_text"] == "mail me at <EMAIL> or <PHONE> now"
+    assert out.loc[2, "n_emails"] == 0 and out.loc[2, "n_phones"] == 0
+    assert out.loc[2, "clean_text"] == df.toPandas().set_index("doc_id").loc[2, "text"]
+
+
+def test_weighted_sample_topk_deterministic_and_biased(spark):
+    """Same seed -> same sample; heavier rows are sampled more often
+    (probabilistic bias checked on expectation over 60-bit md5 keys:
+    weight 1000 vs 1 makes heavy rows ~certain in a 50-of-100 draw)."""
+    rows = [(i, 1000.0 if i < 10 else 1.0) for i in range(100)]
+    df = spark.createDataFrame(rows, "id long, w double")
+    s1 = D.weighted_sample_topk(df, "w", k=50, id_col="id").toPandas()
+    s2 = D.weighted_sample_topk(df, "w", k=50, id_col="id").toPandas()
+    assert sorted(s1["id"]) == sorted(s2["id"])
+    heavy = (s1["id"] < 10).sum()
+    assert heavy == 10  # P(miss) ~ (1/1000-scale keys) -> all heavy rows in
+    assert len(s1) == 50 and s1["es_key"].is_monotonic_increasing
+    # zero/negative weights are excluded outright
+    df0 = spark.createDataFrame([(1, 0.0), (2, 5.0)], "id long, w double")
+    assert D.weighted_sample_topk(df0, "w", k=5, id_col="id").count() == 1
