@@ -401,6 +401,59 @@ def tfidf_topk(
     )
 
 
+def bm25_scores(
+    df: DataFrame,
+    query_tokens: list[str],
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """Okapi BM25 relevance of every document to a fixed query token
+    set (Robertson et al., the published probabilistic formula):
+    ``score = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))``
+    with ``idf = ln((N − df + 0.5)/(df + 0.5) + 1)``.
+
+    Determinism: double addition is not associative, so per-(doc, token)
+    contributions are rounded to 6 digits and summed as DECIMAL(18,6) —
+    the doc score is then independent of partial-aggregation order and
+    engine. avgdl is assembled as exact-long sum / count in one double
+    division (never an incremental mean).
+
+    Shape at 100 TB: the flat explode is pre-filtered to query tokens
+    (query ≪ vocab), df and the two corpus scalars broadcast, tf is a
+    per-(doc, token) partial agg, and the dl join is doc-keyed."""
+    toks = tokens_col(text_col)
+    lens = df.select(F.col(id_col), F.size(toks).cast("long").alias("dl"))
+    corpus = lens.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("sum_dl")
+    )
+    flat = df.select(F.col(id_col), F.explode(toks).alias("token")).filter(
+        F.col("token").isin(list(query_tokens))
+    )
+    tf = flat.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    joined = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(lens, id_col)
+        .crossJoin(F.broadcast(corpus))
+    )
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    term = (
+        idf
+        * (F.col("tf") * (k1 + 1))
+        / (F.col("tf") + k1 * (1 - b + b * (F.col("dl") / avgdl)))
+    )
+    return (
+        joined.withColumn("__c", F.round(term, 6).cast("decimal(18,6)"))
+        .groupBy(id_col)
+        .agg(F.sum("__c").cast("double").alias("bm25"))
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): character classes, bounded repetition, \b only.
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

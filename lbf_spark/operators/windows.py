@@ -435,3 +435,52 @@ def dyad_centers(
         ).cast("long"),
     )
     return events.withColumn(out, F.explode(centers))
+
+
+def funnel_conversion(
+    df: DataFrame,
+    start_event: str,
+    goal_event: str,
+    by: str = "entity",
+    ts: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Two-step funnel over an event stream: per entity, the first
+    ``start_event`` timestamp and the first ``goal_event`` at-or-after
+    it, plus a conversion flag and time-to-convert (−1 when never
+    converted). The standard product-analytics conversion query, with
+    the point-in-time constraint (goal must not precede start) shared
+    with the as-of operators.
+
+    Shape at 100 TB: ONE hash exchange on the entity — the per-entity
+    window min that finds the start and the groupBy that finds the
+    conditional goal min share the same partitioning, so Catalyst
+    reuses the exchange. No self-join, no inequality join."""
+    w = Window.partitionBy(by)
+    start = F.min(
+        F.when(F.col(type_col) == start_event, F.col(ts))
+    ).over(w)
+    return (
+        df.withColumn("__start_ts", start)
+        .filter(F.col("__start_ts").isNotNull())
+        .groupBy(by)
+        .agg(
+            F.min("__start_ts").alias("start_ts"),
+            F.min(
+                F.when(
+                    (F.col(type_col) == goal_event)
+                    & (F.col(ts) >= F.col("__start_ts")),
+                    F.col(ts),
+                )
+            ).alias("goal_ts"),
+        )
+        .select(
+            by,
+            "start_ts",
+            "goal_ts",
+            F.col("goal_ts").isNotNull().cast("int").alias("converted"),
+            F.coalesce(
+                F.col("goal_ts") - F.col("start_ts"), F.lit(-1)
+            ).cast("long").alias("us_to_convert"),
+        )
+    )

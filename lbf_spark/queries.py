@@ -2740,6 +2740,145 @@ def q73(spark, sf_dir):
     )
 
 
+@q(
+    "q74_funnel_conversion",
+    """
+    with e as (select user_id, event_type, epoch_us(ts) as ts_us from events),
+    s as (select user_id, min(ts_us) as start_ts from e
+          where event_type = 'signup' group by user_id)
+    select s.user_id, s.start_ts,
+           min(case when e.event_type = 'purchase' and e.ts_us >= s.start_ts
+                    then e.ts_us end) as goal_ts,
+           cast(min(case when e.event_type = 'purchase'
+                          and e.ts_us >= s.start_ts
+                         then e.ts_us end) is not null as int) as converted,
+           coalesce(min(case when e.event_type = 'purchase'
+                              and e.ts_us >= s.start_ts
+                             then e.ts_us end) - s.start_ts, -1)
+             as us_to_convert
+    from s join e using (user_id)
+    group by s.user_id, s.start_ts
+    """,
+)
+def q74(spark, sf_dir):
+    """Signup→purchase conversion funnel (point-in-time: the goal must
+    not precede the start). One hash exchange on user — window min and
+    conditional-agg groupBy share the partitioning."""
+    ev = _events(spark, sf_dir)
+    return W.funnel_conversion(
+        ev, "signup", "purchase", by="user_id", ts="ts_us", type_col="event_type"
+    )
+
+
+_BM25_QUERY = ["spark", "join", "window"]
+
+
+@q(
+    "q75_bm25",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    lens as (select doc_id, len(tk) as dl from toks),
+    corpus as (select count(*) as n_docs, sum(dl) as sum_dl from lens),
+    flat as (select doc_id, unnest(tk) as token from toks),
+    tf as (select doc_id, token, count(*) as tf from flat
+           where token in ('spark', 'join', 'window')
+           group by doc_id, token),
+    dfreq as (select token, count(*) as df from tf group by token),
+    terms as (
+      select tf.doc_id,
+             cast(round(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * (tf * 2.2)
+               / (tf + 1.2 * (0.25 + 0.75 * (dl
+                    / (cast(sum_dl as double) / n_docs)))),
+               6) as decimal(18,6)) as c
+      from tf join dfreq using (token) join lens using (doc_id)
+           cross join corpus
+    )
+    select doc_id, cast(sum(c) as double) as bm25
+    from terms group by doc_id
+    """,
+)
+def q75(spark, sf_dir):
+    """Okapi BM25 of every doc against a fixed query (k1=1.2, b=0.75).
+    Per-token contributions round to 6 digits then sum as DECIMAL —
+    partial-agg-order-proof, so the doc score hash-matches any engine."""
+    return text.bm25_scores(
+        t(spark, sf_dir, "documents"), _BM25_QUERY, "doc_id", "text"
+    )
+
+
+@q(
+    "q76_json_extract",
+    """
+    select cast(json_extract_string(props, '$.k') as bigint) % 10 as k_bucket,
+           count(*) as n_events,
+           round(cast(sum(cast(value as decimal(18,4))) as double), 4)
+             as sum_value
+    from events
+    group by 1
+    """,
+)
+def q76(spark, sf_dir):
+    """Semi-structured payload extraction: parse the JSON ``props``
+    column (``get_json_object`` — JVM Jackson path, no Python), bucket
+    by the extracted key, aggregate with decimal-stable sums. The
+    standard web-log shape: schema-on-read over a string column."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.withColumn(
+            "k_bucket",
+            F.get_json_object(F.col("props"), "$.k").cast("long") % 10,
+        )
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+        )
+    )
+
+
+@q(
+    "q77_compaction_plan",
+    """
+    with e as (select epoch_us(ts) // 86400000000 as day from events),
+    f as (select 'day=' || cast(day as varchar) as path,
+                 count(*) as n_rows, count(*) * 64 as bytes
+          from e group by day),
+    c as (
+      select path, n_rows, bytes,
+             coalesce(sum(bytes) over (order by path
+                        rows between unbounded preceding and 1 preceding),
+                      0) as cum
+      from f
+    )
+    select path, n_rows, bytes, cum // 200000 as group_id from c
+    """,
+)
+def q77(spark, sf_dir):
+    """Small-file compaction planning over the table layer's day
+    manifest (Iceberg BinPack analog): pack day-files in path order
+    into ≈200 KB rewrite groups via an exclusive prefix sum. The window
+    runs over the file *manifest* (metadata, ≪ data) — the planned
+    rewrite jobs are what touch rows."""
+    from lbf_spark.sources.table import compaction_plan
+
+    ev = _events(spark, sf_dir)
+    files = (
+        ev.withColumn("day", F.expr("ts_us div 86400000000"))
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .select(
+            F.concat(F.lit("day="), F.col("day").cast("string")).alias("path"),
+            "n_rows",
+            (F.col("n_rows") * 64).alias("bytes"),
+        )
+    )
+    return compaction_plan(files, target_bytes=200_000)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import json
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 DAY = 86_400
 
@@ -207,3 +207,31 @@ def scan(
             (F.col("ts_day") <= ts_max // ts_unit_day) & (F.col("ts") <= ts_max)
         )
     return df
+
+
+def compaction_plan(
+    files: DataFrame,
+    target_bytes: int,
+    order_col: str = "path",
+    bytes_col: str = "bytes",
+) -> DataFrame:
+    """Small-file compaction planner (the Iceberg ``BinPack`` rewrite
+    analog for this table layout): files in deterministic ``order_col``
+    order are packed left-to-right into rewrite groups of ≈
+    ``target_bytes`` — ``group_id = floor(exclusive_prefix_sum(bytes) /
+    target)``. Greedy in file order, so a group can overshoot by at
+    most one file (the standard first-fit behavior); ordering by path
+    keeps partition-adjacent files in the same rewrite group.
+
+    The input is a file *manifest* (metadata), never data rows: the
+    single-partition prefix-sum window is O(#files) — at 100 TB with
+    128 MB files that is ~10^6 manifest rows on one task, fine; the
+    actual rewrite jobs it plans are what touch data."""
+    w = (
+        Window.orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum(bytes_col).over(w), F.lit(0))
+    return files.withColumn(
+        "group_id", F.floor(cum / F.lit(float(target_bytes))).cast("long")
+    )

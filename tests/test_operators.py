@@ -670,3 +670,69 @@ def test_weighted_sample_topk_deterministic_and_biased(spark):
     # zero/negative weights are excluded outright
     df0 = spark.createDataFrame([(1, 0.0), (2, 5.0)], "id long, w double")
     assert D.weighted_sample_topk(df0, "w", k=5, id_col="id").count() == 1
+
+
+def test_funnel_conversion_point_in_time(spark):
+    """goal before start must NOT count; first goal after start wins;
+    non-converting and no-start entities handled."""
+    from lbf_spark.operators.windows import funnel_conversion
+
+    rows = [
+        # u1: purchase(5) BEFORE signup(10) ignored; converts at 30
+        (1, 5, "purchase"), (1, 10, "signup"), (1, 30, "purchase"),
+        # u2: signup, never purchases
+        (2, 10, "signup"), (2, 20, "view"),
+        # u3: no signup at all -> excluded
+        (3, 1, "purchase"),
+        # u4: goal exactly at start ts counts (>=)
+        (4, 7, "signup"), (4, 7, "purchase"),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts long, event_type string")
+    out = (
+        funnel_conversion(df, "signup", "purchase", by="user_id", ts="ts")
+        .toPandas().set_index("user_id")
+    )
+    assert out.loc[1, "goal_ts"] == 30 and out.loc[1, "us_to_convert"] == 20
+    assert out.loc[2, "converted"] == 0 and out.loc[2, "us_to_convert"] == -1
+    assert 3 not in out.index
+    assert out.loc[4, "converted"] == 1 and out.loc[4, "us_to_convert"] == 0
+
+
+def test_bm25_scores_formula(spark):
+    """Single-token query against 3 docs: score matches the closed-form
+    BM25 with the exact same rounding; absent-token docs get no row."""
+    from lbf_spark.operators.text import bm25_scores
+
+    df = spark.createDataFrame(
+        [(1, "apple apple pear"), (2, "apple"), (3, "pear plum")],
+        "doc_id long, text string",
+    )
+    out = bm25_scores(df, ["apple"], k1=1.2, b=0.75).toPandas().set_index("doc_id")
+    n, df_t, avgdl = 3, 2, (3 + 1 + 2) / 3
+    idf = math.log((n - df_t + 0.5) / (df_t + 0.5) + 1.0)
+
+    def score(tf, dl):
+        return round(idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl)), 6)
+
+    assert abs(out.loc[1, "bm25"] - score(2, 3)) < 1e-9
+    assert abs(out.loc[2, "bm25"] - score(1, 1)) < 1e-9
+    assert 3 not in out.index
+    # length normalization: the 1-token doc outranks the 3-token doc
+    # despite lower tf (b=0.75 penalizes dl > avgdl)
+    assert out.loc[2, "bm25"] > out.loc[1, "bm25"]
+
+
+def test_compaction_plan_greedy_groups(spark):
+    from lbf_spark.sources.table import compaction_plan
+
+    files = spark.createDataFrame(
+        [("a", 60), ("b", 60), ("c", 60), ("d", 10), ("e", 200)],
+        "path string, bytes long",
+    )
+    out = (
+        compaction_plan(files, target_bytes=100)
+        .toPandas().set_index("path")["group_id"]
+    )
+    # prefix sums (exclusive): a=0 b=60 c=120 d=180 e=190
+    assert out.tolist() == [0, 0, 1, 1, 1]  # path order a..e
+    # group 1 overshoots by at most its last file (greedy first-fit)
