@@ -343,3 +343,48 @@ def ivf_topk(
         .filter(F.col("rnk") <= k)
         .select("probe_id", "neighbor_id", "sim", "rnk")
     )
+
+
+def nearest_centroid_join(
+    df: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+    round_digits: int = 6,
+) -> DataFrame:
+    """Relational nearest-centroid assignment (the k-means E-step / IVF
+    list assignment) with zero Python: broadcast the k centroids, fold
+    squared-L2 per (vector, centroid) JVM-side, argmin per vector with
+    a (rounded dist, centroid-id) total order so any engine selects
+    identically. Complements ``ivf_assign`` (the Arrow fast path) with
+    an oracle-able plan: BroadcastNestedLoop over k rows is k·n work —
+    the same cost as the dense distance matrix, just expressed
+    relationally.
+
+    Distances fold left-to-right over the array (``F.aggregate``) in
+    float64; the fold order is element order, so engines agree bit-wise
+    before the rounding even matters."""
+    c = F.broadcast(
+        centroids.select(
+            F.col(cent_id).alias("__cid"),
+            F.col(cent_vec).cast("array<double>").alias("__cvec"),
+        )
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__cvec"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = df.crossJoin(c).withColumn("dist2", F.round(d2, round_digits))
+    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("__cid"))
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, F.col("__cid").alias("cluster_id"), "dist2")
+    )

@@ -2879,6 +2879,92 @@ def q77(spark, sf_dir):
     return compaction_plan(files, target_bytes=200_000)
 
 
+@q(
+    "q78_zorder_key",
+    """
+    with b as (
+      select event_id,
+             greatest(0, least(user_id, 65535)) as x,
+             greatest(0, least(cast(floor(value * 100) as bigint), 65535)) as y
+      from events
+    )
+    select event_id,
+           list_sum([ ((x // cast(pow(2, i) as bigint)) % 2)
+                        * cast(pow(2, 2 * i) as bigint)
+                      + ((y // cast(pow(2, i) as bigint)) % 2)
+                        * cast(pow(2, 2 * i + 1) as bigint)
+                      for i in range(0, 16)]) as z_value,
+           list_sum([ ((x // cast(pow(2, i) as bigint)) % 2)
+                        * cast(pow(2, 2 * i) as bigint)
+                      + ((y // cast(pow(2, i) as bigint)) % 2)
+                        * cast(pow(2, 2 * i + 1) as bigint)
+                      for i in range(0, 16)]) // 16777216 as z_bucket
+    from b
+    """,
+)
+def q78(spark, sf_dir):
+    """Z-order (Morton) clustering key over (user_id, value-bucket) —
+    the Iceberg/Delta ZORDER BY layout primitive: files sorted by this
+    key carry tight min/max stats on BOTH dimensions, so scans prune on
+    either predicate. Pure JVM integer arithmetic; the z_bucket is the
+    range-partition a writer would target."""
+    from lbf_spark.sources.table import zorder_key
+
+    ev = t(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("user_id").alias("x"),
+        F.floor(F.col("value") * 100).cast("long").alias("y"),
+    )
+    out = zorder_key(ev, ["x", "y"], bits=16)
+    return out.select(
+        "event_id",
+        "z_value",
+        F.floor(F.col("z_value") / F.lit(float(1 << 24))).cast("long").alias(
+            "z_bucket"
+        ),
+    )
+
+
+@q(
+    "q79_kmeans_assign",
+    """
+    with c as (
+      select vec_id as cid, cast(embedding as double[]) as cvec
+      from embeddings where vec_id < 8
+    ),
+    d as (
+      select e.vec_id, c.cid,
+             round(list_sum([ (ev[i] - c.cvec[i]) * (ev[i] - c.cvec[i])
+                              for i in range(1, len(ev) + 1)]), 6) as dist2
+      from (select vec_id, cast(embedding as double[]) as ev
+            from embeddings) e
+      cross join c
+    ),
+    r as (
+      select vec_id, cid, dist2,
+             row_number() over (partition by vec_id
+                                order by dist2 asc, cid asc) as rk
+      from d
+    )
+    select vec_id, cid as cluster_id, dist2 from r where rk = 1
+    """,
+)
+def q79(spark, sf_dir):
+    """Relational k-means E-step: assign every embedding to the nearest
+    of 8 fixed centroids (vec_id < 8 — deterministic seed rows) by
+    squared L2, argmin total-ordered on (rounded dist, centroid id).
+    Broadcast k-row centroid side; zero Python — the oracle-able
+    counterpart of the Arrow ``ivf_assign`` path."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return S.nearest_centroid_join(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        cent_id="cid", cent_vec="embedding",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

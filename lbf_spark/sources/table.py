@@ -235,3 +235,46 @@ def compaction_plan(
     return files.withColumn(
         "group_id", F.floor(cum / F.lit(float(target_bytes))).cast("long")
     )
+
+
+def zorder_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out: str = "z_value",
+) -> DataFrame:
+    """Z-order (Morton) interleave key over m pre-bucketed non-negative
+    integer columns — the multi-dimensional clustering key behind
+    Iceberg/Delta ``ZORDER BY``: sorting by it co-locates rows close in
+    EVERY dimension, so min/max file statistics prune scans on any of
+    the m columns, not just the leading sort key.
+
+    Bit i of column j lands at position ``i·m + j``; inputs clamp into
+    ``[0, 2^bits)``. Pure JVM integer arithmetic (powers of two through
+    ``pow`` are exact doubles up to 2^52, cast back to long) — no UDF,
+    reproducible in ANSI SQL. Use with
+    ``repartitionByRange(out).sortWithinPartitions(out)`` to lay files
+    out; the key itself is what's verifiable."""
+    m = len(cols)
+    if m < 1 or bits * m > 62:
+        raise ValueError("need 1+ columns and bits*len(cols) <= 62")
+    lim = (1 << bits) - 1
+    clamped = [
+        F.greatest(F.lit(0), F.least(F.col(c).cast("long"), F.lit(lim)))
+        for c in cols
+    ]
+
+    def _zbits(i):
+        total = None
+        for j, c in enumerate(clamped):
+            bit = F.floor(c / F.pow(F.lit(2.0), i)).cast("long") % 2
+            term = bit * F.pow(F.lit(2.0), i * m + j).cast("long")
+            total = term if total is None else total + term
+        return total
+
+    z = F.aggregate(
+        F.sequence(F.lit(0), F.lit(bits - 1)),
+        F.lit(0).cast("long"),
+        lambda acc, i: acc + _zbits(i),
+    )
+    return df.withColumn(out, z)

@@ -228,3 +228,22 @@ def stream_rolling_mean_stateful(
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_dedup(
+    df: DataFrame,
+    keys: list[str],
+    ts_col: str = "ts",
+    watermark_delay: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact deduplication: keep the first arrival of each
+    key, dropping re-deliveries that arrive within ``watermark_delay``
+    of the stream's max event time. ``dropDuplicatesWithinWatermark``
+    expires key state once the watermark passes it, so state is
+    O(distinct keys per watermark window) — the unbounded-state-safe
+    streaming analog of batch ``dropDuplicates(keys)`` (which this
+    equals whenever true duplicates arrive inside the delay)."""
+    src = _with_event_time(df, ts_col)
+    return src.withWatermark("event_time", watermark_delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -736,3 +736,41 @@ def test_compaction_plan_greedy_groups(spark):
     # prefix sums (exclusive): a=0 b=60 c=120 d=180 e=190
     assert out.tolist() == [0, 0, 1, 1, 1]  # path order a..e
     # group 1 overshoots by at most its last file (greedy first-fit)
+
+
+def test_zorder_key_interleave_and_locality(spark):
+    from lbf_spark.sources.table import zorder_key
+
+    df = spark.createDataFrame(
+        [(1, 0, 0), (2, 1, 0), (3, 0, 1), (4, 3, 5), (5, 70000, -4)],
+        "id long, x long, y long",
+    )
+    out = zorder_key(df, ["x", "y"], bits=16).toPandas().set_index("id")["z_value"]
+    # hand-interleave: bit i of x -> 2i, of y -> 2i+1
+    assert out[1] == 0 and out[2] == 1 and out[3] == 2
+    # x=3 (0b11), y=5 (0b101): z = 1+2*0+4+8*1+16*0+32*1 = 0b101111? compute:
+    # bits x: i0=1,i1=1; y: i0=1,i1=0,i2=1 -> z = 1 + 2 + 4 + 0 + 32 = 39
+    assert out[4] == 39
+    # clamping: x>=2^16 -> 65535; y<0 -> 0
+    exp_clamped = sum(((65535 >> i) & 1) << (2 * i) for i in range(16))
+    assert out[5] == exp_clamped
+
+
+def test_nearest_centroid_join_matches_numpy(spark):
+    from lbf_spark.operators.similarity import nearest_centroid_join
+
+    rng = np.random.default_rng(11)
+    vecs = rng.standard_normal((40, 8))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter("vec_id < 4").selectExpr("vec_id as cid", "embedding")
+    got = (
+        nearest_centroid_join(df, cents)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    d2 = ((vecs[:, None, :] - vecs[None, :4, :]) ** 2).sum(axis=2).round(6)
+    exp = d2.argmin(axis=1)
+    assert (got["cluster_id"].to_numpy() == exp).all()
+    assert np.allclose(got["dist2"].to_numpy(), d2.min(axis=1), atol=1e-9)

@@ -205,3 +205,34 @@ def test_stateful_rolling_mean_stream_equals_batch(spark, tmp_path, tiny_events)
     assert np.allclose(got["roll_mean"], exp["roll_mean"], rtol=1e-12, atol=1e-12)
     # state really crossed batches: rows in later thirds have windows
     # spanning the file boundary — the exact equality above proves it
+
+
+def test_stream_dedup_across_microbatches(spark, tmp_path):
+    """Exact dedup with watermark state: a key re-delivered in a LATER
+    micro-batch is dropped; the surviving set equals batch
+    dropDuplicates. maxFilesPerTrigger=1 forces the re-delivery into a
+    separate batch so cross-batch state is what's under test."""
+    from lbf_spark.streaming.stream_features import stream_dedup
+
+    d = tmp_path / "dedup_src"
+    d.mkdir()
+    b1 = pd.DataFrame({"k": ["a", "b", "c"], "ts": [100, 110, 120]})
+    b2 = pd.DataFrame({"k": ["b", "d", "a"], "ts": [130, 140, 150]})  # b, a re-sent
+    pq.write_table(pa.Table.from_pandas(b1, preserve_index=False), str(d / "b1.parquet"))
+    pq.write_table(pa.Table.from_pandas(b2, preserve_index=False), str(d / "b2.parquet"))
+    src = (
+        spark.readStream.schema("k string, ts long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(d))
+    )
+    q = (
+        stream_dedup(src, ["k"], watermark_delay="1 hour")
+        .writeStream.format("memory")
+        .queryName("dedup_tbl")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.sql("select k from dedup_tbl").toPandas()["k"].tolist()
+    assert sorted(got) == ["a", "b", "c", "d"]
