@@ -2965,6 +2965,188 @@ def q79(spark, sf_dir):
     )
 
 
+@q(
+    "q80_rollup",
+    """
+    select coalesce(event_type, 'ALL') as event_type,
+           coalesce(cast(epoch_us(ts) // 86400000000 as varchar), 'ALL') as day,
+           count(*) as n_events,
+           round(cast(sum(cast(value as decimal(18,4))) as double), 4)
+             as sum_value,
+           cast(grouping(event_type) * 2 + grouping(epoch_us(ts) // 86400000000)
+                as int) as grouping_level
+    from events
+    group by rollup (event_type, epoch_us(ts) // 86400000000)
+    """,
+)
+def q80(spark, sf_dir):
+    """OLAP rollup (hierarchical subtotals type/day → type → grand
+    total) with grouping-level markers. One pass: Spark expands rollup
+    into a single Expand+hash-agg — partial aggregation still combines
+    map-side at every level, no per-level rescans."""
+    ev = _events(spark, sf_dir)
+    day = F.expr("ts_us div 86400000000")
+    return (
+        ev.rollup(F.col("event_type"), day.alias("day"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("sum_value"),
+            F.grouping_id().cast("int").alias("grouping_level"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("ALL")).alias("event_type"),
+            F.coalesce(F.col("day").cast("string"), F.lit("ALL")).alias("day"),
+            "n_events",
+            "sum_value",
+            "grouping_level",
+        )
+    )
+
+
+@q(
+    "q81_inverted_index",
+    f"""
+    with toks as (select doc_id, {_TOKS_SQL} as tk from documents),
+    flat as (select distinct doc_id, unnest(tk) as token from toks)
+    select token,
+           count(*) as df,
+           array_to_string(list_sort(list(doc_id))[1:10], ',') as postings_head
+    from flat
+    group by token
+    having count(*) >= 5
+    """,
+)
+def q81(spark, sf_dir):
+    """Inverted-index build (the retrieval/BM25 serving structure):
+    token → document frequency + sorted posting list (first 10 ids —
+    full lists at scale live in the sink, the head is the verifiable
+    digest). Word-count shuffle shape: one partial-aggregating groupBy
+    on token; posting order is made deterministic by sorting the
+    collected ids, never relying on arrival order."""
+    docs = t(spark, sf_dir, "documents")
+    from lbf_spark.operators.dedup import tokens_col
+
+    flat = docs.select(
+        F.col("doc_id"), F.explode(F.array_distinct(tokens_col("text"))).alias("token")
+    )
+    return (
+        flat.groupBy("token")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)
+            ).alias("postings_head"),
+        )
+        .filter(F.col("df") >= 5)
+    )
+
+
+@q(
+    "q82_salted_join",
+    """
+    select o.o_orderkey, o.o_custkey, c.c_name, c.c_mktsegment,
+           round(cast(o.o_totalprice as double), 4) as o_totalprice
+    from orders o join customer c on o.o_custkey = c.c_custkey
+    """,
+)
+def q82(spark, sf_dir):
+    """Deterministic salted skew join, oracled against the PLAIN join —
+    the salt must be invisible in the result (each big row meets
+    exactly one replica of its key). The shape that survives a key too
+    hot even for AQE skew splitting: md5-derived salt on the fact side,
+    salt-replicated dimension side."""
+    from lbf_spark.operators.joins import salted_equi_join
+
+    orders = t(spark, sf_dir, "orders").withColumnRenamed(
+        "o_custkey", "c_custkey"
+    )
+    cust = t(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    out = salted_equi_join(orders, cust, key="c_custkey", salt=8)
+    return out.select(
+        "o_orderkey",
+        F.col("c_custkey").alias("o_custkey"),
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("o_totalprice").cast("double"), 4).alias("o_totalprice"),
+    )
+
+
+@q(
+    "q83_equidepth_bins",
+    """
+    with r as (
+      select event_id, event_type, value,
+             ntile(10) over (partition by event_type
+                             order by value, event_id) as decile
+      from events
+    )
+    select event_type, decile,
+           count(*) as n,
+           round(min(value), 6) as lo,
+           round(max(value), 6) as hi
+    from r
+    group by event_type, decile
+    """,
+)
+def q83(spark, sf_dir):
+    """Equi-depth (quantile) binning per group: ntile deciles with a
+    total order (value, id) so bucket membership is engine-exact even
+    at ties; emits per-bin counts and bounds — the feature-binning /
+    histogram-equalization primitive."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return (
+        ev.withColumn("decile", F.ntile(10).over(w))
+        .groupBy("event_type", "decile")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+        )
+    )
+
+
+@q(
+    "q84_cdc_latest",
+    """
+    with r as (
+      select user_id, event_type, value, epoch_us(ts) as ts_us, event_id,
+             row_number() over (partition by user_id, event_type
+                                order by epoch_us(ts) desc, event_id desc)
+               as rk
+      from events
+    )
+    select user_id, event_type, ts_us as latest_ts,
+           round(value, 6) as latest_value
+    from r where rk = 1
+    """,
+)
+def q84(spark, sf_dir):
+    """Changelog compaction to current state (the CDC/SCD 'latest row
+    per key' merge): keep the newest event per (user, type) with a
+    (ts, event_id) total order for tie-exactness. At scale this is the
+    max_by-style single shuffle that turns an append log into a
+    snapshot — the table-maintenance twin of the dedup family."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    return (
+        ev.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "user_id",
+            "event_type",
+            F.col("ts_us").alias("latest_ts"),
+            F.round("value", 6).alias("latest_value"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -225,3 +225,37 @@ def test_hybrid_event_features_keeps_fused_exchange_for_cold_entities(
     plan = _explain_str(P.event_features(ev, cfg))
     assert "Union" in plan              # two branches
     assert "_slice" in plan             # sliced branch present
+
+
+def test_tfidf_and_bm25_broadcast_small_sides(spark):
+    """The vocab-df and corpus-scalar sides must broadcast — a
+    SortMergeJoin against a |vocab|-row side would shuffle the whole
+    exploded corpus twice."""
+    from lbf_spark.operators.text import bm25_scores, tfidf_topk
+
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta " * (i % 4 + 1)) for i in range(30)],
+        "doc_id long, text string",
+    )
+    for df in (tfidf_topk(docs), bm25_scores(docs, ["alpha", "beta"])):
+        plan = _explain_str(df)
+        assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+        for python_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+            assert python_node not in plan, python_node
+
+
+def test_nearest_centroid_broadcasts_k_rows(spark):
+    """Centroid side is k rows — must be the broadcast build side (BNLJ
+    over k rows is the k·n distance matrix, the intended cost); the
+    vector side must never shuffle for the join itself."""
+    from lbf_spark.operators.similarity import nearest_centroid_join
+
+    df = spark.createDataFrame(
+        [(i, [float(i), float(i + 1)]) for i in range(50)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter("vec_id < 3").selectExpr("vec_id as cid", "embedding")
+    plan = _explain_str(nearest_centroid_join(df, cents))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    for python_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
+        assert python_node not in plan, python_node
