@@ -484,3 +484,44 @@ def funnel_conversion(
             ).cast("long").alias("us_to_convert"),
         )
     )
+
+
+def session_paths(
+    df: DataFrame,
+    gap: int,
+    by: str = "entity",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    tiebreak: str | None = None,
+    sep: str = ">",
+) -> DataFrame:
+    """Event-sequence mining: per session (gap-cumsum ``sessionize``),
+    the ordered path of event types as a single string — the input to
+    top-path / funnel-drop-off analytics. Ordering inside a session is
+    total (ts, tiebreak), so the path string is engine-exact: events
+    are collected as structs and ``array_sort``ed (struct comparison is
+    lexicographic), never relying on collect order.
+
+    Shape at 100 TB: sessionize's entity exchange is reused by the
+    (entity, session) groupBy; paths are bounded by session length —
+    the pathological one-giant-session entity is the same skew case the
+    sliced kernels handle upstream."""
+    order = [ts] if tiebreak is None else [ts, tiebreak]
+    s = sessionize(df, gap, out="__sess", by=by, order=order, ts_col=ts)
+    sort_fields = [F.col(c) for c in order] + [F.col(type_col)]
+    return (
+        s.groupBy(by, "__sess")
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(*sort_fields))
+                    ),
+                    lambda x: x[type_col],
+                ),
+            ).alias("path"),
+            F.count(F.lit(1)).alias("path_len"),
+        )
+        .withColumnRenamed("__sess", "session_id")
+    )

@@ -1,0 +1,99 @@
+"""Corpus curation pipeline: quality gates → dedup → mixing, composed.
+
+The end-to-end shape of a pre-training data pipeline, built entirely
+from the engine's own operators (each individually DuckDB-oracled /
+pytest-gated):
+
+1. **Gopher quality gates** (`text.gopher_quality`) — word count, mean
+   word length, symbol ratio, alphabetic fraction;
+2. **repetition gate** (`text.ngram_repetition`) — drop documents whose
+   duplicate-trigram fraction exceeds a threshold;
+3. **exact dedup** (`dedup.exact_dedup`) — one keeper (min id) per
+   md5(text) group;
+4. **optional near-dup removal** (`dedup.dup_clusters` over MinHash-LSH
+   pairs) — one keeper per connected near-dup cluster;
+5. **mixture sampling** (`distributions.mixture_sample`) — exact
+   per-source quotas, md5-ranked, bit-reproducible.
+
+Every stage is lazily composed — one optimized plan end-to-end unless
+near-dup (iterative) is enabled, which materializes pair clusters.
+Stage survivor counts come from one extra pass over cached stage
+frames only when ``with_counts=True`` (metrics are worth one action,
+never one per stage).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lbf_spark.operators import dedup, distributions as D, text
+
+
+def curate_corpus(
+    docs: DataFrame,
+    quotas: dict | None = None,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    source_col: str = "source",
+    min_words: int = 20,
+    max_dup_ngram_frac: float = 0.3,
+    near_dup: bool = False,
+    near_dup_threshold: float = 0.8,
+    seed: int = 42,
+) -> dict:
+    """Run the curation pipeline; returns ``{"kept": DataFrame,
+    "stages": list[(name, DataFrame)]}`` where ``kept`` carries the
+    original columns of the surviving documents and ``stages`` the
+    intermediate frames (for metrics/inspection — all lazy)."""
+    stages: list[tuple[str, DataFrame]] = [("input", docs)]
+
+    g = text.gopher_quality(docs, text_col, min_words=min_words)
+    s1 = g.filter(F.col("gopher_pass")).select(*docs.columns)
+    stages.append(("quality_gate", s1))
+
+    r = text.ngram_repetition(s1, id_col, text_col, n=3)
+    s2 = r.filter(F.col("dup_ngram_frac") <= max_dup_ngram_frac).select(
+        *docs.columns
+    )
+    stages.append(("repetition_gate", s2))
+
+    keepers = dedup.exact_dedup(s2, id_col, text_col).select(
+        F.col("keeper_id").alias(id_col)
+    )
+    s3 = s2.join(keepers, id_col, "left_semi")
+    stages.append(("exact_dedup", s3))
+
+    if near_dup:
+        pairs = dedup.minhash_dedup_pairs(
+            s3, id_col=id_col, text_col=text_col,
+            threshold=near_dup_threshold,
+        ).select("id_a", "id_b")
+        # dup_clusters emits fixed (doc_id, cluster_id) column names
+        clusters = dedup.dup_clusters(pairs).withColumnRenamed(
+            "doc_id", id_col
+        )
+        drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(
+            id_col
+        )
+        s3 = s3.join(drop, id_col, "left_anti")
+        stages.append(("near_dedup", s3))
+
+    kept = s3
+    if quotas:
+        kept = D.mixture_sample(
+            s3, quotas, by=source_col, id_col=id_col, seed=seed
+        )
+        stages.append(("mixture_sample", kept))
+    return {"kept": kept, "stages": stages}
+
+
+def stage_counts(stages: list[tuple[str, DataFrame]]) -> DataFrame:
+    """Survivor count per stage as one unioned aggregate frame (single
+    job on collect)."""
+    out = None
+    for name, df in stages:
+        c = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
+            F.lit(name).alias("stage"), "n_docs"
+        )
+        out = c if out is None else out.unionAll(c)
+    return out

@@ -3147,6 +3147,161 @@ def q84(spark, sf_dir):
     )
 
 
+@q(
+    "q85_session_paths",
+    f"""
+    with e as (select event_id, user_id, event_type, epoch_us(ts) as ts_us
+               from events),
+    s as (
+      select *,
+             case when ts_us - lag(ts_us) over
+                    (partition by user_id order by ts_us, event_id) > {_GAP_US}
+                  then 1 else 0 end as brk
+      from e
+    ),
+    ses as (
+      select *,
+             sum(brk) over (partition by user_id order by ts_us, event_id
+                            rows between unbounded preceding and current row)
+               as session_id
+      from s
+    ),
+    paths as (
+      select user_id, session_id,
+             string_agg(event_type, '>' order by ts_us, event_id) as path
+      from ses group by user_id, session_id
+    )
+    select path, count(*) as n_sessions
+    from paths group by path
+    order by n_sessions desc, path asc
+    limit 20
+    """,
+)
+def q85(spark, sf_dir):
+    """Top-20 session paths (event-sequence mining / drop-off
+    analytics): gap-sessionize, order-exact path strings via sorted
+    struct collection, global top-k on (count, path) total order."""
+    ev = _events(spark, sf_dir)
+    paths = W.session_paths(
+        ev, _GAP_US, by="user_id", ts="ts_us", tiebreak="event_id"
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(20)
+    )
+
+
+@q(
+    "q86_cohort_retention",
+    """
+    with e as (select user_id, event_type, epoch_us(ts) as ts_us from events),
+    c as (select user_id, min(ts_us) // 604800000000 as cohort_week
+          from e where event_type = 'signup' group by user_id)
+    select c.cohort_week,
+           (e.ts_us // 604800000000) - c.cohort_week as week_offset,
+           count(distinct e.user_id) as n_active
+    from e join c using (user_id)
+    where e.ts_us // 604800000000 >= c.cohort_week
+    group by 1, 2
+    """,
+)
+def q86(spark, sf_dir):
+    """Cohort retention triangle: users bucketed by first-signup week,
+    distinct-active counts per week offset. The signup-derived cohort
+    side is per-user (broadcastable vs the event log); count_distinct
+    expands to Spark's standard two-stage exact distinct."""
+    ev = _events(spark, sf_dir)
+    week = F.expr("ts_us div 604800000000")
+    cohort = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min(week).alias("cohort_week"))
+    )
+    return (
+        ev.join(F.broadcast(cohort), "user_id")
+        .withColumn("week_offset", week - F.col("cohort_week"))
+        .filter(F.col("week_offset") >= 0)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.count_distinct("user_id").alias("n_active"))
+    )
+
+
+_CURATE_QUOTAS = {"src0": 10, "src1": 8, "src2": 5, "src3": 12}
+
+
+@q(
+    "q87_curation_pipeline",
+    f"""
+    with w as (
+      select doc_id, text, source,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as ws
+      from documents
+    ),
+    gates as (
+      select doc_id, text, source from w
+      where len(ws) >= 20 and len(ws) <= 100000
+        and round(list_sum(list_transform(ws, x -> length(x))) * 1.0
+                  / greatest(len(ws), 1), 6) between 3.0 and 10.0
+        and round((len(string_split(text, '#')) - 1
+                   + len(string_split(text, '...')) - 1) * 1.0
+                  / greatest(len(ws), 1), 6) < 0.1
+        and round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                  * 1.0 / greatest(len(ws), 1), 6) >= 0.8
+    ),
+    toks as (select doc_id, {_TOKS_SQL} as tk from gates),
+    grams as (
+      select doc_id,
+             unnest([array_to_string(tk[i:i+2], ' ')
+                     for i in range(1, len(tk) - 1)]) as g
+      from toks where len(tk) >= 3
+    ),
+    pg as (select doc_id, g, count(*) as c from grams group by 1, 2),
+    rep as (
+      select doc_id, sum(c) as total, count(*) as dist from pg group by 1
+    ),
+    s2 as (
+      select g.doc_id, g.text, g.source
+      from gates g left join rep using (doc_id)
+      where round(coalesce(1 - dist * 1.0 / total, 0.0), 6) + 0 <= 0.3
+    ),
+    ded as (select min(doc_id) as doc_id from s2 group by md5(text)),
+    s3 as (select s2.* from s2 join ded using (doc_id)),
+    quotas as (
+      select * from (values ('src0', 10), ('src1', 8), ('src2', 5),
+                            ('src3', 12)) v(source, quota)
+    ),
+    ranked as (
+      select s3.doc_id, s3.source, q.quota,
+             row_number() over (
+               partition by s3.source
+               order by md5('7:' || s3.source || ':'
+                            || cast(s3.doc_id as varchar)), s3.doc_id) as rk
+      from s3 join quotas q using (source)
+    )
+    select doc_id, source from ranked where rk <= quota
+    """,
+)
+def q87(spark, sf_dir):
+    """End-to-end corpus curation (plans/corpus.py): Gopher quality
+    gates → trigram-repetition gate → exact dedup (min-id keeper) →
+    exact per-source mixture quotas — the full pre-training data
+    pipeline composed from individually-oracled operators, verified as
+    ONE chained result. Lazy composition: Catalyst optimizes the whole
+    chain as a single plan."""
+    from lbf_spark.plans.corpus import curate_corpus
+
+    out = curate_corpus(
+        t(spark, sf_dir, "documents"),
+        quotas=_CURATE_QUOTAS,
+        min_words=20,
+        max_dup_ngram_frac=0.3,
+        seed=7,
+    )
+    return out["kept"].select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

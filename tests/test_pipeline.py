@@ -233,3 +233,45 @@ def test_gc_weighted_coverage_allclose(spark, tiny_events, tiny_anchors):
     evv = exp["vectors"].sort_values(["entity", "name"], ignore_index=True)
     for g, e in zip(gv["vector"], evv["vector"]):
         assert np.allclose(np.asarray(g, dtype=float), e, rtol=1e-9, atol=1e-12)
+
+
+def test_curate_corpus_stages_and_near_dup(spark):
+    """The curation funnel drops the right docs at the right stage:
+    a short doc at the quality gate, a hyper-repetitive doc at the
+    repetition gate, an exact copy at dedup, a near-copy at near-dup;
+    stage_counts reports the funnel monotonically."""
+    from lbf_spark.plans.corpus import curate_corpus, stage_counts
+
+    good = (
+        "the quick brown fox jumps over one lazy dog while seven green "
+        "turtles swim under bright stars and many curious birds watch "
+        "from tall ancient trees near quiet rivers"
+    )  # 28 distinct words -> zero repeated trigrams
+    near = good.replace("curious", "inquisitive")        # near-dup of good
+    rep = " ".join(["spam spam spam"] * 20)              # repetition gate
+    other = (
+        "deep beneath rolling waves silver fish drift past coral towers "
+        "where gentle currents carry tiny seeds toward warm northern "
+        "shores every single morning"
+    )
+    rows = [
+        (1, good, "web"), (2, "too short", "web"), (3, rep, "web"),
+        (4, good, "web"),                                 # exact dup of 1
+        (5, near, "web"),                                 # near dup of 1
+        (6, other, "books"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    res = curate_corpus(docs, near_dup=True, near_dup_threshold=0.5)
+    kept = sorted(r["doc_id"] for r in res["kept"].select("doc_id").collect())
+    assert kept == [1, 6]
+    funnel = {r["stage"]: r["n_docs"] for r in stage_counts(res["stages"]).collect()}
+    assert funnel["input"] == 6
+    assert funnel["quality_gate"] == 5          # drops 2 (too short)
+    assert funnel["repetition_gate"] == 4       # drops 3 (spam trigrams)
+    assert funnel["exact_dedup"] == 3           # drops 4 (copy of 1)
+    assert funnel["near_dedup"] == 2            # drops 5 (near-copy of 1)
+    # quotas stage: exact per-source caps
+    res2 = curate_corpus(docs, quotas={"web": 1}, near_dup=True,
+                         near_dup_threshold=0.5)
+    kept2 = [r["doc_id"] for r in res2["kept"].collect()]
+    assert len(kept2) == 1 and kept2[0] == 1    # only 'web' listed; 1 survives
