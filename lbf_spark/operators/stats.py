@@ -390,3 +390,49 @@ def iqr_clamp(
     lo = q1 - factor * (q3 - q1)
     hi = q3 + factor * (q3 - q1)
     return df.withColumn(out or value, F.greatest(lo, F.least(hi, F.col(value))))
+
+
+def chi2_contingency_stat(
+    df, row_col: str, col_col: str, out: str = "chi2"
+):
+    """Pearson χ² independence statistic over the (row_col × col_col)
+    contingency table, computed relationally: cell/margin counts are
+    exact bigints, each cell's contribution ``(o−e)²/e`` is rounded to
+    6 digits and summed as DECIMAL so the statistic is independent of
+    aggregation order (the BM25/decimal-sum house rule applied to a
+    test statistic). Returns one row: (chi2, dof). The p-value lives in
+    ``chi2_sf`` (driver-side, like the group-test family) — the
+    statistic itself is the engine-exact part.
+
+    Shape at 100 TB: three partial-aggregating groupBys over the event
+    log (cells, row margins, column margins) + broadcast-joined tiny
+    margin frames — the table is |r|×|c| cells, never data-sized."""
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(
+        F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rt = cells.groupBy("__r").agg(F.sum("__o").alias("__nr"))
+    ct = cells.groupBy("__c").agg(F.sum("__o").alias("__nc"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct("__r").alias("__kr"),
+        F.count_distinct("__c").alias("__kc"),
+    )
+    e = (F.col("__nr") * F.col("__nc")) * F.lit(1.0) / F.col("__n")
+    contrib = F.round(
+        (F.col("__o") - e) * (F.col("__o") - e) / e, 6
+    ).cast("decimal(18,6)")
+    return (
+        cells.join(F.broadcast(rt), "__r")
+        .join(F.broadcast(ct), "__c")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__x", contrib)
+        .groupBy()
+        .agg(
+            F.sum("__x").cast("double").alias(out),
+            ((F.first("__kr") - 1) * (F.first("__kc") - 1))
+            .cast("long")
+            .alias("dof"),
+        )
+    )

@@ -525,3 +525,35 @@ def session_paths(
         )
         .withColumnRenamed("__sess", "session_id")
     )
+
+
+def ewma(
+    df: DataFrame,
+    col: str,
+    alpha: float,
+    window: int,
+    out: str = "ewma",
+    by: str = "entity",
+    order="ts",
+) -> DataFrame:
+    """Exponentially-weighted moving average, exact over a bounded
+    window: ``Σ_k (1−α)^k·x_{t−k} / Σ_k (1−α)^k`` for k in
+    [0, window), renormalized over the lags actually present near the
+    head of each entity. The unbounded recursive EWMA is inherently
+    sequential; bounding it at ``window`` terms (the remaining tail
+    weight is (1−α)^window — pick window for the precision you need)
+    turns it into a FIXED-ORDER sum of ``lag`` columns: one window
+    exchange, no arrays, no Python, and the addition order is the
+    k-order in both engines, so results are bit-reproducible."""
+    orders = [order] if isinstance(order, str) else list(order)
+    w = Window.partitionBy(by).orderBy(*[F.asc(c) for c in orders])
+    num = None
+    den = None
+    for k in range(window):
+        c_k = float((1.0 - alpha) ** k)
+        x_k = F.lag(F.col(col), k).over(w)
+        t = F.coalesce(x_k * F.lit(c_k), F.lit(0.0))
+        d = F.when(x_k.isNotNull(), F.lit(c_k)).otherwise(F.lit(0.0))
+        num = t if num is None else num + t
+        den = d if den is None else den + d
+    return df.withColumn(out, F.round(num / den, 6))

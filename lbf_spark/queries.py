@@ -3302,6 +3302,115 @@ def q87(spark, sf_dir):
     return out["kept"].select("doc_id", "source")
 
 
+_EWMA_ALPHA, _EWMA_W = 0.3, 8
+_EWMA_TERMS_SQL = " + ".join(
+    f"coalesce(lag(value, {k}) over w * {(1.0 - _EWMA_ALPHA) ** k!r}, 0)"
+    for k in range(_EWMA_W)
+)
+_EWMA_DEN_SQL = " + ".join(
+    f"case when lag(value, {k}) over w is not null"
+    f" then {(1.0 - _EWMA_ALPHA) ** k!r} else 0 end"
+    for k in range(_EWMA_W)
+)
+
+
+@q(
+    "q88_ewma",
+    f"""
+    select event_id,
+           round(({_EWMA_TERMS_SQL}) / ({_EWMA_DEN_SQL}), 6) as ewma
+    from {_EVENTS_SQL}
+    window w as (partition by user_id order by ts_us, event_id)
+    """,
+)
+def q88(spark, sf_dir):
+    """Exact bounded-window EWMA (α=0.3, 8 terms — tail weight 0.7⁸ ≈
+    0.06): a fixed-order sum of lag columns over ONE window exchange,
+    renormalized near stream heads. The recursive EWMA is sequential;
+    bounding it makes it relational and bit-reproducible (identical
+    float weight literals embedded in both engines)."""
+    ev = _events(spark, sf_dir)
+    out = W.ewma(
+        ev, "value", alpha=_EWMA_ALPHA, window=_EWMA_W,
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select("event_id", "ewma")
+
+
+@q(
+    "q89_rank_normalize",
+    """
+    select event_id,
+           round(percent_rank() over (partition by event_type
+                                      order by value, event_id), 6) + 0
+             as pct_rank,
+           round((value - min(value) over (partition by event_type))
+                 / nullif(max(value) over (partition by event_type)
+                          - min(value) over (partition by event_type), 0),
+                 6) + 0 as minmax
+    from (select event_id, event_type, value from events)
+    """,
+)
+def q89(spark, sf_dir):
+    """Per-group feature scaling (ML prep): percent-rank normalization
+    (total-ordered at ties) and min-max scaling, both in one pass over
+    the group window; degenerate constant groups yield null min-max."""
+    ev = t(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wa = Window.partitionBy("event_type")
+    rng = F.max("value").over(wa) - F.min("value").over(wa)
+    return ev.select(
+        "event_id",
+        (F.round(F.percent_rank().over(wo), 6) + F.lit(0.0)).alias("pct_rank"),
+        (
+            F.round(
+                (F.col("value") - F.min("value").over(wa))
+                / F.when(rng != 0, rng),
+                6,
+            )
+            + F.lit(0.0)
+        ).alias("minmax"),
+    )
+
+
+@q(
+    "q90_chi2_contingency",
+    """
+    with cells as (
+      select event_type as r, user_id % 2 as c, count(*) as o
+      from events group by 1, 2
+    ),
+    rt as (select r, sum(o) as nr from cells group by r),
+    ct as (select c, sum(o) as nc from cells group by c),
+    tot as (select sum(o) as n,
+                   count(distinct r) as kr, count(distinct c) as kc
+            from cells),
+    contrib as (
+      select cast(round((o - (nr * nc) * 1.0 / n)
+                        * (o - (nr * nc) * 1.0 / n)
+                        / ((nr * nc) * 1.0 / n), 6) as decimal(18,6)) as x,
+             kr, kc
+      from cells join rt using (r) join ct using (c) cross join tot
+    )
+    select cast(sum(x) as double) as chi2,
+           cast((min(kr) - 1) * (min(kc) - 1) as bigint) as dof
+    from contrib
+    """,
+)
+def q90(spark, sf_dir):
+    """Pearson χ² independence statistic (event_type × user parity):
+    exact bigint margins, per-cell contributions rounded then DECIMAL-
+    summed — aggregation-order-proof. The statistic is engine-exact;
+    the p-value (chi2_sf) stays driver-side like the group-test
+    family."""
+    from lbf_spark.operators.stats import chi2_contingency_stat
+
+    ev = t(spark, sf_dir, "events").withColumn(
+        "par", F.col("user_id") % 2
+    )
+    return chi2_contingency_stat(ev, "event_type", "par")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -774,3 +774,44 @@ def test_nearest_centroid_join_matches_numpy(spark):
     exp = d2.argmin(axis=1)
     assert (got["cluster_id"].to_numpy() == exp).all()
     assert np.allclose(got["dist2"].to_numpy(), d2.min(axis=1), atol=1e-9)
+
+
+def test_ewma_matches_numpy_fold(spark):
+    """Bounded EWMA equals the explicit weighted fold, including the
+    renormalized head (fewer than `window` predecessors)."""
+    from lbf_spark.operators.windows import ewma
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0]
+    df = spark.createDataFrame(
+        [("e", i, v) for i, v in enumerate(vals)], "entity string, ts long, v double"
+    )
+    got = (
+        ewma(df, "v", alpha=0.5, window=3, by="entity", order="ts")
+        .toPandas().sort_values("ts")["ewma"].tolist()
+    )
+    for t, g in enumerate(got):
+        ks = range(min(t + 1, 3))
+        num = sum(0.5**k * vals[t - k] for k in ks)
+        den = sum(0.5**k for k in ks)
+        assert abs(g - round(num / den, 6)) < 1e-9, t
+
+
+def test_chi2_contingency_matches_closed_form(spark):
+    from lbf_spark.operators.stats import chi2_contingency_stat
+
+    # 2x2 with known chi2: [[10, 20], [20, 10]] -> chi2 = 60*(10*10-20*20)^2/(30*30*30*30)
+    rows = (
+        [("a", 0)] * 10 + [("a", 1)] * 20 + [("b", 0)] * 20 + [("b", 1)] * 10
+    )
+    df = spark.createDataFrame(rows, "r string, c int")
+    got = chi2_contingency_stat(df, "r", "c").collect()[0]
+    n, exp = 60, None
+    chi2 = 0.0
+    obs = {("a", 0): 10, ("a", 1): 20, ("b", 0): 20, ("b", 1): 10}
+    for (r, c), o in obs.items():
+        nr = sum(v for (rr, _), v in obs.items() if rr == r)
+        nc = sum(v for (_, cc), v in obs.items() if cc == c)
+        e = nr * nc / n
+        chi2 += round((o - e) ** 2 / e, 6)
+    assert abs(got["chi2"] - chi2) < 1e-9
+    assert got["dof"] == 1
