@@ -454,6 +454,52 @@ def bm25_scores(
     )
 
 
+def inverted_index(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    head: int = 10,
+    min_df: int = 1,
+    max_posting_df: int | None = None,
+) -> DataFrame:
+    """Inverted-index build: token → document frequency + the first
+    ``head`` doc ids of the sorted posting list (the verifiable digest;
+    full posting lists at scale stream to the sink, never through one
+    reducer).
+
+    Scale guard: ``collect_list`` materializes a token's ENTIRE posting
+    set in one aggregation buffer — for a stopword-grade token at
+    10¹² docs that is an OOM, the same hot-key blowup the jaccard
+    ``max_df`` cap kills. So when ``max_posting_df`` is set, posting
+    heads are collected ONLY for tokens whose df is under the cap
+    (df comes first from a partial-aggregating count, which IS
+    skew-safe); hotter tokens keep their exact df and a null head.
+    Set the cap to the corpus df ceiling you can afford to buffer."""
+    flat = df.select(
+        F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
+    )
+    dfreq = flat.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    collectable = (
+        dfreq.filter(F.col("df") <= max_posting_df)
+        if max_posting_df is not None
+        else dfreq
+    )
+    heads = (
+        flat.join(F.broadcast(collectable.select("token")), "token")
+        .groupBy("token")
+        .agg(
+            F.concat_ws(
+                ",", F.slice(F.array_sort(F.collect_list(id_col)), 1, head)
+            ).alias("postings_head")
+        )
+    )
+    return (
+        dfreq.join(heads, "token", "left")
+        .filter(F.col("df") >= min_df)
+        .select("token", "df", "postings_head")
+    )
+
+
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): character classes, bounded repetition, \b only.
 EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"

@@ -3020,26 +3020,13 @@ def q80(spark, sf_dir):
 )
 def q81(spark, sf_dir):
     """Inverted-index build (the retrieval/BM25 serving structure):
-    token → document frequency + sorted posting list (first 10 ids —
-    full lists at scale live in the sink, the head is the verifiable
-    digest). Word-count shuffle shape: one partial-aggregating groupBy
-    on token; posting order is made deterministic by sorting the
-    collected ids, never relying on arrival order."""
-    docs = t(spark, sf_dir, "documents")
-    from lbf_spark.operators.dedup import tokens_col
-
-    flat = docs.select(
-        F.col("doc_id"), F.explode(F.array_distinct(tokens_col("text"))).alias("token")
-    )
-    return (
-        flat.groupBy("token")
-        .agg(
-            F.count(F.lit(1)).alias("df"),
-            F.concat_ws(
-                ",", F.slice(F.array_sort(F.collect_list("doc_id")), 1, 10)
-            ).alias("postings_head"),
-        )
-        .filter(F.col("df") >= 5)
+    token → document frequency + sorted posting head (the verifiable
+    digest). df is a partial-aggregating count (skew-safe); posting
+    heads collect only under the ``max_posting_df`` cap (set above the
+    fixture's df here, so the oracle is the uncapped SQL — the cap is
+    the 100-TB OOM guard, see ``text.inverted_index``)."""
+    return text.inverted_index(
+        t(spark, sf_dir, "documents"), head=10, min_df=5, max_posting_df=10_000
     )
 
 

@@ -815,3 +815,23 @@ def test_chi2_contingency_matches_closed_form(spark):
         chi2 += round((o - e) ** 2 / e, 6)
     assert abs(got["chi2"] - chi2) < 1e-9
     assert got["dof"] == 1
+
+
+def test_inverted_index_df_cap(spark):
+    """Above-cap (stopword-grade) tokens keep their exact df but skip
+    posting collection (null head) — the OOM guard; under-cap tokens
+    get the sorted head."""
+    from lbf_spark.operators.text import inverted_index
+
+    rows = [(i, "hot rare" + (" only" if i == 3 else "")) for i in range(6)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = (
+        inverted_index(df, head=3, max_posting_df=5)
+        .toPandas().set_index("token")
+    )
+    assert out.loc["hot", "df"] == 6 and out.loc["hot", "postings_head"] is None
+    assert out.loc["rare", "df"] == 6 and out.loc["rare", "postings_head"] is None
+    assert out.loc["only", "df"] == 1 and out.loc["only", "postings_head"] == "3"
+    # uncapped: heads for everything, sorted ascending, truncated to 3
+    out2 = inverted_index(df, head=3).toPandas().set_index("token")
+    assert out2.loc["hot", "postings_head"] == "0,1,2"
