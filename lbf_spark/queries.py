@@ -3398,6 +3398,163 @@ def q90(spark, sf_dir):
     return chi2_contingency_stat(ev, "event_type", "par")
 
 
+@q(
+    "q91_key_skew_profile",
+    """
+    with c as (select cast(user_id as varchar) as k, count(*) as n
+               from events group by 1),
+    s as (
+      select count(*) as n_keys, sum(n) as total_rows,
+             round(quantile_cont(n, 0.5), 4) as p50_rows_per_key,
+             round(quantile_cont(n, 0.99), 4) as p99_rows_per_key,
+             round(max(n) / (sum(n) / count(*)), 4) as skew_ratio
+      from c
+    ),
+    h as (select k as hottest_key, n as max_rows from c
+          order by n desc, k asc limit 1)
+    select n_keys, total_rows, max_rows, hottest_key,
+           p50_rows_per_key, p99_rows_per_key, skew_ratio
+    from s cross join h
+    """,
+)
+def q91(spark, sf_dir):
+    """Key-skew profile of the shuffle key (the pre-flight check for
+    every groupBy/join in this engine): cardinality, hottest key,
+    median/p99 rows-per-key, max/mean skew ratio. The groupBy is
+    partial-aggregating (profiling a hot key is itself skew-safe)."""
+    from lbf_spark.operators.profile import key_skew_profile
+
+    return key_skew_profile(t(spark, sf_dir, "events"), "user_id")
+
+
+_PROFILE_COLS = ["l_returnflag", "l_linenumber", "l_quantity", "l_shipdate"]
+
+
+@q(
+    "q92_table_profile",
+    """
+    with a as (
+      select count(*) as total,
+             sum(cast(l_returnflag is null as bigint)) as nf1,
+             count(distinct l_returnflag) as nd1,
+             cast(min(l_returnflag) as varchar) as mn1,
+             cast(max(l_returnflag) as varchar) as mx1,
+             sum(cast(l_linenumber is null as bigint)) as nf2,
+             count(distinct l_linenumber) as nd2,
+             cast(min(l_linenumber) as varchar) as mn2,
+             cast(max(l_linenumber) as varchar) as mx2,
+             sum(cast(l_quantity is null as bigint)) as nf3,
+             count(distinct l_quantity) as nd3,
+             cast(min(l_quantity) as varchar) as mn3,
+             cast(max(l_quantity) as varchar) as mx3,
+             sum(cast(l_shipdate is null as bigint)) as nf4,
+             count(distinct l_shipdate) as nd4,
+             cast(min(l_shipdate) as varchar) as mn4,
+             cast(max(l_shipdate) as varchar) as mx4
+      from lineitem
+    )
+    select 'l_returnflag' as column, round(nf1 / total, 6) as null_frac,
+           nd1 as n_distinct, mn1 as min_value, mx1 as max_value from a
+    union all
+    select 'l_linenumber', round(nf2 / total, 6), nd2, mn2, mx2 from a
+    union all
+    select 'l_quantity', round(nf3 / total, 6), nd3, mn3, mx3 from a
+    union all
+    select 'l_shipdate', round(nf4 / total, 6), nd4, mn4, mx4 from a
+    """,
+)
+def q92(spark, sf_dir):
+    """deequ-style table profile (ingest quality gate): null fraction,
+    exact distinct count, min/max per column — all columns in ONE scan
+    pass (a single aggregate, then a |cols|-row unpivot)."""
+    from lbf_spark.operators.profile import table_profile
+
+    return table_profile(t(spark, sf_dir, "lineitem"), _PROFILE_COLS)
+
+
+@q(
+    "q93_hourly_seasonality",
+    """
+    select event_type,
+           (epoch_us(ts) // 3600000000) % 24 as hour,
+           count(*) as n_events,
+           round(cast(sum(cast(value as decimal(18,6))) as double)
+                 / count(*), 6) as mean_value
+    from events
+    group by 1, 2
+    """,
+)
+def q93(spark, sf_dir):
+    """Hour-of-day seasonality profile per event type (the time-series
+    feature a forecasting pipeline conditions on): decimal-stable
+    hourly means over a (type, hour) partial-aggregating groupBy —
+    24×|types| output rows regardless of input size."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.withColumn("hour", F.expr("(ts_us div 3600000000) % 24"))
+        .groupBy("event_type", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mean_value"),
+        )
+    )
+
+
+@q(
+    "q94_cluster_cohesion",
+    """
+    with c as (
+      select vec_id as cid, cast(embedding as double[]) as cvec
+      from embeddings where vec_id < 8
+    ),
+    d as (
+      select e.vec_id, c.cid,
+             round(list_sum([ (ev[i] - c.cvec[i]) * (ev[i] - c.cvec[i])
+                              for i in range(1, len(ev) + 1)]), 6) as dist2
+      from (select vec_id, cast(embedding as double[]) as ev
+            from embeddings) e
+      cross join c
+    ),
+    r as (
+      select vec_id, cid, dist2,
+             row_number() over (partition by vec_id
+                                order by dist2 asc, cid asc) as rk
+      from d
+    )
+    select cid as cluster_id, count(*) as n_members,
+           round(cast(sum(cast(dist2 as decimal(18,6))) as double)
+                 / count(*), 6) as mean_dist2
+    from r where rk = 1
+    group by cid
+    """,
+)
+def q94(spark, sf_dir):
+    """Cluster-quality cohesion (k-means diagnostics): per-cluster
+    member count and decimal-stable mean squared distance to the
+    assigned centroid — composed on top of the relational E-step
+    (q79), one extra tiny groupBy."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    assigned = S.nearest_centroid_join(
+        emb, cents, id_col="vec_id", vec_col="embedding",
+        cent_id="cid", cent_vec="embedding",
+    )
+    return assigned.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"),
+        F.round(
+            F.sum(F.col("dist2").cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mean_dist2"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -835,3 +835,27 @@ def test_inverted_index_df_cap(spark):
     # uncapped: heads for everything, sorted ascending, truncated to 3
     out2 = inverted_index(df, head=3).toPandas().set_index("token")
     assert out2.loc["hot", "postings_head"] == "0,1,2"
+
+
+def test_key_skew_profile_hand_case(spark):
+    from lbf_spark.operators.profile import key_skew_profile
+
+    rows = [("hot",)] * 6 + [("a",)] * 2 + [("b",)] * 2 + [("c",)] * 2
+    df = spark.createDataFrame(rows, "k string")
+    got = key_skew_profile(df, "k").collect()[0]
+    assert got["n_keys"] == 4 and got["total_rows"] == 12
+    assert got["hottest_key"] == "hot" and got["max_rows"] == 6
+    assert got["skew_ratio"] == 2.0  # 6 / (12/4)
+    assert got["p50_rows_per_key"] == 2.0
+
+
+def test_table_profile_nulls_and_bounds(spark):
+    from lbf_spark.operators.profile import table_profile
+
+    df = spark.createDataFrame(
+        [(1, "x"), (2, None), (3, "y"), (4, "x")], "a long, b string"
+    )
+    got = table_profile(df, ["a", "b"]).toPandas().set_index("column")
+    assert got.loc["a", "null_frac"] == 0.0 and got.loc["a", "n_distinct"] == 4
+    assert got.loc["a", "min_value"] == "1" and got.loc["a", "max_value"] == "4"
+    assert got.loc["b", "null_frac"] == 0.25 and got.loc["b", "n_distinct"] == 2
