@@ -47,13 +47,18 @@ BENCH_QUERIES = [
     "q26_embed_topk",
 ]
 
-# round-2 operators, timed but NOT summed into the headline total so
+# round-2+ operators, timed but NOT summed into the headline total so
 # cross-round BENCH values stay comparable
 EXTRA_QUERIES = [
     "q49_flagship_matrix",
     "q52_peter_ulz",
     "q55_dup_clusters",
     "q57_ngram_repetition",
+    # round-3 representatives: corpus curation chain, ES weighted
+    # sampling (TakeOrdered), df-capped inverted index
+    "q87_curation_pipeline",
+    "q73_weighted_sample",
+    "q81_inverted_index",
 ]
 
 

@@ -859,3 +859,34 @@ def test_table_profile_nulls_and_bounds(spark):
     assert got.loc["a", "null_frac"] == 0.0 and got.loc["a", "n_distinct"] == 4
     assert got.loc["a", "min_value"] == "1" and got.loc["a", "max_value"] == "4"
     assert got.loc["b", "null_frac"] == 0.25 and got.loc["b", "n_distinct"] == 2
+
+
+def test_new_ops_empty_and_degenerate_inputs(spark):
+    """Empty frames and degenerate groups must flow through, not crash:
+    the 100-TB failure mode is a partition/filter producing zero rows."""
+    from lbf_spark.operators.profile import key_skew_profile, table_profile
+    from lbf_spark.operators.windows import ewma, funnel_conversion, session_paths
+
+    empty_docs = spark.createDataFrame([], "doc_id long, text string")
+    assert text.chunk_tokens(empty_docs).count() == 0
+    assert text.tfidf_topk(empty_docs).count() == 0
+    assert text.bm25_scores(empty_docs, ["x"]).count() == 0
+    assert text.inverted_index(empty_docs).count() == 0
+
+    empty_ev = spark.createDataFrame(
+        [], "user_id long, ts long, event_type string, v double"
+    )
+    assert funnel_conversion(
+        empty_ev, "signup", "purchase", by="user_id", ts="ts"
+    ).count() == 0
+    assert session_paths(empty_ev, 10, by="user_id", ts="ts").count() == 0
+    assert ewma(empty_ev, "v", 0.5, 3, by="user_id", order="ts").count() == 0
+    # single-row entity: ewma == the value itself
+    one = spark.createDataFrame([(1, 5, 2.5)], "user_id long, ts long, v double")
+    assert ewma(one, "v", 0.5, 3, by="user_id", order="ts").collect()[0]["ewma"] == 2.5
+    # profile of a constant column: zero-range, one distinct
+    const = spark.createDataFrame([(7,)] * 5, "k long")
+    got = key_skew_profile(const, "k").collect()[0]
+    assert got["n_keys"] == 1 and got["skew_ratio"] == 1.0
+    prof = table_profile(const, ["k"]).collect()[0]
+    assert prof["n_distinct"] == 1 and prof["min_value"] == prof["max_value"]
