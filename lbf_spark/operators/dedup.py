@@ -61,7 +61,9 @@ def exact_dedup(
 def with_shingles(
     df: DataFrame, id_col: str, text_col: str, n: int = 3
 ) -> DataFrame:
-    return df.select(
+    from lbf_spark.util import fan_out
+
+    return fan_out(df).select(
         F.col(id_col), shingles_col(tokens_col(text_col), n).alias("shingles")
     )
 
@@ -337,6 +339,9 @@ def simhash64(
     counting token multiplicity. Computed JVM-side: tokens → md5 →
     conv(hex,16,10 per half) → per-bit vote via aggregate().
     """
+    from lbf_spark.util import fan_out
+
+    df = fan_out(df)
     toks = tokens_col(text_col)
     # two 32-bit halves of the first 16 hex chars (64 bits) of md5(token)
     h = F.transform(toks, lambda t: F.md5(t))

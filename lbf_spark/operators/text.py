@@ -192,7 +192,9 @@ def vocab_stats(
     from pyspark.sql import Window as _W
 
     from lbf_spark.operators.dedup import tokens_col as _tok
+    from lbf_spark.util import fan_out
 
+    df = fan_out(df)
     counts = (
         df.select(F.explode(_tok(text_col)).alias("token"))
         .groupBy("token")
@@ -230,7 +232,9 @@ def contamination_flags(
     per doc with the number of distinct overlapping n-grams and a flag.
     """
     from lbf_spark.operators.dedup import shingles_col, tokens_col as _tok
+    from lbf_spark.util import fan_out
 
+    docs = fan_out(docs)
     doc_sh = docs.select(
         F.col(id_col), F.explode(shingles_col(_tok(text_col), n)).alias("sh")
     )
@@ -335,6 +339,9 @@ def chunk_tokens(
     exchange so only 32-byte digests ever move."""
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    from lbf_spark.util import fan_out
+
+    df = fan_out(df)
     toks = tokens_col(text_col)
     starts = F.when(
         F.size(toks) > 0,
@@ -371,6 +378,9 @@ def tfidf_topk(
     scalar; the final window partitions by doc — never global."""
     from pyspark.sql import Window as _W
 
+    from lbf_spark.util import fan_out
+
+    df = fan_out(df)
     toks = tokens_col(text_col)
     flat = df.select(F.col(id_col), F.explode(toks).alias("token"))
     tf = flat.groupBy(id_col, "token").agg(F.count(F.lit(1)).alias("tf"))
@@ -423,6 +433,9 @@ def bm25_scores(
     Shape at 100 TB: the flat explode is pre-filtered to query tokens
     (query ≪ vocab), df and the two corpus scalars broadcast, tf is a
     per-(doc, token) partial agg, and the dl join is doc-keyed."""
+    from lbf_spark.util import fan_out
+
+    df = fan_out(df)
     toks = tokens_col(text_col)
     lens = df.select(F.col(id_col), F.size(toks).cast("long").alias("dl"))
     corpus = lens.agg(
@@ -475,7 +488,9 @@ def inverted_index(
     (df comes first from a partial-aggregating count, which IS
     skew-safe); hotter tokens keep their exact df and a null head.
     Set the cap to the corpus df ceiling you can afford to buffer."""
-    flat = df.select(
+    from lbf_spark.util import fan_out
+
+    flat = fan_out(df).select(
         F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
     )
     dfreq = flat.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
@@ -548,7 +563,9 @@ def ngram_repetition(
     hash-aggregate stays in whole-stage codegen and its map-side
     partial agg already combines before the (doc, ngram) shuffle."""
     from lbf_spark.operators.dedup import tokens_col as _tok
+    from lbf_spark.util import fan_out
 
+    df = fan_out(df)
     toks = _tok(text_col)
     grams = F.when(
         F.size(toks) >= n,
