@@ -388,3 +388,107 @@ def nearest_centroid_join(
         .filter(F.col("__rk") == 1)
         .select(id_col, F.col("__cid").alias("cluster_id"), "dist2")
     )
+
+
+def quantize_int8(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_scale: str = "scale",
+    out_vec: str = "qvec",
+) -> DataFrame:
+    """Symmetric int8 vector quantization (the standard ANN-index /
+    embedding-storage compression): per-vector scale = 127 / max|x|,
+    elements round to int8. Row-local JVM array math — the 4×
+    storage/bandwidth cut is what makes a 10¹²-vector index fit a
+    cluster's disks. Zero vectors keep scale 1 (all-zero quant)."""
+    v = F.col(vec_col).cast("array<double>")
+    amax = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale = F.when(amax > 0, F.lit(127.0) / amax).otherwise(F.lit(1.0))
+    return df.withColumn(out_scale, scale).withColumn(
+        out_vec,
+        F.transform(v, lambda x: F.round(x * F.col(out_scale)).cast("int")),
+    )
+
+
+def rp_matrix(seed: int, out_dim: int, in_dim: int) -> list[list[float]]:
+    """±1/√k JL sign matrix from md5 — deterministic constants any
+    engine (or oracle SQL generator) reproduces from (seed, j, i)."""
+    import hashlib
+    import math
+
+    inv = 1.0 / math.sqrt(out_dim)
+    return [
+        [
+            inv
+            if int(hashlib.md5(f"{seed}:{j}:{i}".encode()).hexdigest()[:8], 16) % 2
+            else -inv
+            for i in range(in_dim)
+        ]
+        for j in range(out_dim)
+    ]
+
+
+def random_projection(
+    df: DataFrame,
+    out_dim: int,
+    vec_col: str = "embedding",
+    seed: int = 42,
+    in_dim: int | None = None,
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction with a ±1/√k
+    sign matrix derived from md5 (deterministic, engine-reproducible —
+    Achlioptas 2001's database-friendly projection). The matrix is a
+    broadcast literal (out_dim × in_dim signs); each output coordinate
+    is a fixed-order fold over the input — bit-identical in any engine.
+    Row-local; no shuffle."""
+    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+    d = in_dim or (first["d"] if first else 0)
+    R = rp_matrix(seed, out_dim, d)
+    v = F.col(vec_col).cast("array<double>")
+    cols = []
+    for j in range(out_dim):
+        row = R[j]
+        expr = None
+        for i in range(d):
+            term = F.element_at(v, i + 1) * F.lit(row[i])
+            expr = term if expr is None else expr + term
+        cols.append(F.round(expr, 6).alias(f"y{j}"))
+    return df.select("*", *cols), R
+
+
+def blocked_pairs(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """Blocked exact near-dup search: assign vectors to IVF cells
+    (nearest centroid), then compare pairs ONLY within a cell — the
+    scale shape that turns O(n²) cosine search into Σ|cell|², an
+    equi-join on cluster_id. Recall caveat: cross-cell near-dups are
+    missed (the standard IVF trade; raise k or multi-probe upstream).
+    Output: (id_a, id_b, cos) with a (rounded cos, ids) total order."""
+    assigned = nearest_centroid_join(
+        df, centroids, id_col=id_col, vec_col=vec_col
+    ).select(id_col, "cluster_id")
+    tagged = df.join(assigned, id_col).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
+        "cluster_id",
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cos = cosine_similarity_col(F.col("a.__v"), F.col("b.__v"))
+    return (
+        a.join(
+            b,
+            (F.col("a.cluster_id") == F.col("b.cluster_id"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, round_digits).alias("cos"),
+        )
+        .filter(F.col("cos") >= threshold)
+    )

@@ -598,3 +598,41 @@ def ngram_repetition(
             6,
         ).alias("top_ngram_frac"),
     )
+
+
+def char_bigram_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    top_k: int = 100,
+) -> DataFrame:
+    """Character-bigram frequency table — the first merge-candidate
+    scan of BPE tokenizer training (pair frequencies over the raw
+    character stream, whitespace included). Explode is row-local
+    (`substr(text, i, 2)` over a sequence — no Python); counting is
+    the word-count shape; the final rank is a total order
+    (count desc, bigram asc) over the |alphabet|²-sized aggregate."""
+    from pyspark.sql import Window as _W
+
+    from lbf_spark.util import fan_out
+
+    # guard: sequence(1, 0) DESCENDS in Spark, so length<2 needs an
+    # explicit empty array (the shingles_col gotcha again)
+    grams = F.expr(
+        f"case when length({text_col}) >= 2"
+        f" then transform(sequence(1, length({text_col}) - 1),"
+        f"                i -> substr({text_col}, i, 2))"
+        f" else cast(array() as array<string>) end"
+    )
+    counts = (
+        fan_out(df)
+        .select(F.explode(grams).alias("bigram"))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = _W.orderBy(F.desc("n"), F.asc("bigram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= top_k)
+        .select("bigram", "n", F.col("rank").cast("int").alias("rank"))
+    )

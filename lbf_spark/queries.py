@@ -3555,6 +3555,160 @@ def q94(spark, sf_dir):
     )
 
 
+@q(
+    "q95_quantize_int8",
+    """
+    with v as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings),
+    s as (
+      select vec_id, ev,
+             list_max(list_transform(ev, x -> abs(x))) as amax
+      from v
+    )
+    select vec_id,
+           round(case when amax > 0 then 127.0 / amax else 1.0 end, 6) + 0
+             as scale,
+           md5(array_to_string(
+             list_transform(ev, x -> cast(round(
+               x * (case when amax > 0 then 127.0 / amax else 1.0 end))
+               as int)), ',')) as qvec_hash
+    from s
+    """,
+)
+def q95(spark, sf_dir):
+    """Symmetric int8 embedding quantization (ANN index compression):
+    per-vector scale + quantized array digest. Row-local JVM array
+    math; the digest (not the array) is what's compared."""
+    from lbf_spark.operators.similarity import quantize_int8
+
+    out = quantize_int8(t(spark, sf_dir, "embeddings"))
+    return out.select(
+        "vec_id",
+        (F.round("scale", 6) + F.lit(0.0)).alias("scale"),
+        F.md5(
+            F.concat_ws(",", F.transform("qvec", lambda x: x.cast("string")))
+        ).alias("qvec_hash"),
+    )
+
+
+def _rp_oracle_sql(out_dim: int = 4, in_dim: int = 64, seed: int = 42) -> str:
+    from lbf_spark.operators.similarity import rp_matrix
+
+    R = rp_matrix(seed, out_dim, in_dim)
+    outs = ",\n           ".join(
+        "round("
+        + " + ".join(f"ev[{i + 1}] * {R[j][i]!r}" for i in range(in_dim))
+        + f", 6) as y{j}"
+        for j in range(out_dim)
+    )
+    return f"""
+    with v as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings)
+    select vec_id,
+           {outs}
+    from v
+    """
+
+
+@q("q96_random_projection", _rp_oracle_sql())
+def q96(spark, sf_dir):
+    """Johnson–Lindenstrauss random projection 64→4 (Achlioptas ±1/√k
+    sign matrix from md5 constants — the ANN/sketch prep step).
+    Fixed-order folds ⇒ bit-identical in any engine; the identical
+    float literals are embedded in both sides from `rp_matrix`."""
+    from lbf_spark.operators.similarity import random_projection
+
+    out, _R = random_projection(
+        t(spark, sf_dir, "embeddings"), out_dim=4, seed=42, in_dim=64
+    )
+    return out.select("vec_id", "y0", "y1", "y2", "y3")
+
+
+@q(
+    "q97_char_bigrams",
+    """
+    with g as (
+      select unnest(case when length(text) >= 2
+                         then [substr(text, i, 2)
+                               for i in range(1, length(text))]
+                         else [] end) as bigram
+      from documents
+    ),
+    c as (select bigram, count(*) as n from g group by bigram)
+    select bigram, n,
+           cast(row_number() over (order by n desc, bigram asc) as int) as rank
+    from c
+    order by rank
+    limit 100
+    """,
+)
+def q97(spark, sf_dir):
+    """Character-bigram frequencies (BPE tokenizer training's first
+    merge-candidate scan), top-100 total-ordered. Row-local substr
+    explode → word-count groupBy; the rank window runs over the
+    |alphabet|²-row aggregate only."""
+    return text.char_bigram_stats(
+        t(spark, sf_dir, "documents"), top_k=100
+    )
+
+
+@q(
+    "q98_blocked_neardup",
+    """
+    with c as (
+      select vec_id as cid, cast(embedding as double[]) as cvec
+      from embeddings where vec_id < 8
+    ),
+    d as (
+      select e.vec_id, c.cid,
+             round(list_sum([ (ev[i] - c.cvec[i]) * (ev[i] - c.cvec[i])
+                              for i in range(1, len(ev) + 1)]), 6) as dist2
+      from (select vec_id, cast(embedding as double[]) as ev
+            from embeddings) e
+      cross join c
+    ),
+    assigned as (
+      select vec_id, cid as cluster_id
+      from (select vec_id, cid, dist2,
+                   row_number() over (partition by vec_id
+                                      order by dist2 asc, cid asc) as rk
+            from d)
+      where rk = 1
+    ),
+    tv as (
+      select a.vec_id, a.cluster_id, cast(e.embedding as double[]) as ev
+      from assigned a join embeddings e using (vec_id)
+    )
+    select x.vec_id as id_a, y.vec_id as id_b,
+           round(list_sum([x.ev[i] * y.ev[i]
+                           for i in range(1, len(x.ev) + 1)])
+                 / (sqrt(list_sum(list_transform(x.ev, v -> v * v)))
+                    * sqrt(list_sum(list_transform(y.ev, v -> v * v)))),
+                 4) + 0 as cos
+    from tv x join tv y
+      on x.cluster_id = y.cluster_id and x.vec_id < y.vec_id
+    where round(list_sum([x.ev[i] * y.ev[i]
+                          for i in range(1, len(x.ev) + 1)])
+                / (sqrt(list_sum(list_transform(x.ev, v -> v * v)))
+                   * sqrt(list_sum(list_transform(y.ev, v -> v * v)))),
+                4) + 0 >= 0.35
+    """,
+)
+def q98(spark, sf_dir):
+    """Blocked exact near-dup search: IVF-cell assignment (q79's
+    E-step) then cosine pairs ONLY within a cell — Σ|cell|² work via an
+    equi-join on cluster_id, never O(n²). The cross-cell recall trade
+    is the standard IVF caveat, documented in `blocked_pairs`."""
+    from lbf_spark.operators.similarity import blocked_pairs
+
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    out = blocked_pairs(emb, cents, threshold=0.35)
+    return out.select("id_a", "id_b", (F.col("cos") + F.lit(0.0)).alias("cos"))
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -890,3 +890,73 @@ def test_new_ops_empty_and_degenerate_inputs(spark):
     assert got["n_keys"] == 1 and got["skew_ratio"] == 1.0
     prof = table_profile(const, ["k"]).collect()[0]
     assert prof["n_distinct"] == 1 and prof["min_value"] == prof["max_value"]
+
+
+def test_quantize_int8_roundtrip_error(spark):
+    """Quantized values stay in [-127, 127]; dequantized error is
+    bounded by 0.5/scale; zero vectors survive with scale 1."""
+    from lbf_spark.operators.similarity import quantize_int8
+
+    rng = np.random.default_rng(13)
+    vecs = [list(map(float, rng.standard_normal(8))) for _ in range(10)]
+    vecs.append([0.0] * 8)
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)], "vec_id long, embedding array<double>"
+    )
+    out = quantize_int8(df).toPandas().set_index("vec_id")
+    for i, v in enumerate(vecs):
+        q, s = out.loc[i, "qvec"], out.loc[i, "scale"]
+        assert max(abs(x) for x in q) <= 127
+        for x, qx in zip(v, q):
+            assert abs(x - qx / s) <= 0.5 / s + 1e-12
+    assert out.loc[10, "scale"] == 1.0 and all(x == 0 for x in out.loc[10, "qvec"])
+
+
+def test_random_projection_preserves_rough_geometry(spark):
+    """JL projection: deterministic across runs; projected norms stay
+    within a loose multiplicative band of the original (k=8 of 32)."""
+    from lbf_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(17)
+    vecs = rng.standard_normal((30, 32))
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    out1, R1 = random_projection(df, out_dim=8)
+    out2, R2 = random_projection(df, out_dim=8)
+    p1 = out1.toPandas().set_index("vec_id").sort_index()
+    assert R1 == R2 and p1.equals(out2.toPandas().set_index("vec_id").sort_index())
+    Y = p1[[f"y{j}" for j in range(8)]].to_numpy()
+    ratios = np.linalg.norm(Y, axis=1) / np.linalg.norm(vecs, axis=1)
+    assert 0.3 < ratios.min() and ratios.max() < 2.5  # loose JL band
+    # matches numpy R @ v exactly (mod rounding)
+    exp = vecs @ np.array(R1).T
+    assert np.allclose(Y, np.round(exp, 6), atol=1e-9)
+
+
+def test_blocked_pairs_finds_within_cell_dups_only(spark):
+    from lbf_spark.operators.similarity import blocked_pairs
+
+    rng = np.random.default_rng(19)
+    a = rng.standard_normal(16); b = rng.standard_normal(16)
+    vecs = [a, a * 1.001, b, -a]  # 0~1 near-dup; 3 anti-parallel to 0
+    df = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = df.filter("vec_id in (0, 2)").selectExpr("vec_id as cid", "embedding")
+    got = blocked_pairs(df, cents, threshold=0.99).toPandas()
+    assert set(zip(got["id_a"], got["id_b"])) == {(0, 1)}
+
+
+def test_char_bigram_stats_hand_case(spark):
+    from lbf_spark.operators.text import char_bigram_stats
+
+    df = spark.createDataFrame(
+        [(1, "abab"), (2, "x"), (3, "")], "doc_id long, text string"
+    )
+    out = char_bigram_stats(df, top_k=10).toPandas().set_index("bigram")
+    # "abab" -> ab, ba, ab ; single-char and empty docs contribute nothing
+    assert out.loc["ab", "n"] == 2 and out.loc["ba", "n"] == 1
+    assert out.loc["ab", "rank"] == 1 and len(out) == 2
