@@ -3709,6 +3709,117 @@ def q98(spark, sf_dir):
     return out.select("id_a", "id_b", (F.col("cos") + F.lit(0.0)).alias("cos"))
 
 
+@q(
+    "q99_time_weighted_avg",
+    """
+    with e as (
+      select user_id, epoch_us(ts) as ts_us, value, event_id from events
+    ),
+    seg as (
+      select user_id, value,
+             lead(ts_us) over (partition by user_id
+                               order by ts_us, event_id) - ts_us as dur
+      from e
+    )
+    select user_id,
+           round(cast(sum(cast(value as decimal(28,10))
+                          * cast(dur as decimal(28,10))) as double)
+                 / cast(sum(cast(dur as decimal(28,10))) as double), 6)
+             as twap
+    from seg
+    where dur is not null and dur > 0
+    group by user_id
+    """,
+)
+def q99(spark, sf_dir):
+    """Time-weighted average (TWAP — step-function integral of the
+    value between observations, the classic as-of-family statistic):
+    each value holds until the next event; weights are the inter-event
+    durations. DECIMAL value×duration products make the integral
+    aggregation-order-proof. One window + one groupBy sharing the
+    user partitioning."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = ev.withColumn(
+        "dur", F.lead("ts_us").over(w) - F.col("ts_us")
+    ).filter(F.col("dur").isNotNull() & (F.col("dur") > 0))
+    num = F.sum(
+        F.col("value").cast("decimal(28,10)") * F.col("dur").cast("decimal(28,10)")
+    ).cast("double")
+    den = F.sum(F.col("dur").cast("decimal(28,10)")).cast("double")
+    return seg.groupBy("user_id").agg(
+        F.round(num / den, 6).alias("twap")
+    )
+
+
+@q(
+    "q100_session_cooccurrence",
+    f"""
+    with e as (select event_id, user_id, event_type, epoch_us(ts) as ts_us
+               from events),
+    s as (
+      select *,
+             case when ts_us - lag(ts_us) over
+                    (partition by user_id order by ts_us, event_id) > {_GAP_US}
+                  then 1 else 0 end as brk
+      from e
+    ),
+    ses as (
+      select user_id, event_type,
+             sum(brk) over (partition by user_id order by ts_us, event_id
+                            rows between unbounded preceding and current row)
+               as session_id
+      from s
+    ),
+    st as (select distinct user_id, session_id, event_type from ses),
+    n as (select count(distinct (user_id, session_id)) as n_sessions from ses)
+    select a.event_type as type_a, b.event_type as type_b,
+           count(*) as n_co,
+           round(count(*) * 1.0 / min(n.n_sessions), 6) as support
+    from st a
+    join st b on a.user_id = b.user_id and a.session_id = b.session_id
+             and a.event_type < b.event_type
+    cross join n
+    group by a.event_type, b.event_type
+    """,
+)
+def q100(spark, sf_dir):
+    """Market-basket co-occurrence over sessions: distinct event-type
+    pairs within a session, with support = co-sessions / all sessions.
+    Sessionize's user exchange is reused by the per-session distinct;
+    the pair self-join is keyed on (user, session) — bounded by
+    |types|² per session, skew-free."""
+    ev = _events(spark, sf_dir)
+    s = W.sessionize(
+        ev, _GAP_US, out="session_id", by="user_id",
+        order=["ts_us", "event_id"], ts_col="ts_us",
+    )
+    st = s.select("user_id", "session_id", "event_type").distinct()
+    n = s.select("user_id", "session_id").distinct().agg(
+        F.count(F.lit(1)).alias("n_sessions")
+    )
+    a, b = st.alias("a"), st.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.user_id") == F.col("b.user_id"))
+        & (F.col("a.session_id") == F.col("b.session_id"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+    )
+    return (
+        pairs.crossJoin(F.broadcast(n))
+        .groupBy("type_a", "type_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_co"),
+            F.round(
+                F.count(F.lit(1)) * F.lit(1.0) / F.min("n_sessions"), 6
+            ).alias("support"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here to put every

@@ -960,3 +960,29 @@ def test_char_bigram_stats_hand_case(spark):
     # "abab" -> ab, ba, ab ; single-char and empty docs contribute nothing
     assert out.loc["ab", "n"] == 2 and out.loc["ba", "n"] == 1
     assert out.loc["ab", "rank"] == 1 and len(out) == 2
+
+
+def test_twap_step_integral_hand_case(spark):
+    """value 10 for 3s then 20 for 1s -> TWAP (10*3+20*1)/4 = 12.5;
+    the final observation carries no weight (no successor)."""
+    from lbf_spark.queries import QUERIES
+    import pandas as pd
+
+    rows = [(1, 0, 10.0, 1), (1, 3_000_000, 20.0, 2), (1, 4_000_000, 99.0, 3)]
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts_us", "value", "event_id"])
+    # drive the same expression shape as q99 directly
+    from pyspark.sql import Window, functions as F
+
+    df = spark.createDataFrame(pdf)
+    w = Window.partitionBy("user_id").orderBy("ts_us", "event_id")
+    seg = df.withColumn("dur", F.lead("ts_us").over(w) - F.col("ts_us")).filter(
+        F.col("dur").isNotNull() & (F.col("dur") > 0)
+    )
+    got = seg.groupBy("user_id").agg(
+        F.round(
+            F.sum(F.col("value").cast("decimal(28,10)") * F.col("dur").cast("decimal(28,10)")).cast("double")
+            / F.sum(F.col("dur").cast("decimal(28,10)")).cast("double"),
+            6,
+        ).alias("twap")
+    ).collect()[0]
+    assert got["twap"] == 12.5
