@@ -382,7 +382,12 @@ def nearest_centroid_join(
         lambda acc, x: acc + x,
     )
     scored = df.crossJoin(c).withColumn("dist2", F.round(d2, round_digits))
-    w = Window.partitionBy(id_col).orderBy(F.asc("dist2"), F.asc("__cid"))
+    # nulls LAST: a dimension-mismatched centroid folds to null dist2,
+    # and Spark's asc default (nulls first) would silently win every
+    # argmin with it
+    w = Window.partitionBy(id_col).orderBy(
+        F.asc_nulls_last("dist2"), F.asc("__cid")
+    )
     return (
         scored.withColumn("__rk", F.row_number().over(w))
         .filter(F.col("__rk") == 1)
@@ -434,15 +439,22 @@ def random_projection(
     vec_col: str = "embedding",
     seed: int = 42,
     in_dim: int | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, list[list[float]]]:
     """Johnson–Lindenstrauss dimensionality reduction with a ±1/√k
     sign matrix derived from md5 (deterministic, engine-reproducible —
     Achlioptas 2001's database-friendly projection). The matrix is a
     broadcast literal (out_dim × in_dim signs); each output coordinate
     is a fixed-order fold over the input — bit-identical in any engine.
     Row-local; no shuffle."""
-    first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-    d = in_dim or (first["d"] if first else 0)
+    if in_dim is not None:
+        d = in_dim
+    else:
+        first = df.select(F.size(F.col(vec_col)).alias("d")).first()
+        if first is None:
+            raise ValueError(
+                "cannot infer in_dim from an empty frame — pass in_dim"
+            )
+        d = first["d"]
     R = rp_matrix(seed, out_dim, d)
     v = F.col(vec_col).cast("array<double>")
     cols = []

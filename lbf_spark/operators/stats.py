@@ -419,7 +419,13 @@ def chi2_contingency_stat(
         F.count_distinct("__r").alias("__kr"),
         F.count_distinct("__c").alias("__kc"),
     )
-    e = (F.col("__nr") * F.col("__nc")) * F.lit(1.0) / F.col("__n")
+    # margins are long sums; a long*long product wraps past 2^63 at
+    # ~3e9 rows per margin — DECIMAL(38,0) keeps the product exact
+    # (and matches DuckDB's HUGEINT promotion bit-for-bit after the
+    # double cast)
+    e = (
+        F.col("__nr").cast("decimal(38,0)") * F.col("__nc").cast("decimal(38,0)")
+    ).cast("double") / F.col("__n")
     contrib = F.round(
         (F.col("__o") - e) * (F.col("__o") - e) / e, 6
     ).cast("decimal(18,6)")

@@ -339,6 +339,11 @@ def chunk_tokens(
     exchange so only 32-byte digests ever move."""
     if stride <= 0 or chunk_size <= 0:
         raise ValueError("chunk_size and stride must be positive")
+    if stride > chunk_size:
+        raise ValueError(
+            "stride > chunk_size would silently drop the tokens between "
+            "chunk ends and the next start — overlap must be >= 0"
+        )
     from lbf_spark.util import fan_out
 
     df = fan_out(df)
@@ -494,20 +499,18 @@ def inverted_index(
         F.col(id_col), F.explode(F.array_distinct(tokens_col(text_col))).alias("token")
     )
     dfreq = flat.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
-    collectable = (
-        dfreq.filter(F.col("df") <= max_posting_df)
-        if max_posting_df is not None
-        else dfreq
-    )
-    heads = (
-        flat.join(F.broadcast(collectable.select("token")), "token")
-        .groupBy("token")
-        .agg(
-            F.concat_ws(
-                ",", F.slice(F.array_sort(F.collect_list(id_col)), 1, head)
-            ).alias("postings_head")
+    head_agg = F.concat_ws(
+        ",", F.slice(F.array_sort(F.collect_list(id_col)), 1, head)
+    ).alias("postings_head")
+    if max_posting_df is None:
+        heads = flat.groupBy("token").agg(head_agg)
+    else:
+        collectable = dfreq.filter(F.col("df") <= max_posting_df)
+        heads = (
+            flat.join(F.broadcast(collectable.select("token")), "token")
+            .groupBy("token")
+            .agg(head_agg)
         )
-    )
     return (
         dfreq.join(heads, "token", "left")
         .filter(F.col("df") >= min_df)
@@ -517,7 +520,7 @@ def inverted_index(
 
 # PII patterns chosen to parse identically under Java regex (Spark) and
 # RE2 (DuckDB): character classes, bounded repetition, \b only.
-EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+EMAIL_RE = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
 PHONE_RE = "\\b[0-9]{3}-[0-9]{4}\\b"
 
 

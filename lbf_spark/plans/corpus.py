@@ -17,9 +17,9 @@ pytest-gated):
 
 Every stage is lazily composed — one optimized plan end-to-end unless
 near-dup (iterative) is enabled, which materializes pair clusters.
-Stage survivor counts come from one extra pass over cached stage
-frames only when ``with_counts=True`` (metrics are worth one action,
-never one per stage).
+Stage survivor counts are a separate, optional pass: ``stage_counts``
+persists each stage frame so the chain executes once incrementally
+(never once per stage) and unpersists afterwards.
 """
 
 from __future__ import annotations
@@ -87,13 +87,35 @@ def curate_corpus(
     return {"kept": kept, "stages": stages}
 
 
-def stage_counts(stages: list[tuple[str, DataFrame]]) -> DataFrame:
-    """Survivor count per stage as one unioned aggregate frame (single
-    job on collect)."""
+def stage_counts(
+    stages: list[tuple[str, DataFrame]], cache: bool = True
+) -> DataFrame:
+    """Survivor count per stage as one unioned aggregate frame.
+
+    Each stage frame shares its predecessors' lineage, so counting them
+    naively replays the whole chain once PER stage (with near-dup that
+    re-runs LSH + connected components several times). ``cache=True``
+    (default) persists every stage frame first: the union's branches
+    then each execute one incremental step on top of the previous
+    stage's cache — the chain runs once. Frames are unpersisted after
+    the counts materialize; pass ``cache=False`` only when the caller
+    already persisted the stages itself."""
+    from pyspark import StorageLevel
+
+    frames = [df for _, df in stages]
+    if cache:
+        for df in frames:
+            df.persist(StorageLevel.MEMORY_AND_DISK)
     out = None
     for name, df in stages:
         c = df.agg(F.count(F.lit(1)).alias("n_docs")).select(
             F.lit(name).alias("stage"), "n_docs"
         )
         out = c if out is None else out.unionAll(c)
+    if cache:
+        rows = out.collect()
+        for df in frames:
+            df.unpersist()
+        spark = frames[0].sparkSession if frames else None
+        return spark.createDataFrame(rows, "stage string, n_docs long")
     return out

@@ -2713,13 +2713,13 @@ def q72(spark, sf_dir):
              round(-ln((('0x' || substr(md5('42:' || cast(doc_id as varchar)),
                                         1, 15))::bigint + 1)
                        / 1152921504606846976.0)
-                   / n_chars, 12) as es_key
+                   / n_chars, 12) as es_key12
       from documents
       where n_chars > 0
     )
-    select doc_id, n_chars, round(es_key, 6) + 0 as es_key
+    select doc_id, n_chars, round(es_key12, 6) + 0 as es_key
     from keys
-    order by es_key, doc_id
+    order by es_key12, doc_id
     limit 25
     """,
 )

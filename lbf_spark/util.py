@@ -17,9 +17,20 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     this inserts moves only the raw input rows (tiny next to the
     exploded output) and is deterministic (Spark sorts round-robin
     partitions for retry safety). At warehouse scale inputs are
-    many-file and this is a no-op."""
+    many-file and this is a no-op.
+
+    Laziness guard: frames with an upstream Exchange are returned
+    untouched WITHOUT probing partition counts — under AQE,
+    ``df.rdd`` materializes upstream shuffle stages at plan-build
+    time (a throwaway execution the real action would repeat), and
+    the shuffle already provides full parallelism anyway. Only
+    narrow scan-rooted plans (where ``df.rdd`` is metadata-only) are
+    probed."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
+    plan = df._jdf.queryExecution().sparkPlan().toString()
+    if "Exchange" in plan:
+        return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

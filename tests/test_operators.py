@@ -986,3 +986,30 @@ def test_twap_step_integral_hand_case(spark):
         ).alias("twap")
     ).collect()[0]
     assert got["twap"] == 12.5
+
+
+def test_review_fixes_behaviors(spark):
+    """Round-3 review fixes: mixed-case emails redact; stride >
+    chunk_size is rejected; a dimension-mismatched centroid loses the
+    argmin instead of winning with null distance."""
+    from lbf_spark.operators.similarity import nearest_centroid_join
+
+    df = spark.createDataFrame(
+        [(1, "write Bob.Smith@Corp.COM today")], "doc_id long, text string"
+    )
+    out = text.pii_scrub(df).collect()[0]
+    assert out["n_emails"] == 1 and "<EMAIL>" in out["clean_text"]
+
+    docs = spark.createDataFrame([(1, "a b c")], "doc_id long, text string")
+    with pytest.raises(ValueError, match="stride > chunk_size"):
+        text.chunk_tokens(docs, chunk_size=4, stride=5)
+
+    vecs = spark.createDataFrame(
+        [(0, [1.0, 1.0]), (1, [9.0, 9.0])], "vec_id long, embedding array<double>"
+    )
+    cents = spark.createDataFrame(
+        [(0, [0.0, 0.0]), (1, [0.0, 0.0, 0.0])],  # cid 1 is malformed (3-dim)
+        "cid long, embedding array<double>",
+    )
+    got = nearest_centroid_join(vecs, cents).toPandas().set_index("vec_id")
+    assert (got["cluster_id"] == 0).all()  # null-dist centroid must not win
