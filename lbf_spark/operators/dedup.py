@@ -171,6 +171,7 @@ def jaccard_pairs(
     id_col: str = "doc_id",
     candidates: DataFrame | None = None,
     max_df: int | None = None,
+    cache: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard ≥ threshold pairs.
 
@@ -196,17 +197,26 @@ def jaccard_pairs(
     index) is persisted: it feeds the self-join (twice) and both size
     lookups — recomputing the regex/shingle expression 4-6× costs far
     more than caching it (at warehouse scale this is the materialized
-    shingle index every near-dup system builds anyway).
+    shingle index every near-dup system builds anyway). Cache
+    ownership: the frames stay cached for the session (the result is
+    lazy, so this function cannot unpersist them itself) — a
+    long-lived session running MANY dedup passes should either pass
+    ``cache=False`` (lineage recomputes, nothing retained) or call
+    ``spark.catalog.clearCache()`` between passes, the same rule the
+    bench applies.
     """
     from pyspark import StorageLevel
 
-    shingled = shingled.persist(StorageLevel.MEMORY_AND_DISK)
+    def _maybe_persist(frame):
+        return frame.persist(StorageLevel.MEMORY_AND_DISK) if cache else frame
+
+    shingled = _maybe_persist(shingled)
     sh = shingled.select(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
     if candidates is None and max_df is not None:
-        inv = shingled.select(id_col, F.explode("shingles").alias("sh")).persist(
-            StorageLevel.MEMORY_AND_DISK
+        inv = _maybe_persist(
+            shingled.select(id_col, F.explode("shingles").alias("sh"))
         )
         # shingles are per-doc distinct ⇒ df = count(*); split hot/rare
         hot_sh = (

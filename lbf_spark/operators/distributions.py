@@ -205,7 +205,7 @@ def mixture_sample(
         T.StructType(
             [
                 df.schema[by],
-                T.StructField("__quota", T.IntegerType(), False),
+                T.StructField("__quota", T.LongType(), False),
             ]
         ),
     )

@@ -64,6 +64,11 @@ def salted_equi_join(
     """
     if how not in ("inner", "left"):
         raise ValueError(f"salted_equi_join supports inner/left, got {how!r}")
+    if salt < 1:
+        raise ValueError(
+            f"salt must be >= 1, got {salt} (pmod by zero yields NULL "
+            "salts and a silently empty join)"
+        )
     big_salt = F.pmod(
         F.conv(
             F.substring(

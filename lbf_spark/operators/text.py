@@ -290,9 +290,13 @@ def c4_quality(
 
     has_bad = F.lit(False)
     for w in bad_words or []:
-        # escape regex metacharacters ("c++") and match case-insensitively
-        # (the haystack is lowercased)
-        has_bad = has_bad | lower.rlike(f"\\b{_re.escape(w.lower())}\\b")
+        # escape regex metacharacters and match case-insensitively (the
+        # haystack is lowercased). \b fails for words that start/end in
+        # non-word chars ("c++": no boundary between '+' and space), so
+        # use explicit non-alnum-or-edge delimiters instead.
+        has_bad = has_bad | lower.rlike(
+            f"(^|[^a-z0-9]){_re.escape(w.lower())}([^a-z0-9]|$)"
+        )
     out = (
         df.withColumn("n_lines", F.size(lines).cast("long"))
         .withColumn("n_lines_kept", F.size(kept).cast("long"))

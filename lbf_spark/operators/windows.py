@@ -166,12 +166,15 @@ def _median_over(col: str, w) -> F.Column:
     frame values, average the middle pair (== the single middle element
     when the count is odd, since both 1-based indexes coincide).
     Null inputs are skipped (collect_list drops them, matching pandas
-    rolling median's NaN handling); an all-null frame yields null."""
+    rolling median's NaN handling); an all-null frame yields NaN — the
+    same representation the >64-window pandas path emits, so output
+    semantics do not flip across the window=64/65 implementation
+    boundary."""
     arr = F.array_sort(F.collect_list(F.col(col).cast("double")).over(w))
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
-    return F.when(n > 0, (lo + hi) / 2.0)
+    return F.when(n > 0, (lo + hi) / 2.0).otherwise(F.lit(float("nan")))
 
 
 def hamming_to_prev(

@@ -117,7 +117,13 @@ def _cumulative_files(
             break
         if s["mode"] == "overwrite":
             files = []
-        files.extend(s.get("added_files", []))
+        if "added_files" not in s:
+            raise ValueError(
+                f"snapshot {s['snapshot_id']} has no added_files list — "
+                "manifest predates file tracking; time travel/incremental "
+                "reads need manifests written by this table layer"
+            )
+        files.extend(s["added_files"])
     return files
 
 
@@ -153,7 +159,13 @@ def incremental_files(
                 f"snapshot {sid} is an overwrite — incremental reads "
                 "across it are undefined; re-read the table from scratch"
             )
-        picked.extend(s.get("added_files", []))
+        if "added_files" not in s:
+            raise ValueError(
+                f"snapshot {sid} has no added_files list — manifest "
+                "predates file tracking; incremental reads need manifests "
+                "written by this table layer"
+            )
+        picked.extend(s["added_files"])
     data_dir = fsio.join(path, "data")
     return [fsio.join(data_dir, f) for f in picked]
 

@@ -518,6 +518,15 @@ def test_c4_quality_hand_cases(spark):
     ).toPandas().set_index("doc_id")
     assert rb.loc[1, "has_bad_word"] == 1 and rb.loc[1, "c4_pass"] == 0
     assert rb.loc[2, "has_bad_word"] == 0
+    # a word ENDING in regex metachars must actually match (\b would
+    # fail between '+' and space — fixed via explicit delimiters)
+    dfc = spark.createDataFrame(
+        [(1, "I love c++ dearly."), (2, "comparing c to rust")],
+        "doc_id long, text string",
+    )
+    rc = text.c4_quality(dfc, bad_words=["c++"]).toPandas().set_index("doc_id")
+    assert rc.loc[1, "has_bad_word"] == 1
+    assert rc.loc[2, "has_bad_word"] == 0  # 'c' alone is not 'c++'
 
 
 def test_jvm_rolling_median_nulls_and_parity(spark):
@@ -545,6 +554,9 @@ def test_jvm_rolling_median_nulls_and_parity(spark):
     g = got["m"].astype(float).to_numpy()
     e = np.array(exp)
     assert np.all((g == e) | (np.isnan(g) & np.isnan(e)))
+
+
+def test_vocab_stats_and_contamination(spark):
     """Hand case: counts/doc-freq/rank exact; contamination flags only
     docs sharing a 3-gram with the probe."""
     df = spark.createDataFrame(
