@@ -450,11 +450,12 @@ def random_projection(
         d = in_dim
     else:
         first = df.select(F.size(F.col(vec_col)).alias("d")).first()
-        if first is None:
+        d = first["d"] if first is not None else None
+        if d is None or d < 0:  # empty frame, or first embedding NULL
             raise ValueError(
-                "cannot infer in_dim from an empty frame — pass in_dim"
+                "cannot infer in_dim (empty frame or null first "
+                "embedding) — pass in_dim"
             )
-        d = first["d"]
     R = rp_matrix(seed, out_dim, d)
     v = F.col(vec_col).cast("array<double>")
     cols = []
@@ -485,12 +486,20 @@ def blocked_pairs(
     assigned = nearest_centroid_join(
         df, centroids, id_col=id_col, vec_col=vec_col
     ).select(id_col, "cluster_id")
+    # norms are per-ROW: computing them inside the pair join would
+    # re-fold each vector once per candidate pair (O(Σ|cell|²) wasted
+    # folds in a hot cell); same values, same fold order, done once
     tagged = df.join(assigned, id_col).select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v"),
         "cluster_id",
-    )
+    ).withColumn("__norm", _norm_col(F.col("__v")))
     a, b = tagged.alias("a"), tagged.alias("b")
-    cos = cosine_similarity_col(F.col("a.__v"), F.col("b.__v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.__v"), F.col("b.__v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = dot / (F.col("a.__norm") * F.col("b.__norm"))
     return (
         a.join(
             b,

@@ -102,6 +102,8 @@ def stage_counts(
     already persisted the stages itself."""
     from pyspark import StorageLevel
 
+    if not stages:
+        raise ValueError("stage_counts needs at least one stage frame")
     frames = [df for _, df in stages]
     if cache:
         for df in frames:
@@ -116,6 +118,6 @@ def stage_counts(
         rows = out.collect()
         for df in frames:
             df.unpersist()
-        spark = frames[0].sparkSession if frames else None
+        spark = frames[0].sparkSession
         return spark.createDataFrame(rows, "stage string, n_docs long")
     return out

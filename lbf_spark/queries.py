@@ -259,8 +259,10 @@ def q07(spark, sf_dir):
     "q08_rolling_median",
     f"""
     select event_id,
-           round(median(value) over (partition by user_id order by ts_us, event_id
-                                     rows between 9 preceding and current row), 6) as roll_median
+           coalesce(round(median(value) over (
+                      partition by user_id order by ts_us, event_id
+                      rows between 9 preceding and current row), 6),
+                    'nan'::double) as roll_median
     from {_EVENTS_SQL}
     """,
 )
@@ -3598,7 +3600,7 @@ def _rp_oracle_sql(out_dim: int = 4, in_dim: int = 64, seed: int = 42) -> str:
     outs = ",\n           ".join(
         "round("
         + " + ".join(f"ev[{i + 1}] * {R[j][i]!r}" for i in range(in_dim))
-        + f", 6) as y{j}"
+        + f", 6) + 0 as y{j}"
         for j in range(out_dim)
     )
     return f"""
@@ -3621,7 +3623,10 @@ def q96(spark, sf_dir):
     out, _R = random_projection(
         t(spark, sf_dir, "embeddings"), out_dim=4, seed=42, in_dim=64
     )
-    return out.select("vec_id", "y0", "y1", "y2", "y3")
+    return out.select(
+        "vec_id",
+        *[(F.col(f"y{j}") + F.lit(0.0)).alias(f"y{j}") for j in range(4)],
+    )
 
 
 @q(

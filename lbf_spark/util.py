@@ -19,17 +19,32 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     partitions for retry safety). At warehouse scale inputs are
     many-file and this is a no-op.
 
-    Laziness guard: frames with an upstream Exchange are returned
-    untouched WITHOUT probing partition counts — under AQE,
-    ``df.rdd`` materializes upstream shuffle stages at plan-build
-    time (a throwaway execution the real action would repeat), and
-    the shuffle already provides full parallelism anyway. Only
-    narrow scan-rooted plans (where ``df.rdd`` is metadata-only) are
-    probed."""
+    Laziness guard: ``df.rdd`` under AQE materializes upstream
+    exchange stages at plan-build time (a throwaway execution the
+    real action would repeat), so the partition count is probed ONLY
+    on plans with no Exchange of any kind. A plan with a SHUFFLE
+    exchange is returned untouched (the shuffle already provides full
+    parallelism); a plan with only a BroadcastExchange (broadcast
+    join over a possibly-single-split scan) keeps the probe-side
+    pathology, so it falls back to ``inputFiles()`` — driver-side
+    file listing, no execution — as a lower bound on scan splits
+    (multi-row-group files undercount, costing at worst one
+    unnecessary narrow shuffle)."""
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
     plan = df._jdf.queryExecution().sparkPlan().toString()
-    if "Exchange" in plan:
+    shuffle_markers = (
+        "Exchange hashpartitioning",
+        "Exchange rangepartitioning",
+        "Exchange RoundRobinPartitioning",
+        "Exchange SinglePartition",
+    )
+    if any(m in plan for m in shuffle_markers):
+        return df
+    if "BroadcastExchange" in plan:
+        n_files = len(df.inputFiles())
+        if 0 < n_files < target:
+            return df.repartition(target)
         return df
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
