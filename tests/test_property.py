@@ -196,3 +196,62 @@ def test_sliced_windows_match_unsliced_property(spark, ts_lists, window, slice_w
         .toPandas().sort_values(["entity", "ts"], ignore_index=True)
     )
     assert got_s["s"].tolist() == exp_s["s"].tolist()
+
+
+@given(
+    n_tokens=st.integers(min_value=0, max_value=40),
+    chunk=st.integers(min_value=1, max_value=10),
+    stride_delta=st.integers(min_value=0, max_value=9),
+)
+@SETTINGS
+def test_chunk_tokens_coverage_invariants(spark, n_tokens, chunk, stride_delta):
+    """For any (chunk_size, stride<=chunk_size): every token lands in at
+    least one chunk, chunk count == ceil(n/stride) for non-empty docs,
+    and concatenated chunk sizes == n + overlap duplication."""
+    from lbf_spark.operators.text import chunk_tokens
+
+    stride = max(1, chunk - stride_delta)  # stride in [1, chunk]
+    words = " ".join(f"w{i}" for i in range(n_tokens))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    out = chunk_tokens(df, chunk_size=chunk, stride=stride).toPandas()
+    if n_tokens == 0:
+        assert len(out) == 0
+        return
+    import math
+
+    assert len(out) == math.ceil(n_tokens / stride)
+    sizes = out.sort_values("chunk_id")["n_tokens"].tolist()
+    # each start covers tokens [start, start+chunk); union covers all n
+    # tokens because stride <= chunk
+    covered = set()
+    for cid, sz in zip(out.sort_values("chunk_id")["chunk_id"], sizes):
+        start = cid * stride
+        covered.update(range(start, start + sz))
+    assert covered == set(range(n_tokens))
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False),
+        min_size=1, max_size=25,
+    ),
+    alpha=st.floats(min_value=0.05, max_value=0.95),
+    window=st.integers(min_value=1, max_value=6),
+)
+@SETTINGS
+def test_ewma_bounded_by_window_extrema(spark, vals, alpha, window):
+    """EWMA is a convex combination of the window's values, so it must
+    lie within [min, max] of the last `window` observations."""
+    from lbf_spark.operators.windows import ewma
+
+    df = spark.createDataFrame(
+        [("e", i, float(v)) for i, v in enumerate(vals)],
+        "entity string, ts long, v double",
+    )
+    got = (
+        ewma(df, "v", alpha=alpha, window=window, by="entity", order="ts")
+        .toPandas().sort_values("ts")["ewma"].tolist()
+    )
+    for t, g in enumerate(got):
+        w = vals[max(0, t - window + 1): t + 1]
+        assert min(w) - 1e-6 <= g <= max(w) + 1e-6, (t, g, w)
