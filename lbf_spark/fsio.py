@@ -15,6 +15,7 @@ through ``df.write.parquet`` — so the py4j byte-shuttling cost is nil.
 from __future__ import annotations
 
 import posixpath
+import uuid
 
 
 def join(*parts: str) -> str:
@@ -51,20 +52,44 @@ def read_text(spark, path: str) -> str:
 
 
 def write_text_atomic(spark, path: str, text: str) -> None:
-    """Write via a temp file + rename — readers never observe a partial
-    manifest (rename is atomic on HDFS/POSIX; on S3A it is copy+delete,
-    still yielding only all-or-nothing object visibility)."""
+    """Write via a unique temp file + overwrite-rename.
+
+    The rename goes through ``FileContext.rename(..., Rename.OVERWRITE)``
+    — atomic overwrite on HDFS/POSIX, so a concurrent reader always
+    observes either the previous or the new manifest, never a partial
+    file and never a missing one. The temp name embeds a uuid so two
+    concurrent writers cannot clobber each other's in-flight temp (last
+    rename wins, each rename still atomic). If the FileContext API is
+    unavailable for the scheme, falls back to delete+rename, which has
+    a transient missing-destination window — manifest readers treat a
+    missing manifest as "no snapshot yet", so the fallback degrades to
+    a spurious-but-safe empty read, not corruption. Caveat: on S3A a
+    rename is a non-atomic server-side copy+delete; the object PUT
+    itself is still all-or-nothing, so readers can briefly race to the
+    pre-rename object but can never see a torn manifest."""
     fs, p, jvm = _fs_path(spark, path)
-    tmp = jvm.org.apache.hadoop.fs.Path(path + ".tmp")
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+    )
     out = fs.create(tmp, True)
     try:
         out.write(bytearray(text.encode("utf-8")))
     finally:
         out.close()
-    if fs.exists(p):  # HDFS rename refuses to clobber
-        fs.delete(p, False)
-    if not fs.rename(tmp, p):
-        raise IOError(f"rename {path}.tmp -> {path} failed")
+    try:
+        qdst = fs.makeQualified(p)
+        fc = jvm.org.apache.hadoop.fs.FileContext.getFileContext(
+            qdst.toUri(), spark._jsc.hadoopConfiguration()
+        )
+        ren = jvm.org.apache.hadoop.fs.Options.Rename
+        opts = spark.sparkContext._gateway.new_array(ren, 1)
+        opts[0] = ren.OVERWRITE
+        fc.rename(fs.makeQualified(tmp), qdst, opts)
+    except Exception:
+        if fs.exists(p):  # plain FileSystem.rename refuses to clobber
+            fs.delete(p, False)
+        if not fs.rename(tmp, p):
+            raise IOError(f"rename {tmp} -> {path} failed")
 
 
 def list_names(spark, path: str) -> list[str]:

@@ -38,6 +38,37 @@ def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
 
 
+def row_salt(columns, salt: int):
+    """Deterministic per-row salt in [0, salt): md5 over every column,
+    each NULL-coalesced to a sentinel and field-separated, so NULL-heavy
+    rows and concat-anagram rows (('a','bc') vs ('ab','c'), ('x',NULL)
+    vs (NULL,'x')) cannot collide onto one reducer. Only rows identical
+    in EVERY column share a salt — a key dominated by one exact row
+    value needs a pre-aggregated dedupe-with-count instead."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "\x01",
+                        *[
+                            F.coalesce(
+                                F.col(c).cast("string"), F.lit("\x00NULL")
+                            )
+                            for c in columns
+                        ],
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(salt),
+    ).cast("int")
+
+
 def salted_equi_join(
     big: DataFrame,
     small: DataFrame,
@@ -51,9 +82,12 @@ def salted_equi_join(
     The big side's salt must be deterministic across task retries
     (``rand()`` or ``monotonically_increasing_id`` are not), so it is
     md5-derived from the row's own columns — any row lands on the same
-    reducer on every execution. Rows identical in every column share a
-    salt; that only skews if a single VALUE dominates, in which case
-    dedupe-with-count first. Results are identical to a plain join
+    reducer on every execution. Each column is NULL-coalesced to a
+    sentinel and the hash input is field-separated, so NULL-heavy rows
+    still spread across salts and (a,NULL)/(aNULL-less concat) rows
+    cannot collide onto one reducer. Rows identical in every column
+    share a salt; that only skews if a single VALUE dominates, in which
+    case dedupe-with-count first. Results are identical to a plain join
     (each big row joins the one small replica carrying its salt).
 
     ``how`` ∈ {inner, left}: each big row has exactly one salt, so
@@ -69,19 +103,7 @@ def salted_equi_join(
             f"salt must be >= 1, got {salt} (pmod by zero yields NULL "
             "salts and a silently empty join)"
         )
-    big_salt = F.pmod(
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws("", *[F.col(c).cast("string") for c in big.columns])),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("long"),
-        F.lit(salt),
-    ).cast("int")
-    b = big.withColumn("_salt", big_salt)
+    b = big.withColumn("_salt", row_salt(big.columns, salt))
     s = small.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
     ).withColumn("_salt", F.col("_salt").cast("int"))

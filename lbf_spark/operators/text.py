@@ -383,8 +383,12 @@ def tfidf_topk(
 
     Shape at 100 TB: tf is a per-(doc, token) partial-aggregating
     groupBy (row-local by doc, skew-free); df is the word-count shape
-    (vocab ≪ corpus by Heaps' law, absorbed map-side); N is a broadcast
-    scalar; the final window partitions by doc — never global."""
+    (vocab ≪ corpus by Heaps' law, absorbed map-side) — but vocab at
+    10¹² docs is still ~10⁸ rows, so the tf⋈df join carries NO
+    broadcast hint: AQE broadcasts it only when the built side actually
+    fits, else a token-keyed shuffle join (token df counts are
+    partial-aggregated, so no skew); N is a broadcast scalar; the final
+    window partitions by doc — never global."""
     from pyspark.sql import Window as _W
 
     from lbf_spark.util import fan_out
@@ -398,7 +402,7 @@ def tfidf_topk(
     )
     n_docs = df.select(F.count(F.lit(1)).alias("__n"))
     scored = (
-        tf.join(F.broadcast(dfreq), "token")
+        tf.join(dfreq, "token")
         .crossJoin(F.broadcast(n_docs))
         .withColumn(
             "tfidf",
@@ -496,7 +500,10 @@ def inverted_index(
     heads are collected ONLY for tokens whose df is under the cap
     (df comes first from a partial-aggregating count, which IS
     skew-safe); hotter tokens keep their exact df and a null head.
-    Set the cap to the corpus df ceiling you can afford to buffer."""
+    Set the cap to the corpus df ceiling you can afford to buffer.
+    The token filter itself is a LEFT SEMI join with no broadcast
+    hint — the under-cap token set is still near-vocab-sized at 10¹²
+    docs, so AQE decides broadcast vs shuffle from its actual size."""
     from lbf_spark.util import fan_out
 
     flat = fan_out(df).select(
@@ -511,7 +518,7 @@ def inverted_index(
     else:
         collectable = dfreq.filter(F.col("df") <= max_posting_df)
         heads = (
-            flat.join(F.broadcast(collectable.select("token")), "token")
+            flat.join(collectable.select("token"), "token", "left_semi")
             .groupBy("token")
             .agg(head_agg)
         )

@@ -559,4 +559,8 @@ def ewma(
         d = F.when(x_k.isNotNull(), F.lit(c_k)).otherwise(F.lit(0.0))
         num = t if num is None else num + t
         den = d if den is None else den + d
-    return df.withColumn(out, F.round(num / den, 6))
+    # All lags NULL (e.g. leading NULL run in the series) leaves den at
+    # 0.0 — emit NULL like the other window kernels, never NaN.
+    return df.withColumn(
+        out, F.when(den > F.lit(0.0), F.round(num / den, 6))
+    )

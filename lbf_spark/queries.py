@@ -3828,20 +3828,45 @@ def q100(spark, sf_dir):
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
-# driver-checked slot carries a full rows+schema+hash oracle:
-# 1. a small promoted set of composition queries that would otherwise
-#    register past the cutoff (the flagship windows→as-of splice and the
-#    end-to-end curation chain — the two entries that verify OPERATOR
-#    COMPOSITION rather than single operators);
-# 2. all remaining DuckDB-oracled queries (relative order preserved);
+# driver-checked slot carries a full rows+schema+hash oracle AND so the
+# window rotates across rounds to cover the whole catalog:
+# 1. every oracled entry that has NOT yet earned a driver CORRECTNESS
+#    row (rounds 1-3 checked the `_DRIVER_CHECKED_R3` set below — the
+#    other ~half of the catalog was only judge/parity-verified), in
+#    catalog order; new round-4 entries land here automatically;
+# 2. the already-driver-green oracled entries (relative order
+#    preserved) — rounds 3+4 combined then give the full catalog
+#    driver-level proof;
 # 3. the rows-only entries (q33 pixel decode, q50 p-values, q51
 #    multinomial subsample) last — pytest-gated past the cutoff.
 # ---------------------------------------------------------------------
-_PROMOTED = ["q61_flagship_pit", "q87_curation_pipeline"]
+_DRIVER_CHECKED_R3 = {
+    "q61_flagship_pit", "q87_curation_pipeline", "q01_filter_project",
+    "q02_agg_pricing_summary", "q03_topn_orders", "q04_join_enrich",
+    "q05_union_tagged", "q06_pivot_event_types", "q07_rolling_mean",
+    "q08_rolling_median", "q09_lag_lead", "q10_sessionize",
+    "q11_session_stats", "q12_ffill", "q13_asof_join",
+    "q14_asof_tolerance_sliced", "q15_interval_join",
+    "q16_flanking_normalize", "q17_entropy", "q18_histogram2d",
+    "q19_band_ratio", "q20_binning", "q21_topk_per_group",
+    "q22_dedup_exact", "q23_jaccard_pairs", "q24_minhash_lsh",
+    "q25_simhash_neardup", "q26_embed_topk", "q27_embed_neardup",
+    "q58_embed_clusters", "q28_lang_id", "q29_quality_score",
+    "q30_token_count", "q31_fingerprint", "q32_group_stats", "q34_wps",
+    "q35_zscore", "q36_iqr_clamp", "q37_amplitude", "q38_rolling_minmax",
+    "q39_bfill", "q40_distribution_normalize", "q41_fld_matrix",
+    "q42_window_entropy", "q43_kl_to_flanking", "q44_dyad_coverage",
+    "q45_asof_forward", "q46_asof_nearest", "q47_group_stats_k",
+    "q48_dunn_posthoc",
+}
 _ORACLED = {k: v for k, v in QUERIES.items() if v[1] is not None}
 _ROWS_ONLY = {k: v for k, v in QUERIES.items() if v[1] is None}
 QUERIES.clear()
-QUERIES.update({k: _ORACLED[k] for k in _PROMOTED})
-QUERIES.update({k: v for k, v in _ORACLED.items() if k not in _PROMOTED})
+QUERIES.update(
+    {k: v for k, v in _ORACLED.items() if k not in _DRIVER_CHECKED_R3}
+)
+QUERIES.update(
+    {k: v for k, v in _ORACLED.items() if k in _DRIVER_CHECKED_R3}
+)
 QUERIES.update(_ROWS_ONLY)
-del _ORACLED, _ROWS_ONLY, _PROMOTED
+del _ORACLED, _ROWS_ONLY, _DRIVER_CHECKED_R3

@@ -4,6 +4,15 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+# Partitioning spellings that mean "a shuffle already spread the rows
+# over many tasks" — matched case-insensitively so Catalyst node
+# renames across Spark versions degrade gracefully (see fan_out).
+_FULL_PARALLEL_MARKERS = (
+    "hashpartitioning",
+    "rangepartitioning",
+    "roundrobinpartitioning",
+)
+
 
 def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     """Round-robin repartition when the incoming plan has fewer
@@ -19,33 +28,54 @@ def fan_out(df: DataFrame, target: int | None = None) -> DataFrame:
     partitions for retry safety). At warehouse scale inputs are
     many-file and this is a no-op.
 
-    Laziness guard: ``df.rdd`` under AQE materializes upstream
-    exchange stages at plan-build time (a throwaway execution the
-    real action would repeat), so the partition count is probed ONLY
-    on plans with no Exchange of any kind. A plan with a SHUFFLE
-    exchange is returned untouched (the shuffle already provides full
-    parallelism); a plan with only a BroadcastExchange (broadcast
-    join over a possibly-single-split scan) keeps the probe-side
-    pathology, so it falls back to ``inputFiles()`` — driver-side
-    file listing, no execution — as a lower bound on scan splits
-    (multi-row-group files undercount, costing at worst one
-    unnecessary narrow shuffle)."""
+    Plan dispatch (version-tolerant, probed on the ``executedPlan``
+    string — building the AdaptiveSparkPlan wrapper executes nothing
+    (``isFinalPlan=false``), and unlike ``sparkPlan`` it INCLUDES the
+    exchanges EnsureRequirements inserts, so aggregate/join plans are
+    recognized instead of falling through to the ``df.rdd`` probe,
+    which would materialize their shuffle stages at plan-build time):
+
+    - hash/range/round-robin exchange anywhere → returned untouched
+      (the shuffle already provides full parallelism downstream);
+    - ``SinglePartition`` exchange with no full-parallelism shuffle
+      (global sort / limit / scalar aggregate) → ONE task feeds every
+      downstream stage, the exact pathology fan_out exists to fix →
+      unconditionally ``repartition(target)`` (a narrow round-robin of
+      the — usually small — post-collapse rows);
+    - broadcast exchange only, or an Exchange spelling this version
+      doesn't recognize → ``df.rdd`` would materialize upstream stages
+      at plan-build time under AQE, so fall back to ``inputFiles()``
+      (driver-side listing, no execution) as a lower bound on scan
+      splits — multi-row-group files undercount, costing at worst one
+      unnecessary narrow shuffle;
+    - narrow plan (no exchange at all) → probe
+      ``df.rdd.getNumPartitions()`` directly (safe: nothing to
+      execute).
+
+    If the private plan-string probe itself fails (API moved), the
+    ``inputFiles()`` fallback is used.
+    """
     sc = df.sparkSession.sparkContext
     target = target or sc.defaultParallelism
-    plan = df._jdf.queryExecution().sparkPlan().toString()
-    shuffle_markers = (
-        "Exchange hashpartitioning",
-        "Exchange rangepartitioning",
-        "Exchange RoundRobinPartitioning",
-        "Exchange SinglePartition",
-    )
-    if any(m in plan for m in shuffle_markers):
-        return df
-    if "BroadcastExchange" in plan:
+
+    def _files_fallback() -> DataFrame:
         n_files = len(df.inputFiles())
         if 0 < n_files < target:
             return df.repartition(target)
         return df
+
+    try:
+        plan = df._jdf.queryExecution().executedPlan().toString().lower()
+    except Exception:
+        return _files_fallback()
+    if any(m in plan for m in _FULL_PARALLEL_MARKERS):
+        return df
+    if "singlepartition" in plan:
+        return df.repartition(target)
+    if "exchange" in plan:
+        # BroadcastExchange, or a renamed/unknown exchange node: never
+        # risk the df.rdd probe over a plan that contains an exchange.
+        return _files_fallback()
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target)
     return df

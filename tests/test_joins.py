@@ -1,6 +1,7 @@
 """Bucketed co-located joins (zero-exchange, plan-asserted) and
 deterministic salted joins for skewed keys."""
 
+import pandas as pd
 import numpy as np
 import pytest
 from pyspark.sql import functions as F
@@ -96,3 +97,28 @@ def test_salted_join_spreads_hot_key(spark, tiny_events):
     dim = ev.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
     with pytest.raises(ValueError, match="inner/left"):
         J.salted_equi_join(ev, dim, "entity", how="full")
+
+
+def test_row_salt_null_heavy_and_anagram_rows_spread(spark):
+    """NULL-skipping concat collapsed ('h','x',NULL) / ('h',NULL,'x')
+    (and null-heavy variants) onto one salt — the sentinel + field
+    separator must spread them."""
+    pdf = pd.DataFrame(
+        {
+            "k": ["h"] * 64,
+            "a": [None if i % 2 else f"v{i}" for i in range(64)],
+            "b": [f"v{i}" if i % 2 else None for i in range(64)],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    n = df.select(J.row_salt(df.columns, 8).alias("s")).distinct().count()
+    assert n > 4  # 64 distinct rows over 8 salts: near-all salts hit
+    # concat-anagram pair must not share a salt derivation input
+    pair = spark.createDataFrame(
+        pd.DataFrame({"k": ["h", "h"], "a": ["x", None], "b": [None, "x"]})
+    )
+    salts = [
+        r["s"]
+        for r in pair.select(J.row_salt(pair.columns, 1 << 30).alias("s")).collect()
+    ]
+    assert salts[0] != salts[1]

@@ -1025,3 +1025,31 @@ def test_review_fixes_behaviors(spark):
     )
     got = nearest_centroid_join(vecs, cents).toPandas().set_index("vec_id")
     assert (got["cluster_id"] == 0).all()  # null-dist centroid must not win
+
+
+def test_ewma_all_null_window_emits_null(spark):
+    """A window whose every lag is NULL (leading NULL run) must emit
+    NULL, not NaN — consistent with the other window kernels."""
+    import math
+
+    from lbf_spark.operators.windows import ewma
+
+    pdf = pd.DataFrame(
+        {
+            "entity": ["e"] * 5,
+            "ts": list(range(5)),
+            "v": [None, None, 1.0, None, 2.0],
+        }
+    )
+    df = spark.createDataFrame(pdf)
+    out = (
+        ewma(df, "v", alpha=0.5, window=2, by="entity", order="ts")
+        .orderBy("ts")
+        .collect()
+    )
+    vals = [r["ewma"] for r in out]
+    assert vals[0] is None and vals[1] is None  # all-null windows
+    assert vals[2] == 1.0
+    assert vals[3] == 1.0  # renormalized over the one present lag
+    assert vals[4] == 2.0
+    assert not any(isinstance(v, float) and math.isnan(v) for v in vals)
