@@ -3825,6 +3825,147 @@ def q100(spark, sf_dir):
     )
 
 
+# =====================================================================
+# table write path: MERGE/upsert + schema evolution (round 4)
+# =====================================================================
+
+
+def _table_tmp(sf_dir: str, name: str) -> str:
+    """Deterministic scratch warehouse path for write-path queries —
+    wiped per run so the result is a pure function of the inputs."""
+    import hashlib
+    import shutil
+
+    tag = hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+    path = f"/tmp/lbf_spark_tables/{tag}/{name}"
+    shutil.rmtree(path, ignore_errors=True)
+    return path
+
+
+_DAY_US = 86_400 * 1_000_000
+
+
+@q(
+    "q101_merge_upsert",
+    """
+    with base as (
+      select event_id, cast(user_id as varchar) as entity,
+             epoch_us(ts) as ts_us, event_type, value
+      from events where event_id % 4 <> 0
+    ),
+    ins as (
+      select event_id, cast(user_id as varchar) as entity,
+             epoch_us(ts) as ts_us, event_type, round(value, 4) as value
+      from events where event_id % 4 = 0 and event_id % 5 = 0
+    ),
+    merged as (
+      select event_id, entity, ts_us, event_type,
+             round(value * 2, 4) as value
+      from base where event_id % 3 = 0
+      union all
+      select event_id, entity, ts_us, event_type, round(value, 4) as value
+      from base where event_id % 3 <> 0 and event_id % 7 <> 0
+      union all
+      select * from ins
+    )
+    select event_id, entity, ts_us, event_type,
+           round(value, 4) + 0 as value_r
+    from merged
+    """,
+)
+def q101(spark, sf_dir):
+    """MERGE/upsert write path, end-to-end through the table layer
+    (sources/table.py:merge_upsert — Iceberg MERGE INTO, copy-on-write
+    at file granularity): write a base snapshot, apply a changelog of
+    updates (value doubled for event_id%3==0), deletes (event_id%7==0)
+    and inserts (keys absent from base), then SCAN THE TABLE BACK —
+    the oracle recomputes the post-merge state relationally, so a
+    wrong rewrite, a lost carried-over file, or a leaked replaced file
+    all hash-mismatch. Reference analog: the cache refresh/update path
+    (fextract/lib.py:79-123, core.py:266-275) re-expressed as snapshot
+    isolation."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    base = ev.filter(F.col("event_id") % 4 != 0)
+    path = _table_tmp(sf_dir, "q101")
+    # 4 buckets x ~weekly days at sf0.01 keeps dirs O(10); production
+    # tables use the 16-bucket daily default
+    TBL.write_table(
+        base, path, mode="overwrite", n_buckets=4, ts_unit_day=7 * _DAY_US
+    )
+
+    upd = (
+        base.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.round(F.col("value") * 2, 4))
+        .withColumn("__del", F.lit(False))
+    )
+    dele = base.filter(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") % 3 != 0)
+    ).withColumn("__del", F.lit(True))
+    ins = ev.filter(
+        (F.col("event_id") % 4 == 0) & (F.col("event_id") % 5 == 0)
+    ).withColumn("__del", F.lit(False))
+    changes = upd.unionByName(dele).unionByName(ins)
+    TBL.merge_upsert(spark, path, changes, keys=["event_id"], delete_col="__del")
+
+    return TBL.scan(spark, path).select(
+        "event_id",
+        "entity",
+        F.col("ts").alias("ts_us"),
+        "event_type",
+        (F.round("value", 4) + F.lit(0)).alias("value_r"),
+    )
+
+
+@q(
+    "q102_schema_evolution",
+    """
+    select event_id, event_type, cast(null as double) as value_r
+    from events where event_id % 2 = 1
+    union all
+    select event_id, event_type, round(value, 4) + 0 as value_r
+    from events where event_id % 2 = 0
+    """,
+)
+def q102(spark, sf_dir):
+    """Add-column schema evolution across snapshots
+    (sources/table.py:_check_schema_evolution + scan's mergeSchema
+    reconciliation): v1 snapshot lacks ``value_r``, the v2 append adds
+    it; scanning the table must NULL-fill v1 rows and carry v2 values,
+    with the union schema in the newest snapshot's column order. The
+    oracle is the same union computed relationally."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        "value",
+    )
+    path = _table_tmp(sf_dir, "q102")
+    v1 = ev.filter(F.col("event_id") % 2 == 1).drop("value")
+    TBL.write_table(
+        v1, path, mode="overwrite", n_buckets=4, ts_unit_day=7 * _DAY_US
+    )
+    v2 = (
+        ev.filter(F.col("event_id") % 2 == 0)
+        .withColumn("value_r", F.round("value", 4) + F.lit(0))
+        .drop("value")
+    )
+    TBL.write_table(
+        v2, path, mode="append", n_buckets=4, ts_unit_day=7 * _DAY_US
+    )
+    return TBL.scan(spark, path).select("event_id", "event_type", "value_r")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -37,26 +37,78 @@ def _with_partition_cols(df: DataFrame, n_buckets: int, ts_unit_day: int) -> Dat
     ).withColumn("ts_day", F.floor(F.col("ts") / F.lit(ts_unit_day)).cast("long"))
 
 
+def _check_schema_evolution(prev_schema_json: str, new_schema) -> list[str]:
+    """Add-column-only schema evolution (the Iceberg ``union`` subset
+    this layer supports): every previously-present column must keep its
+    name and type; brand-new columns are allowed and NULL-fill on read
+    for older files. Rename / drop / type-change raise — they would
+    silently corrupt older snapshots' reads. Returns the new columns."""
+    from pyspark.sql.types import StructType
+
+    prev = StructType.fromJson(json.loads(prev_schema_json))
+    new_by_name = {f.name: f for f in new_schema.fields}
+    for f in prev.fields:
+        if f.name not in new_by_name:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} missing from the "
+                "appended frame — drop/rename is unsupported (older "
+                "snapshots would read corrupt); add-column only"
+            )
+        if new_by_name[f.name].dataType != f.dataType:
+            raise ValueError(
+                f"schema evolution: column {f.name!r} changed type "
+                f"{f.dataType.simpleString()} -> "
+                f"{new_by_name[f.name].dataType.simpleString()} — type "
+                "changes are unsupported; add a new column instead"
+            )
+    return [f.name for f in new_schema.fields if f.name not in
+            {p.name for p in prev.fields}]
+
+
 def write_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
     n_buckets: int = 16,
     ts_unit_day: int = DAY,
+    layout_cols: list[str] | None = None,
+    layout_bits: int = 8,
+    layout_files: int = 8,
 ) -> dict:
     """Partitioned write + snapshot manifest. Returns the snapshot.
 
     ``path`` may be local, ``file:``-prefixed, or a DFS URI — all
     metadata IO goes through the Hadoop FileSystem API (``fsio``), the
-    same requirement Iceberg itself has of its warehouse location."""
+    same requirement Iceberg itself has of its warehouse location.
+
+    Appends may ADD columns (recorded in the snapshot schema; older
+    files NULL-fill on read) but never drop/rename/retype — validated
+    against the current snapshot before any data lands.
+
+    ``layout_cols`` z-orders the write (Iceberg/Delta ``ZORDER BY``):
+    rows are range-partitioned and sorted by the Morton key over those
+    columns before writing, so parquet min/max stats cluster in EVERY
+    listed dimension and multi-column predicates prune files, not just
+    the leading key. The key column itself is dropped before write —
+    the clustering is carried by row order."""
     from lbf_spark import fsio
 
     spark = df.sparkSession
+    meta_dir = fsio.join(path, "metadata")
+    prev = current_snapshot(path, spark) if mode == "append" else None
+    if prev is not None:
+        _check_schema_evolution(prev["schema"], df.schema)
     pdf = _with_partition_cols(df, n_buckets, ts_unit_day)
+    if layout_cols:
+        pdf = (
+            zorder_key(pdf, layout_cols, bits=layout_bits, out="__z")
+            .repartitionByRange(layout_files, "entity_bucket", "ts_day", "__z")
+            .sortWithinPartitions("entity_bucket", "ts_day", "__z")
+            .drop("__z")
+        )
     pdf.write.mode(mode).partitionBy("entity_bucket", "ts_day").parquet(
         fsio.join(path, "data")
     )
-    meta_dir = fsio.join(path, "metadata")
     fsio.mkdirs(spark, meta_dir)
     existing = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
     parent = existing[-1] if existing else None
@@ -65,12 +117,15 @@ def write_table(
         for f in fsio.list_files_recursive(spark, fsio.join(path, "data"), ".parquet")
     ]
     if mode == "overwrite" or parent is None:
-        prev_cumulative: set[str] = set()
+        prev_known: set[str] = set()
     else:
-        prev_cumulative = set(
-            _cumulative_files(spark, path, _read_snaps(spark, meta_dir))
+        # files ever WRITTEN since the last overwrite — not the visible
+        # set: a merge leaves its replaced files on disk (time travel
+        # needs them) and they must not be re-adopted as "added" here
+        prev_known = set(
+            _replay_files(_read_snaps(spark, meta_dir))["known"]
         )
-    added = sorted(set(all_files) - prev_cumulative)
+    added = sorted(set(all_files) - prev_known)
     snapshot = {
         "snapshot_id": len(existing) + 1,
         "parent": parent,
@@ -97,13 +152,20 @@ def _read_snaps(spark, meta_dir: str) -> list[dict]:
     ]
 
 
-def _cumulative_files(
-    spark, path: str, snaps: list[dict], as_of: int | None = None
-) -> list[str]:
-    """The data files visible at snapshot ``as_of`` (default: latest):
-    replay added_files, resetting at each overwrite — Iceberg's
-    manifest-list reachability, one JSON per snapshot here. Raises if
-    ``as_of`` predates the last overwrite (those files are gone)."""
+def _replay_files(
+    snaps: list[dict], as_of: int | None = None
+) -> dict:
+    """Replay the snapshot chain up to ``as_of`` (default: latest) —
+    Iceberg's manifest-list reachability, one JSON per snapshot here.
+
+    Returns ``{"visible": [...], "known": [...]}``: *visible* is the
+    live file set (added minus merge-removed, reset at each overwrite);
+    *known* is every file written since the last overwrite — a merge
+    keeps its replaced files ON DISK so older snapshots stay readable,
+    and ``write_table`` needs *known* (not *visible*) to tell which
+    on-disk files a fresh append actually created. Raises if ``as_of``
+    predates the last overwrite (those files are gone — Spark's
+    overwrite wipes the data dir)."""
     if as_of is not None and any(
         s["mode"] == "overwrite" and s["snapshot_id"] > as_of for s in snaps
     ):
@@ -111,20 +173,33 @@ def _cumulative_files(
             f"snapshot {as_of} predates an overwrite — its data files "
             "no longer exist (this shim does not retain overwritten files)"
         )
-    files: list[str] = []
+    visible: list[str] = []
+    known: list[str] = []
     for s in snaps:
         if as_of is not None and s["snapshot_id"] > as_of:
             break
         if s["mode"] == "overwrite":
-            files = []
+            visible = []
+            known = []
         if "added_files" not in s:
             raise ValueError(
                 f"snapshot {s['snapshot_id']} has no added_files list — "
                 "manifest predates file tracking; time travel/incremental "
                 "reads need manifests written by this table layer"
             )
-        files.extend(s["added_files"])
-    return files
+        visible.extend(s["added_files"])
+        known.extend(s["added_files"])
+        removed = set(s.get("removed_files", []))
+        if removed:
+            visible = [f for f in visible if f not in removed]
+    return {"visible": visible, "known": known}
+
+
+def _cumulative_files(
+    spark, path: str, snaps: list[dict], as_of: int | None = None
+) -> list[str]:
+    """The data files VISIBLE at snapshot ``as_of`` (default: latest)."""
+    return _replay_files(snaps, as_of=as_of)["visible"]
 
 
 def current_snapshot(path: str, spark: SparkSession | None = None) -> dict | None:
@@ -159,6 +234,13 @@ def incremental_files(
                 f"snapshot {sid} is an overwrite — incremental reads "
                 "across it are undefined; re-read the table from scratch"
             )
+        if s["mode"] == "merge":
+            raise ValueError(
+                f"snapshot {sid} is a merge — its added files mix "
+                "carried-over rows with upserts, so an append-only "
+                "changelog read across it would double-count; re-read "
+                "the table (or consume the merge's change set upstream)"
+            )
         if "added_files" not in s:
             raise ValueError(
                 f"snapshot {sid} has no added_files list — manifest "
@@ -168,6 +250,112 @@ def incremental_files(
         picked.extend(s["added_files"])
     data_dir = fsio.join(path, "data")
     return [fsio.join(data_dir, f) for f in picked]
+
+
+def merge_upsert(
+    spark: SparkSession,
+    path: str,
+    changes: DataFrame,
+    keys: list[str],
+    delete_col: str | None = None,
+) -> dict:
+    """Apply a changelog to the current snapshot — the write-side of
+    q84's CDC latest-state semantics (Iceberg ``MERGE INTO`` with
+    copy-on-write): rows in ``changes`` REPLACE same-key table rows,
+    new keys are inserted, and rows flagged true in ``delete_col``
+    (if given) are deleted. ``changes`` must carry exactly the table's
+    columns (plus the flag) and at most one row per key — dedupe a raw
+    CDC stream to latest-per-key first (``queries.q84``'s shape).
+
+    Copy-on-write at FILE granularity, like Iceberg: only data files
+    that actually contain a matching key are rewritten (matched via an
+    ``input_file_name`` semi-join — one pass, no collect of data rows);
+    untouched files carry over by reference. Replaced files stay on
+    disk so pre-merge snapshots remain time-travelable; the new
+    snapshot's manifest records them in ``removed_files`` and the
+    rewritten+inserted files in ``added_files``.
+
+    Shape at 100 TB: the semi-join shuffles on the merge keys (both
+    sides partial-pruned — AQE broadcasts the changelog when it fits);
+    the rewrite reads/writes only the affected files, which partition
+    pruning bounds to the changelog's (bucket, day) footprint."""
+    from pyspark.sql.types import StructType
+
+    from lbf_spark import fsio
+
+    meta_dir = fsio.join(path, "metadata")
+    snaps = _read_snaps(spark, meta_dir)
+    if not snaps:
+        raise ValueError("merge_upsert needs an existing table snapshot")
+    spec = snaps[-1]["partition_spec"]
+    n_buckets = int(spec["entity_bucket"].split("(")[1].split(",")[0])
+    ts_unit_day = int(spec["ts_day"].rsplit("/", 1)[1].rstrip(") ").strip())
+    cur_schema = StructType.fromJson(json.loads(snaps[-1]["schema"]))
+    data_cols = [f.name for f in cur_schema.fields]
+    chg_cols = [c for c in changes.columns if c != delete_col]
+    if sorted(chg_cols) != sorted(data_cols):
+        raise ValueError(
+            f"changes columns {sorted(chg_cols)} must equal the table's "
+            f"{sorted(data_cols)} (plus the optional delete flag)"
+        )
+    missing = [k for k in keys if k not in data_cols]
+    if missing:
+        raise ValueError(f"merge keys {missing} not in table columns")
+
+    data_dir = fsio.join(path, "data")
+    replay = _replay_files(snaps)
+    visible, known = replay["visible"], set(replay["known"])
+    cur = spark.read.option("basePath", data_dir).parquet(
+        *[fsio.join(data_dir, f) for f in visible]
+    )
+    keyed_changes = changes.select(*keys).distinct()
+    affected_abs = [
+        r["__f"]
+        for r in cur.withColumn("__f", F.input_file_name())
+        .join(keyed_changes, keys, "left_semi")
+        .select("__f")
+        .distinct()
+        .collect()
+    ]
+    affected = sorted({a[a.rindex("/data/") + 6:] for a in affected_abs})
+    upserts = changes
+    if delete_col is not None:
+        upserts = upserts.filter(
+            ~F.coalesce(F.col(delete_col), F.lit(False))
+        ).drop(delete_col)
+    upserts = upserts.select(*data_cols)
+    if affected:
+        aff_df = spark.read.option("basePath", data_dir).parquet(
+            *[fsio.join(data_dir, f) for f in affected]
+        )
+        new_rows = aff_df.select(*data_cols).join(
+            keyed_changes, keys, "left_anti"
+        ).unionByName(upserts)
+    else:
+        new_rows = upserts
+    pdf = _with_partition_cols(new_rows, n_buckets, ts_unit_day)
+    pdf.write.mode("append").partitionBy("entity_bucket", "ts_day").parquet(
+        data_dir
+    )
+    all_files = [
+        f["path"]
+        for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+    ]
+    snapshot = {
+        "snapshot_id": len(snaps) + 1,
+        "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
+        "schema": snaps[-1]["schema"],
+        "partition_spec": spec,
+        "added_files": sorted(set(all_files) - known),
+        "removed_files": affected,
+        "n_data_files": len(all_files),
+        "mode": "merge",
+    }
+    name = f"snap-{snapshot['snapshot_id']:05d}.json"
+    fsio.write_text_atomic(
+        spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
+    )
+    return snapshot
 
 
 def scan(
@@ -187,18 +375,50 @@ def scan(
 
     ``snapshot_id`` time-travels: only the data files visible at that
     snapshot are read (basePath keeps the hive partition columns), back
-    to the most recent overwrite."""
+    to the most recent overwrite.
+
+    The read is manifest-driven (the snapshot's visible file list, not
+    a directory listing) whenever manifests exist — after a merge the
+    replaced files are still on disk for time travel, so a raw
+    directory read would double-count their rows. Schema evolution is
+    reconciled per-snapshot: if the visible files span several schemas,
+    the parquet ``mergeSchema`` union applies and missing columns
+    NULL-fill, with columns ordered per the newest schema."""
     from lbf_spark import fsio
 
     data_dir = fsio.join(path, "data")
-    if snapshot_id is None:
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    if not snaps:
         df = spark.read.parquet(data_dir)
     else:
-        snaps = _read_snaps(spark, fsio.join(path, "metadata"))
         files = _cumulative_files(spark, path, snaps, as_of=snapshot_id)
-        df = spark.read.option("basePath", data_dir).parquet(
-            *[fsio.join(data_dir, f) for f in files]
-        )
+        if not files:  # everything merged away: empty frame, live schema
+            from pyspark.sql.types import StructType
+
+            upto = [
+                s for s in snaps
+                if snapshot_id is None or s["snapshot_id"] <= snapshot_id
+            ]
+            return spark.createDataFrame(
+                [], StructType.fromJson(json.loads(upto[-1]["schema"]))
+            )
+        schemas = {s["schema"] for s in snaps}
+        reader = spark.read.option("basePath", data_dir)
+        if len(schemas) > 1:
+            reader = reader.option("mergeSchema", "true")
+        df = reader.parquet(*[fsio.join(data_dir, f) for f in files])
+        if len(schemas) > 1:
+            # deterministic column order: newest snapshot's schema
+            # (the union superset under add-only evolution) + the
+            # hive partition columns
+            upto = [
+                s for s in snaps
+                if snapshot_id is None or s["snapshot_id"] <= snapshot_id
+            ]
+            newest = json.loads(upto[-1]["schema"])
+            ordered = [f["name"] for f in newest["fields"]]
+            part_cols = [c for c in df.columns if c not in ordered]
+            df = df.select(*[c for c in ordered if c in df.columns], *part_cols)
     if entities:
         bucket_vals = (
             spark.createDataFrame([(e,) for e in entities], "entity string")

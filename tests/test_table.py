@@ -105,3 +105,152 @@ def test_scan_time_range_pruning(spark, tiny_events, tmp_path):
     assert "ts_day" in plan.split("PartitionFilters")[1].splitlines()[0]
     exp = int(((tiny_events.ts >= lo) & (tiny_events.ts <= hi)).sum())
     assert pruned.count() == exp
+
+
+def test_merge_upsert_update_insert_delete(spark, tiny_events, tmp_path):
+    """MERGE semantics: same-key rows replaced, new keys inserted,
+    delete-flagged keys removed; only files containing matched keys are
+    rewritten; pre-merge snapshots stay time-travelable; appends after
+    a merge don't re-adopt the replaced (still-on-disk) files."""
+    import pandas as pd
+
+    path = str(tmp_path / "tbl_merge")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)      # snap 1
+    base = tiny_events.copy()
+    n0 = len(base)
+
+    upd = base.iloc[:5].copy()
+    upd["phash"] = 42
+    upd["__del"] = False
+    dele = base.iloc[5:8].copy()
+    dele["__del"] = True
+    ins = base.iloc[8:10].copy()
+    ins["image_id"] = "new_" + ins["image_id"]                            # new keys
+    ins["__del"] = False
+    changes = fixtures.events_to_spark(
+        spark, pd.concat([upd, dele, ins], ignore_index=True)
+    ).withColumn("__del", F.col("__del").cast("boolean"))
+
+    snap = TBL.merge_upsert(spark, path, changes, keys=["image_id"], delete_col="__del")
+    assert snap["mode"] == "merge" and snap["removed_files"]
+    # untouched files carried by reference, not rewritten
+    assert len(snap["removed_files"]) < snap["n_data_files"]
+
+    got = TBL.scan(spark, path).toPandas()
+    assert len(got) == n0 - 3 + 2
+    assert (got.set_index("image_id").loc[upd.image_id, "phash"] == 42).all()
+    assert not set(dele.image_id).intersection(got.image_id)
+    assert set(ins.image_id).issubset(set(got.image_id))
+
+    # pre-merge time travel still exact
+    assert TBL.scan(spark, path, snapshot_id=1).count() == n0
+
+    # append after merge: added_files must not include replaced files
+    extra = fixtures.events_to_spark(spark, tiny_events.iloc[:50]).withColumn(
+        "image_id", F.concat(F.lit("app_"), F.col("image_id"))
+    )
+    snap3 = TBL.write_table(extra, path, mode="append", ts_unit_day=10_000)
+    assert not set(snap3["added_files"]) & set(snap["removed_files"])
+    assert TBL.scan(spark, path).count() == n0 - 3 + 2 + 50
+
+    # changelog reads across a merge are refused
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="merge"):
+        TBL.incremental_files(spark, path, after=1)
+
+
+def test_merge_upsert_validates_schema_and_keys(spark, tiny_events, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_merge_bad")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    with _pytest.raises(ValueError, match="columns"):
+        TBL.merge_upsert(spark, path, ev.drop("phash"), keys=["image_id"])
+    with _pytest.raises(ValueError, match="keys"):
+        TBL.merge_upsert(spark, path, ev, keys=["nope"])
+
+
+def test_schema_evolution_add_column(spark, tiny_events, tmp_path):
+    """v1 write, add-column append, scan reads both with NULL-fill;
+    time travel to v1 shows the v1 schema; drop/retype refused."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_evo")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)        # v1
+    ev2 = fixtures.events_to_spark(spark, tiny_events.iloc[:100]).withColumn(
+        "image_id", F.concat(F.lit("v2_"), F.col("image_id"))
+    ).withColumn("quality", F.lit(0.5))
+    TBL.write_table(ev2, path, mode="append", ts_unit_day=10_000)          # v2
+
+    got = TBL.scan(spark, path)
+    assert "quality" in got.columns
+    n0 = len(tiny_events)
+    assert got.count() == n0 + 100
+    assert got.filter(F.col("quality").isNull()).count() == n0            # NULL-fill
+    assert got.filter(F.col("quality") == 0.5).count() == 100
+    # time travel to v1: pre-evolution schema
+    assert "quality" not in TBL.scan(spark, path, snapshot_id=1).columns
+
+    with _pytest.raises(ValueError, match="missing"):
+        TBL.write_table(ev.drop("phash"), path, mode="append", ts_unit_day=10_000)
+    with _pytest.raises(ValueError, match="type"):
+        TBL.write_table(
+            ev.withColumn("phash", F.col("phash").cast("string")),
+            path, mode="append", ts_unit_day=10_000,
+        )
+
+
+def test_zorder_write_layout_prunes_files(spark, tiny_events, tmp_path):
+    """write_table(layout_cols=...) must cluster file min/max stats so
+    a 2-D predicate overlaps FEWER files than the unsorted layout."""
+    import pandas as pd
+
+    rng = __import__("numpy").random.default_rng(7)
+    n = 20_000
+    pdf = pd.DataFrame(
+        {
+            "entity": ["e0"] * n,
+            "ts": rng.integers(0, 9_999, n),          # one ts_day partition
+            "x": rng.integers(0, 256, n),
+            "y": rng.integers(0, 256, n),
+        }
+    )
+    df = spark.createDataFrame(pdf)
+
+    def overlap_count(path):
+        files = [
+            f for f in __import__("glob").glob(path + "/data/**/*.parquet", recursive=True)
+        ]
+        import pyarrow.parquet as pq
+
+        hit = 0
+        for f in files:
+            md = pq.read_metadata(f)
+            idx_x = md.schema.to_arrow_schema().get_field_index("x")
+            idx_y = md.schema.to_arrow_schema().get_field_index("y")
+            xmin = min(md.row_group(i).column(idx_x).statistics.min for i in range(md.num_row_groups))
+            xmax = max(md.row_group(i).column(idx_x).statistics.max for i in range(md.num_row_groups))
+            ymin = min(md.row_group(i).column(idx_y).statistics.min for i in range(md.num_row_groups))
+            ymax = max(md.row_group(i).column(idx_y).statistics.max for i in range(md.num_row_groups))
+            if xmin <= 32 and xmax >= 0 and ymin <= 32 and ymax >= 0:
+                hit += 1
+        return hit, len(files)
+
+    p_plain = str(tmp_path / "tbl_plain")
+    # force comparable file counts: repartition round-robin to 8 files
+    TBL.write_table(df.repartition(8), p_plain, mode="overwrite", ts_unit_day=10_000)
+    p_z = str(tmp_path / "tbl_z")
+    TBL.write_table(
+        df, p_z, mode="overwrite", ts_unit_day=10_000,
+        layout_cols=["x", "y"], layout_files=8,
+    )
+    hit_plain, n_plain = overlap_count(p_plain)
+    hit_z, n_z = overlap_count(p_z)
+    assert n_z >= 4                                   # layout actually split files
+    assert hit_z < hit_plain                          # pruning benefit
+    # and the data itself is intact
+    assert TBL.scan(spark, p_z).count() == n
