@@ -9,9 +9,11 @@ standing in for JPEG (no libjpeg in this container — see codec module
 docstring; the Spark-side plumbing — schema, batching, UDF signatures —
 is exactly what production would use with PIL/libjpeg swapped in).
 
-Audio/video decode are stubbed with ``NotImplementedError`` as the build
-contract requires; their Spark plumbing (binary column + metadata +
-mapInPandas signature) is identical to the image path.
+Audio/video use the same plumbing over ``lbf_spark.functions.audio``:
+a REAL minimal WAV (PCM16) codec plus deterministic fake lossy codecs
+(FLA1 audio, FVC1 length-prefixed video container) standing in for
+mp3/mp4 — swap the codec bodies for libsndfile/ffmpeg and the operators
+below are unchanged.
 """
 
 from __future__ import annotations
@@ -139,16 +141,109 @@ def image_fidelity(df: DataFrame, ref: DataFrame, key: str = "image_id") -> Data
     return joined.mapInPandas(batches, schema)
 
 
-def decode_audio_stub(df: DataFrame) -> DataFrame:
-    """Audio decode — STUB: no audio libs in this container. The Spark
-    plumbing (binary column → mapInPandas → waveform stats) mirrors
-    ``decode_stats``; plug a real codec into the batch loop."""
-    raise NotImplementedError("audio decode requires an audio codec library")
+def audio_frame_features(
+    df: DataFrame, frame: int = 2048, id_col: str = "audio_id"
+) -> DataFrame:
+    """Audio decode → per-frame features: one output row per
+    non-overlapping ``frame``-sample window with (rms, zcr,
+    spectral_centroid_hz) — the audio twin of ``decode_stats``.
+
+    Input: (``id_col``, bytes: binary, fmt: string['wav'|'mp3']).
+    Decode + feature math live in ``functions.audio`` (real WAV
+    parser; FLA1 deterministic fake for lossy); the operator owns only
+    the Spark shape: Arrow-batched ``mapInPandas``, payload bytes
+    dropped before the exploded rows leave the stage, all outputs
+    rounded (6) so results are engine-stable. Fan the input out first
+    (``util.fan_out``) — clips are row-local work."""
+    from lbf_spark.functions.audio import decode_audio, frame_features
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), True),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("rms", T.DoubleType(), False),
+            T.StructField("zcr", T.DoubleType(), False),
+            T.StructField("centroid_hz", T.DoubleType(), False),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ids, fidx, feats = [], [], []
+            for _id, data, fmt in zip(pdf[id_col], pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    continue
+                sr, samples = decode_audio(bytes(data), fmt)
+                ff = frame_features(samples, sr, frame=frame)
+                ids.extend([_id] * len(ff))
+                fidx.extend(range(len(ff)))
+                feats.append(ff)
+            stacked = (
+                np.concatenate(feats) if feats else np.zeros((0, 3))
+            ).round(6)
+            yield pd.DataFrame(
+                {
+                    id_col: ids,
+                    "frame_idx": np.asarray(fidx, dtype=np.int32),
+                    "rms": stacked[:, 0],
+                    "zcr": stacked[:, 1],
+                    "centroid_hz": stacked[:, 2],
+                }
+            )
+
+    return df.mapInPandas(batches, schema)
 
 
-def sample_video_frames_stub(df: DataFrame, every_n: int = 30) -> DataFrame:
-    """Video frame sampling — STUB: no video libs in this container."""
-    raise NotImplementedError("video frame sampling requires a video codec library")
+def sample_video_frames(
+    df: DataFrame,
+    every_n: int = 30,
+    id_col: str = "video_id",
+    keep_frames: bool = False,
+) -> DataFrame:
+    """Video frame sampling: decode every ``every_n``-th frame ONLY
+    (the FVC1 container's length prefixes make frame seeks cheap —
+    the keyframe-hop shape real samplers use) and emit per-frame pixel
+    stats; ``keep_frames`` adds the sampled frame re-encoded as PNG.
+
+    Payload discipline as everywhere: by default only scalar stats
+    leave the stage — at 10¹² clips the decoded frames would dominate
+    every downstream shuffle."""
+    from lbf_spark.functions.audio import video_decode_frame, video_info
+    from lbf_spark.functions.codec import png_encode
+
+    fields = [
+        T.StructField(id_col, T.StringType(), True),
+        T.StructField("frame_idx", T.IntegerType(), False),
+        T.StructField("pixel_mean", T.DoubleType(), False),
+        T.StructField("pixel_std", T.DoubleType(), False),
+    ]
+    if keep_frames:
+        fields.append(T.StructField("frame_png", T.BinaryType(), True))
+    schema = T.StructType(fields)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, data in zip(pdf[id_col], pdf["bytes"]):
+                if data is None:
+                    continue
+                blob = bytes(data)
+                n, _fps = video_info(blob)
+                for k in range(0, n, every_n):
+                    img = video_decode_frame(blob, k)
+                    x = img.astype(np.float64)
+                    rec = [
+                        _id,
+                        np.int32(k),
+                        round(float(x.mean()), 6),
+                        round(float(x.std()), 6),
+                    ]
+                    if keep_frames:
+                        rec.append(png_encode(img))
+                    rows.append(rec)
+            yield pd.DataFrame(rows, columns=[f.name for f in fields])
+
+    return df.mapInPandas(batches, schema)
 
 
 def phash_band_features(
