@@ -81,6 +81,9 @@ def main() -> None:
     out.write.mode("overwrite").parquet(args.out)
     n_docs = out.count()
     n_dupes = out.filter(~F.col("is_keeper")).count()
+    from lbf_spark.operators import dedup as _dedup
+
+    _dedup.release_caches()  # scoped ownership: nothing retained post-pass
     print(json.dumps({"n_docs": n_docs, "n_duplicates_marked": n_dupes}))
     spark.stop()
 

@@ -22,6 +22,24 @@ from pyspark.sql import DataFrame, functions as F
 
 TOKEN_RE = "[^a-z0-9]+"
 
+# Frames persisted by jaccard_pairs, oldest first. The results are
+# lazy, so the function cannot unpersist its own intermediates; callers
+# that run MANY dedup passes in one session release them explicitly.
+_SCOPED_CACHES: list[DataFrame] = []
+
+
+def release_caches() -> int:
+    """Unpersist every frame jaccard_pairs persisted so far and return
+    how many were released. Call after the consuming action(s) of a
+    dedup pass complete — the scoped-ownership answer to the default
+    session-lifetime persist (`spark.catalog.clearCache()` also works
+    but nukes unrelated caches)."""
+    n = 0
+    while _SCOPED_CACHES:
+        _SCOPED_CACHES.pop().unpersist()
+        n += 1
+    return n
+
 
 def tokens_col(text_col: str):
     """lower → split on non-alphanumerics → drop empties. Matches the
@@ -198,17 +216,21 @@ def jaccard_pairs(
     lookups — recomputing the regex/shingle expression 4-6× costs far
     more than caching it (at warehouse scale this is the materialized
     shingle index every near-dup system builds anyway). Cache
-    ownership: the frames stay cached for the session (the result is
-    lazy, so this function cannot unpersist them itself) — a
-    long-lived session running MANY dedup passes should either pass
-    ``cache=False`` (lineage recomputes, nothing retained) or call
-    ``spark.catalog.clearCache()`` between passes, the same rule the
-    bench applies.
+    ownership: the result is lazy, so this function cannot unpersist
+    its own intermediates — every frame it persists is registered in a
+    module-level scope; call ``dedup.release_caches()`` when the
+    consuming actions of a pass are done (jobs/run_dedup.py does).
+    A long-lived session can also opt out entirely with
+    ``cache=False`` (lineage recomputes, nothing retained).
     """
     from pyspark import StorageLevel
 
     def _maybe_persist(frame):
-        return frame.persist(StorageLevel.MEMORY_AND_DISK) if cache else frame
+        if not cache:
+            return frame
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        _SCOPED_CACHES.append(frame)
+        return frame
 
     shingled = _maybe_persist(shingled)
     sh = shingled.select(

@@ -1053,3 +1053,28 @@ def test_ewma_all_null_window_emits_null(spark):
     assert vals[3] == 1.0  # renormalized over the one present lag
     assert vals[4] == 2.0
     assert not any(isinstance(v, float) and math.isnan(v) for v in vals)
+
+
+def test_jaccard_release_caches_leaves_nothing_persisted(spark, docs):
+    """Scoped cache ownership: after a dedup pass completes,
+    release_caches() must leave zero persisted RDDs behind (and a
+    released pass must still produce correct results on rerun)."""
+    spark.catalog.clearCache()
+    # other tests' localCheckpoint blocks are unreleasable by design —
+    # assert return-to-baseline, not return-to-zero
+    base = len(spark.sparkContext._jsc.getPersistentRDDs())
+    got = dedup.jaccard_pairs(
+        dedup.with_shingles(docs, "doc_id", "text", 3), threshold=0.5, max_df=100
+    )
+    got.count()  # consume
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) > base
+    released = dedup.release_caches()
+    assert released >= 1
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
+    # rerun after release still correct
+    again = dedup.jaccard_pairs(
+        dedup.with_shingles(docs, "doc_id", "text", 3), threshold=0.5
+    ).toPandas()
+    pairs = {(r.id_a, r.id_b): r.jaccard for r in again.itertuples()}
+    assert pairs[(1, 3)] == 1.0
+    dedup.release_caches()
