@@ -62,6 +62,52 @@ EXTRA_QUERIES = [
 ]
 
 
+# text/dedup stack at 10× documents (verdict r3 ask: the sf0.1 corpus
+# is 5k docs, where fixed overhead dominates those lines)
+DOCS10X_COPIES = int(os.environ.get("LBF_DOCS10X_COPIES", "10"))
+DOCS10X_QUERIES = [
+    "q23_jaccard_pairs",
+    "q24_minhash_lsh",
+    "q55_dup_clusters",
+    "q87_curation_pipeline",
+]
+
+
+def _docs10x_dir() -> str:
+    """A deterministic 10× documents corpus: the sf0.1 table tiled
+    DOCS10X_COPIES times; copy k>0 gets k marker tokens appended, so
+    copies are NEAR-duplicates (jaccard ≳ 0.9 vs the original), which
+    makes the dedup stack do 10× real work (every original now anchors
+    a 10-clone near-dup cluster), not just scan 10× rows."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    d = os.path.join(CACHE_DIR, f"docs10x_{DOCS10X_COPIES}")
+    pq_path = os.path.join(d, "documents.parquet")
+    if not os.path.exists(pq_path):
+        base = pq.read_table(os.path.join(SF_DIR, "documents.parquet")).to_pandas()
+        frames = []
+        for k in range(DOCS10X_COPIES):
+            c = base.copy()
+            c["doc_id"] = c["doc_id"] + k * 10_000_000
+            if k:
+                c["text"] = c["text"] + "".join(
+                    f" copyvariant{k}tok{j}" for j in range(k)
+                )
+            frames.append(c)
+        big = pd.concat(frames, ignore_index=True)
+        os.makedirs(d, exist_ok=True)
+        tmp = pq_path + f".tmp{os.getpid()}"
+        pq.write_table(
+            pa.Table.from_pandas(big, preserve_index=False),
+            tmp,
+            row_group_size=10_000,
+        )
+        os.replace(tmp, pq_path)
+    return d
+
+
 def _flagship_input() -> tuple[str, str]:
     from lbf_spark import fixtures
 
@@ -183,6 +229,28 @@ def run_bench(master: str, flagship_only: bool = False) -> dict:
                 timings[name] = best_of_2(name)
             for name in EXTRA_QUERIES:
                 extra[name] = best_of_2(name)
+
+            # 10× corpus datapoints for the text/dedup stack (same
+            # steady-state rule; from lbf_spark.operators import dedup
+            # caches are released between queries so one line's shingle
+            # index can't subsidize the next)
+            from lbf_spark.operators import dedup as _dedup
+
+            d10 = _docs10x_dir()
+            n10 = spark.read.parquet(os.path.join(d10, "documents.parquet")).count()
+            for name in DOCS10X_QUERIES:
+                fn, _ = QUERIES[name]
+                runs = []
+                for _rep in range(2):
+                    spark.catalog.clearCache()
+                    _dedup.release_caches()
+                    t0 = time.time()
+                    fn(spark, d10).write.format("noop").mode("overwrite").save()
+                    runs.append(time.time() - t0)
+                extra[name + "_10x"] = round(min(runs), 3)
+                extra[name + "_10x_docs_per_sec"] = round(n10 / min(runs), 1)
+            extra["docs10x_rows"] = n10
+            _dedup.release_caches()
         total = round(sum(timings.values()), 3)
         return {
             "metric": "asof_window_feature_pipeline_total",

@@ -484,16 +484,21 @@ def dup_clusters(
 
     Fault tolerance / memory:
 
-    * ``reliable=False`` (default, single-box): the edge frame is
-      localCheckpoint'ed ONCE so the (possibly expensive)
-      pair-generation lineage never re-executes; each round's label
-      frame is ``persist(MEMORY_AND_DISK)``-materialized and the
-      PRIOR round's blocks are explicitly unpersisted (localCheckpoint
-      blocks cannot be freed through any public API — verified — so
-      per-round checkpointing would leak node-sized blocks every
-      round). Lineage grows one join per round; with ≤``max_iters``
-      rounds the plan stays tiny, and an evicted block recomputes from
-      the checkpointed edges.
+    * Every round is lineage-TRUNCATED (``localCheckpoint`` by
+      default, reliable ``checkpoint`` with ``reliable=True``). This
+      is not optional: round k's plan references round k−1's plan
+      TWICE (once in the neighbor join, once directly), so without
+      truncation the logical plan tree DOUBLES per round — ~2^rounds
+      nodes — and a few dozen rounds OOM the driver just stringifying
+      the plan (observed at the 10× bench corpus). Truncation makes
+      each round's plan O(1).
+    * ``reliable=False`` (default, single-box): ``localCheckpoint``
+      blocks cannot be freed through any public API (verified), so a
+      run retains ≤ rounds × |nodes| rows of executor storage until
+      the session ends — bounded by ``max_iters`` and small next to
+      the (also retained) edge checkpoint. An evicted/lost block is
+      NOT recoverable (local checkpoints truncate the recompute
+      lineage too) — single-box semantics.
     * ``reliable=True`` (cluster): rounds go through reliable
       ``checkpoint()`` to ``checkpoint_dir`` (or the session's
       pre-set one) — executor loss can NOT kill the run, the blocks
@@ -503,8 +508,6 @@ def dup_clusters(
     without a fixpoint — silently returning half-propagated labels
     would mislabel every component of diameter > max_iters.
     """
-    from pyspark import StorageLevel
-
     spark = pairs.sparkSession
     if reliable:
         if checkpoint_dir is not None:
@@ -518,8 +521,7 @@ def dup_clusters(
     def _materialize(df: DataFrame) -> DataFrame:
         if reliable:
             return df.checkpoint(eager=True)
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        return df
+        return df.localCheckpoint(eager=True)
 
     e = pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
     edges = e.unionByName(
@@ -529,11 +531,10 @@ def dup_clusters(
     edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(
         eager=True
     )
-    materialized = _materialize(
+    labels = _materialize(
         edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
-    labels = materialized
     converged = False
     for _i in range(max_iters):
         nbr = (
@@ -541,6 +542,8 @@ def dup_clusters(
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
+        # _materialize truncates lineage — mandatory, see docstring
+        # (the plan tree would otherwise double every round)
         stepped = _materialize(
             labels.join(nbr, labels["id"] == nbr["src"], "left")
             .select(
@@ -551,13 +554,9 @@ def dup_clusters(
                 ).alias("label"),
             )
         )
-        # one node-sized scan: materializes this round AND probes fixpoint
+        # one node-sized scan probes the fixpoint (data already
+        # materialized eagerly by the checkpoint)
         n_changed = stepped.filter(F.col("label") != F.col("_prev")).count()
-        if not reliable:
-            # unpersist the frame that was actually persisted — calling
-            # unpersist on a projection over it (labels) is a silent no-op
-            materialized.unpersist()
-        materialized = stepped
         labels = stepped.drop("_prev")
         if n_changed == 0:
             converged = True

@@ -1078,3 +1078,18 @@ def test_jaccard_release_caches_leaves_nothing_persisted(spark, docs):
     pairs = {(r.id_a, r.id_b): r.jaccard for r in again.itertuples()}
     assert pairs[(1, 3)] == 1.0
     dedup.release_caches()
+
+
+def test_dup_clusters_deep_chain_plan_stays_bounded(spark):
+    """Regression for the exponential-plan bug: round k's plan
+    referenced round k-1 twice, so 40 propagation rounds built a
+    ~2^40-node logical plan and OOMed the driver stringifying it
+    (hit at the 10x bench corpus). With per-round lineage truncation a
+    40-round chain must converge quickly and label correctly."""
+    n = 40
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(n)], "id_a long, id_b long"
+    )
+    got = dedup.dup_clusters(pairs, max_iters=n + 2).toPandas()
+    assert len(got) == n + 1
+    assert (got["cluster_id"] == 0).all()
