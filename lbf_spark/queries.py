@@ -4029,6 +4029,45 @@ def q104(spark, sf_dir):
     return dviol.unionByName(qviol)
 
 
+@q(
+    "q105_zorder_write_roundtrip",
+    """
+    select event_id, cast(user_id as varchar) as entity, event_type,
+           epoch_us(ts) as ts_us,
+           event_id % 256 as zx, user_id % 256 as zy
+    from events where event_id % 3 = 0
+    """,
+)
+def q105(spark, sf_dir):
+    """Z-ordered WRITE path end-to-end through the driver
+    (sources/table.py write_table(layout_cols=…) → manifest-driven
+    scan): rows are range-partitioned and sorted by the Morton key
+    over (zx, zy) before landing, then scanned back — the oracle is
+    the plain relational content, so the layout machinery must be
+    exactly value-neutral (what it changes is file min/max clustering,
+    audited separately in tests/test_table.py's footer-stats pruning
+    benefit test)."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).filter(F.col("event_id") % 3 == 0).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        "event_type",
+        F.col("ts_us").alias("ts"),
+        (F.col("event_id") % 256).alias("zx"),
+        (F.col("user_id") % 256).alias("zy"),
+    )
+    path = _table_tmp(sf_dir, "q105")
+    TBL.write_table(
+        ev, path, mode="overwrite", n_buckets=4, ts_unit_day=7 * _DAY_US,
+        layout_cols=["zx", "zy"], layout_files=8,
+    )
+    return TBL.scan(spark, path).select(
+        "event_id", "entity", "event_type",
+        F.col("ts").alias("ts_us"), "zx", "zy",
+    )
+
+
 @q("q103_audio_features", None)
 def q103(spark, sf_dir):
     """Audio modality end-to-end (rows-only: DuckDB cannot run the

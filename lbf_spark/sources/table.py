@@ -135,12 +135,38 @@ def write_table(
             "ts_day": f"floor(ts / {ts_unit_day})",
         },
         "added_files": added,
+        "file_stats": _file_ts_stats(spark, fsio.join(path, "data"), added),
         "n_data_files": len(all_files),
         "mode": mode,
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
     fsio.write_text_atomic(spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1))
     return snapshot
+
+
+def _file_ts_stats(spark, data_dir: str, files: list[str]) -> dict:
+    """Per-added-file min/max of ``ts`` — the Iceberg per-file column
+    stats that make FILE skipping (not just partition pruning) work.
+    One metadata-scale Spark job over exactly the files this write
+    created (Iceberg collects these in the write tasks themselves; a
+    read-back is the parquet-shim equivalent). Returns
+    {relative_path: [ts_min, ts_max]}."""
+    if not files:
+        return {}
+    rows = (
+        spark.read.option("basePath", data_dir)
+        .parquet(*[f"{data_dir}/{f}" for f in files])
+        .groupBy(F.input_file_name().alias("__f"))
+        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        .collect()
+    )
+    out = {}
+    for r in rows:
+        if r["mn"] is None:
+            continue  # all-NULL ts file: no stats, conservatively kept
+        rel = r["__f"][r["__f"].rindex("/data/") + 6:]
+        out[rel] = [int(r["mn"]), int(r["mx"])]
+    return out
 
 
 def _read_snaps(spark, meta_dir: str) -> list[dict]:
@@ -341,12 +367,14 @@ def merge_upsert(
         f["path"]
         for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
     ]
+    new_files = sorted(set(all_files) - known)
     snapshot = {
         "snapshot_id": len(snaps) + 1,
         "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
         "schema": snaps[-1]["schema"],
         "partition_spec": spec,
-        "added_files": sorted(set(all_files) - known),
+        "added_files": new_files,
+        "file_stats": _file_ts_stats(spark, data_dir, new_files),
         "removed_files": affected,
         "n_data_files": len(all_files),
         "mode": "merge",
@@ -383,7 +411,13 @@ def scan(
     directory read would double-count their rows. Schema evolution is
     reconciled per-snapshot: if the visible files span several schemas,
     the parquet ``mergeSchema`` union applies and missing columns
-    NULL-fill, with columns ordered per the newest schema."""
+    NULL-fill, with columns ordered per the newest schema.
+
+    Time predicates prune at THREE levels: per-file min/max ``ts``
+    stats from the manifests drop whole files before the reader is
+    even built (Iceberg file skipping — finer than day directories
+    when several files share a day); the ``ts_day`` partition filter
+    prunes directories; the exact row predicate runs on what remains."""
     from lbf_spark import fsio
 
     data_dir = fsio.join(path, "data")
@@ -391,7 +425,10 @@ def scan(
     if not snaps:
         df = spark.read.parquet(data_dir)
     else:
-        files = _cumulative_files(spark, path, snaps, as_of=snapshot_id)
+        files = _stats_pruned_files(
+            _cumulative_files(spark, path, snaps, as_of=snapshot_id),
+            snaps, snapshot_id, ts_min, ts_max,
+        )
         if not files:  # everything merged away: empty frame, live schema
             from pyspark.sql.types import StructType
 
@@ -439,6 +476,129 @@ def scan(
             (F.col("ts_day") <= ts_max // ts_unit_day) & (F.col("ts") <= ts_max)
         )
     return df
+
+
+def _stats_pruned_files(
+    files: list[str],
+    snaps: list[dict],
+    snapshot_id: int | None,
+    ts_min: int | None,
+    ts_max: int | None,
+) -> list[str]:
+    """Drop files whose manifest [ts_min, ts_max] stats are disjoint
+    from the query range. Files with no recorded stats (older
+    manifests) are conservatively kept."""
+    if ts_min is None and ts_max is None:
+        return files
+    stats: dict = {}
+    for s in snaps:
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        stats.update(s.get("file_stats") or {})
+    out = []
+    for f in files:
+        st = stats.get(f)
+        if st is None or st[0] is None:
+            out.append(f)
+            continue
+        mn, mx = st
+        if (ts_max is not None and mn > ts_max) or (
+            ts_min is not None and mx < ts_min
+        ):
+            continue
+        out.append(f)
+    return out
+
+
+def scan_files(
+    spark: SparkSession,
+    path: str,
+    ts_min: int | None = None,
+    ts_max: int | None = None,
+    snapshot_id: int | None = None,
+) -> list[str]:
+    """The exact (relative) data files a ``scan`` with these time
+    bounds would read — the observable surface of manifest file
+    skipping, for tests and job planning."""
+    from lbf_spark import fsio
+
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    return _stats_pruned_files(
+        _cumulative_files(spark, path, snaps, as_of=snapshot_id),
+        snaps, snapshot_id, ts_min, ts_max,
+    )
+
+
+def expire_snapshots(
+    spark: SparkSession, path: str, keep_last: int
+) -> dict:
+    """Snapshot retention (Iceberg ``expireSnapshots``): keep only the
+    last ``keep_last`` snapshots, DELETE data files no retained
+    snapshot can see (merge-replaced files whose history expired), and
+    compact the oldest retained manifest into a reset point (recorded
+    ``mode="overwrite"`` with its full visible file list + merged
+    stats, so replay no longer needs the deleted manifests). Time
+    travel to an expired snapshot then raises the standard
+    predates-an-overwrite error; ``incremental_files`` across the
+    boundary refuses likewise.
+
+    Metadata-only except for the file deletes; returns
+    {n_expired_snapshots, n_deleted_files}."""
+    from lbf_spark import fsio
+
+    meta_dir = fsio.join(path, "metadata")
+    snaps = _read_snaps(spark, meta_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    if len(snaps) <= keep_last:
+        return {"n_expired_snapshots": 0, "n_deleted_files": 0}
+    retained = snaps[-keep_last:]
+    expired = snaps[:-keep_last]
+    # files any retained snapshot can see (time travel within retention)
+    keep_files: set[str] = set()
+    for s in retained:
+        keep_files.update(
+            _replay_files(snaps, as_of=s["snapshot_id"])["visible"]
+        )
+    data_dir = fsio.join(path, "data")
+    on_disk = [
+        f["path"] for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+    ]
+    doomed = sorted(set(on_disk) - keep_files)
+    fs, _p, jvm = fsio._fs_path(spark, data_dir)
+    for f in doomed:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{data_dir}/{f}"), False)
+    # compact the oldest retained manifest into a reset point
+    oldest = dict(retained[0])
+    merged_stats: dict = {}
+    for s in snaps:
+        if s["snapshot_id"] > oldest["snapshot_id"]:
+            break
+        merged_stats.update(s.get("file_stats") or {})
+    base_visible = _replay_files(snaps, as_of=oldest["snapshot_id"])["visible"]
+    oldest["mode"] = "overwrite"
+    oldest["added_files"] = sorted(base_visible)
+    oldest["file_stats"] = {
+        f: merged_stats[f] for f in base_visible if f in merged_stats
+    }
+    oldest.pop("removed_files", None)
+    oldest["parent"] = None
+    fsio.write_text_atomic(
+        spark,
+        fsio.join(meta_dir, f"snap-{oldest['snapshot_id']:05d}.json"),
+        json.dumps(oldest, indent=1),
+    )
+    for s in expired:
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                fsio.join(meta_dir, f"snap-{s['snapshot_id']:05d}.json")
+            ),
+            False,
+        )
+    return {
+        "n_expired_snapshots": len(expired),
+        "n_deleted_files": len(doomed),
+    }
 
 
 def compaction_plan(

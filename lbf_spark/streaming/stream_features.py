@@ -18,6 +18,8 @@ is how the tests verify streaming results equal the batch oracle.
 
 from __future__ import annotations
 
+import json
+
 from pyspark.sql import DataFrame, functions as F
 
 
@@ -247,3 +249,80 @@ def stream_dedup(
     return src.withWatermark("event_time", watermark_delay).dropDuplicatesWithinWatermark(
         keys
     )
+
+
+def stream_table_sink(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    n_buckets: int = 16,
+    ts_unit_day: int = 86_400,
+    trigger_available_now: bool = True,
+):
+    """Stream → snapshot table: every micro-batch appends one snapshot
+    via the table layer (``sources.table.write_table``), giving the
+    stream's output time travel, incremental reads, and manifest
+    lineage for free.
+
+    Exactly-once: Structured Streaming replays a failed micro-batch
+    (foreachBatch is at-least-once), so the sink is made IDEMPOTENT
+    the standard way — each snapshot manifest records its ``batch_id``
+    and a replayed batch whose id is already committed is skipped.
+    Combined with the streaming checkpoint this yields end-to-end
+    exactly-once into the table.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+
+    def commit_batch(batch_df: DataFrame, batch_id: int) -> None:
+        table_batch_commit(
+            batch_df, batch_id, path,
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(commit_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def table_batch_commit(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    n_buckets: int = 16,
+    ts_unit_day: int = 86_400,
+) -> dict | None:
+    """One micro-batch → one table snapshot, idempotently: the manifest
+    records ``batch_id`` and a replayed (already-committed) batch id is
+    a no-op. Factored out of ``stream_table_sink`` so the replay
+    contract is directly testable. Returns the snapshot, or None if
+    skipped/empty."""
+    from lbf_spark import fsio
+    from lbf_spark.sources import table as TBL
+
+    if batch_df.isEmpty():
+        return None
+    spark = batch_df.sparkSession
+    meta_dir = fsio.join(path, "metadata")
+    committed = [
+        json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))).get(
+            "batch_id"
+        )
+        for n in fsio.list_names(spark, meta_dir)
+        if n.endswith(".json")
+    ] if fsio.exists(spark, meta_dir) else []
+    if batch_id in committed:
+        return None  # replayed batch: already durable (idempotence)
+    snap = TBL.write_table(
+        batch_df, path, mode="append" if committed else "overwrite",
+        n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+    )
+    snap["batch_id"] = batch_id
+    fsio.write_text_atomic(
+        spark,
+        fsio.join(meta_dir, f"snap-{snap['snapshot_id']:05d}.json"),
+        json.dumps(snap, indent=1),
+    )
+    return snap

@@ -236,3 +236,54 @@ def test_stream_dedup_across_microbatches(spark, tmp_path):
     q.awaitTermination()
     got = spark.sql("select k from dedup_tbl").toPandas()["k"].tolist()
     assert sorted(got) == ["a", "b", "c", "d"]
+
+
+def test_stream_table_sink_exactly_once(spark, tmp_path, tiny_events):
+    """Stream → snapshot table: availableNow run lands every row
+    exactly once (one snapshot per micro-batch, batch lineage in the
+    manifests); a REPLAYED micro-batch (foreachBatch is at-least-once)
+    is skipped idempotently; the table then time-travels normally."""
+    import json as _json
+
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import stream_table_sink
+
+    src_dir = tmp_path / "sink_src"
+    src_dir.mkdir()
+    pdf = tiny_events[["entity", "ts", "image_id", "phash"]]
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:400], preserve_index=False),
+                   str(src_dir / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[400:], preserve_index=False),
+                   str(src_dir / "b.parquet"))
+    tbl = str(tmp_path / "sink_tbl")
+    stream = spark.readStream.schema(
+        "entity string, ts long, image_id string, phash long"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+    q = stream_table_sink(
+        stream, tbl, checkpoint_dir=str(tmp_path / "sink_ckpt"),
+        ts_unit_day=10_000,
+    )
+    q.awaitTermination(120)
+    assert TBL.scan(spark, tbl).count() == len(pdf)
+    snap = TBL.current_snapshot(tbl, spark)
+    assert snap["batch_id"] is not None and snap["snapshot_id"] >= 2
+
+    # the at-least-once replay contract, invoked directly: re-commit
+    # the LAST batch id with its data — must be an idempotent no-op
+    from lbf_spark.streaming.stream_features import table_batch_commit
+
+    names = sorted(p.name for p in (tmp_path / "sink_tbl" / "metadata").iterdir())
+    last = _json.loads((tmp_path / "sink_tbl" / "metadata" / names[-1]).read_text())
+    replay_df = spark.createDataFrame(pdf.iloc[400:])
+    assert table_batch_commit(
+        replay_df, last["batch_id"], tbl, ts_unit_day=10_000
+    ) is None
+    assert TBL.scan(spark, tbl).count() == len(pdf)  # nothing duplicated
+    assert TBL.current_snapshot(tbl, spark)["snapshot_id"] == last["snapshot_id"]
+    # a genuinely NEW batch id still commits
+    new_df = spark.createDataFrame(
+        pdf.iloc[:5].assign(image_id=lambda d: "nb_" + d.image_id)
+    )
+    snap = table_batch_commit(new_df, last["batch_id"] + 1, tbl, ts_unit_day=10_000)
+    assert snap is not None
+    assert TBL.scan(spark, tbl).count() == len(pdf) + 5

@@ -254,3 +254,76 @@ def test_zorder_write_layout_prunes_files(spark, tiny_events, tmp_path):
     assert hit_z < hit_plain                          # pruning benefit
     # and the data itself is intact
     assert TBL.scan(spark, p_z).count() == n
+
+
+def test_manifest_file_stats_skip_files(spark, tiny_events, tmp_path):
+    """Per-file ts min/max stats must drop whole files for a time-range
+    scan BEFORE the reader is built (finer than ts_day directories:
+    several appends share a day but cover disjoint ts ranges)."""
+    path = str(tmp_path / "tbl_stats")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    # three appends covering disjoint ts thirds, same huge ts_unit_day
+    # => all files land in ONE day directory (partition pruning blind)
+    lo, hi = tiny_events.ts.min(), tiny_events.ts.max()
+    cut1, cut2 = lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3
+    TBL.write_table(
+        ev.filter(F.col("ts") < cut1), path, mode="overwrite",
+        ts_unit_day=10_000_000,
+    )
+    TBL.write_table(
+        ev.filter((F.col("ts") >= cut1) & (F.col("ts") < cut2)), path,
+        mode="append", ts_unit_day=10_000_000,
+    )
+    TBL.write_table(
+        ev.filter(F.col("ts") >= cut2), path, mode="append",
+        ts_unit_day=10_000_000,
+    )
+    all_files = TBL.scan_files(spark, path)
+    pruned = TBL.scan_files(spark, path, ts_min=int(cut2))
+    assert 0 < len(pruned) < len(all_files)
+    # correctness unchanged vs a full-scan filter
+    got = TBL.scan(
+        spark, path, ts_min=int(cut2), ts_unit_day=10_000_000
+    ).count()
+    exp = int((tiny_events.ts >= cut2).sum())
+    assert got == exp
+
+
+def test_expire_snapshots_deletes_unreachable_files(spark, tiny_events, tmp_path):
+    """Retention: keep_last=2 after a merge — files only the expired
+    snapshots could see are deleted from disk, the live scan and the
+    retained time travel are unchanged, expired travel raises."""
+    import pandas as pd
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_expire")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)      # 1
+    upd = tiny_events.iloc[:20].copy()
+    upd["phash"] = 7
+    changes = fixtures.events_to_spark(spark, upd)
+    TBL.merge_upsert(spark, path, changes, keys=["image_id"])            # 2
+    extra = fixtures.events_to_spark(spark, tiny_events.iloc[:10]).withColumn(
+        "image_id", F.concat(F.lit("x_"), F.col("image_id"))
+    )
+    TBL.write_table(extra, path, mode="append", ts_unit_day=10_000)      # 3
+
+    n_live = TBL.scan(spark, path).count()
+    n_disk_before = len(
+        __import__("glob").glob(path + "/data/**/*.parquet", recursive=True)
+    )
+    res = TBL.expire_snapshots(spark, path, keep_last=2)
+    assert res["n_expired_snapshots"] == 1
+    assert res["n_deleted_files"] > 0  # merge-replaced files expired
+    n_disk_after = len(
+        __import__("glob").glob(path + "/data/**/*.parquet", recursive=True)
+    )
+    assert n_disk_after == n_disk_before - res["n_deleted_files"]
+
+    assert TBL.scan(spark, path).count() == n_live
+    assert TBL.scan(spark, path, snapshot_id=2).count() == len(tiny_events)
+    got = TBL.scan(spark, path, snapshot_id=2).toPandas()
+    assert (got.set_index("image_id").loc[upd.image_id, "phash"] == 7).all()
+    with _pytest.raises(ValueError, match="predates an overwrite"):
+        TBL.scan(spark, path, snapshot_id=1).count()
+    _ = pd
