@@ -4068,6 +4068,98 @@ def q105(spark, sf_dir):
     )
 
 
+@q(
+    "q106_phash_neardup",
+    """
+    with s as (
+      select event_id,
+             xor(('0x' || substr(md5('u' || cast(user_id as varchar)), 1, 15))::bigint,
+                 cast(pow(2, event_id % 60) as bigint)) as phash
+      from events where event_id % 5 = 0
+    ),
+    f as (
+      select event_id, phash, t.b as bidx,
+             (phash // cast(pow(2, 16 * t.b) as bigint)) % 65536 as bval
+      from s, unnest([0, 1, 2, 3]) as t(b)
+    ),
+    cand as (
+      select distinct x.event_id as id_a, y.event_id as id_b,
+                      x.phash as pa, y.phash as pb
+      from f x join f y
+        on x.bidx = y.bidx and x.bval = y.bval and x.event_id < y.event_id
+    )
+    select id_a, id_b, bit_count(xor(pa, pb)) as hamming
+    from cand where bit_count(xor(pa, pb)) <= 2
+    """,
+)
+def q106(spark, sf_dir):
+    """IMAGE near-duplicate pairs via perceptual-hash banding
+    (operators/images.py:phash_band_features — the q25 SimHash recipe
+    applied to the image modality): 64-bit phash split into 4 bands,
+    band equi-join for candidates (pigeonhole: hamming ≤ bands−1
+    guarantees ≥1 equal band — here ≤2 bit flips always leave ≥2),
+    exact ``bit_count(xor)`` hamming verify. The phash itself is
+    synthesized deterministically IN BOTH ENGINES (md5 of the user →
+    60-bit base, one event-dependent bit flipped), so each user's
+    images form a planted near-dup family and the whole
+    candidates→verify path is hash-checked bit-exact. Shape at 100 TB:
+    disjoint band equi-joins, never all-pairs; verify only candidates.
+    """
+    from lbf_spark.operators.images import phash_band_features
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseXOR(
+                F.pow(F.lit(2.0), (F.col("event_id") % 60).cast("int")).cast("long")
+            )
+            .alias("phash"),
+        )
+    )
+    banded = phash_band_features(ev, "phash", bands=4)
+    flat = banded.select(
+        "event_id",
+        "phash",
+        F.posexplode(
+            F.array(*[F.col(f"phash_band{b}") for b in range(4)])
+        ).alias("bidx", "bval"),
+    )
+    x, y = flat.alias("x"), flat.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.event_id") < F.col("y.event_id")),
+        )
+        .select(
+            F.col("x.event_id").alias("id_a"),
+            F.col("y.event_id").alias("id_b"),
+            F.col("x.phash").alias("pa"),
+            F.col("y.phash").alias("pb"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("pa").bitwiseXOR(F.col("pb")))
+    return (
+        cand.withColumn("hamming", ham.cast("long"))
+        .filter(F.col("hamming") <= 2)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
 @q("q103_audio_features", None)
 def q103(spark, sf_dir):
     """Audio modality end-to-end (rows-only: DuckDB cannot run the
