@@ -4160,6 +4160,58 @@ def q106(spark, sf_dir):
     )
 
 
+@q(
+    "q107_incremental_read",
+    """
+    select event_id, cast(user_id as varchar) as entity,
+           epoch_us(ts) as ts_us, event_type, round(value, 4) + 0 as value_r
+    from events where event_id % 6 = 1
+    """,
+)
+def q107(spark, sf_dir):
+    """Incremental (changelog) reads through the driver
+    (sources/table.py:incremental_files — the Iceberg append-scan):
+    snapshot 1 = base rows, snapshots 2 and 3 = two appended slices;
+    the query reads ONLY the files snapshots (1, 3] added — never
+    rescanning the base — and the oracle is exactly the appended
+    slices, so a consumer that missed rows or re-read base files
+    hash-mismatches."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    path = _table_tmp(sf_dir, "q107")
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 6 == 0), path, mode="overwrite",
+        n_buckets=4, ts_unit_day=7 * _DAY_US,
+    )
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 12 == 1), path, mode="append",
+        n_buckets=4, ts_unit_day=7 * _DAY_US,
+    )
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 12 == 7), path, mode="append",
+        n_buckets=4, ts_unit_day=7 * _DAY_US,
+    )
+    inc = TBL.incremental_files(spark, path, after=1)
+    return (
+        spark.read.option("basePath", f"{path}/data")
+        .parquet(*inc)
+        .select(
+            "event_id",
+            "entity",
+            F.col("ts").alias("ts_us"),
+            "event_type",
+            (F.round("value", 4) + F.lit(0)).alias("value_r"),
+        )
+    )
+
+
 @q("q103_audio_features", None)
 def q103(spark, sf_dir):
     """Audio modality end-to-end (rows-only: DuckDB cannot run the

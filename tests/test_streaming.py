@@ -287,3 +287,42 @@ def test_stream_table_sink_exactly_once(spark, tmp_path, tiny_events):
     snap = table_batch_commit(new_df, last["batch_id"] + 1, tbl, ts_unit_day=10_000)
     assert snap is not None
     assert TBL.scan(spark, tbl).count() == len(pdf) + 5
+
+
+def test_stream_image_decode_matches_batch(spark, tmp_path, tiny_events):
+    """The flagship's decode stage runs unchanged under Structured
+    Streaming (mapInPandas is streaming-compatible): per-image pixel
+    stats from a 2-micro-batch stream == the batch run."""
+    from lbf_spark.operators.images import decode_stats
+
+    src_dir = tmp_path / "img_src"
+    src_dir.mkdir()
+    pdf = tiny_events[["image_id", "bytes", "fmt"]].iloc[:300]
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[:150], preserve_index=False),
+                   str(src_dir / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(pdf.iloc[150:], preserve_index=False),
+                   str(src_dir / "b.parquet"))
+    batch = (
+        decode_stats(spark.read.parquet(str(src_dir)))
+        .select("image_id", "pixel_mean", "pixel_std")
+        .toPandas().sort_values("image_id", ignore_index=True)
+    )
+    stream = spark.readStream.schema(
+        "image_id string, bytes binary, fmt string"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+    q = (
+        decode_stats(stream)
+        .select("image_id", "pixel_mean", "pixel_std")
+        .writeStream.format("memory").queryName("img_stats_tbl")
+        .trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = (
+        spark.table("img_stats_tbl")
+        .toPandas().sort_values("image_id", ignore_index=True)
+    )
+    assert len(got) == len(batch) == 300
+    assert (got["image_id"] == batch["image_id"]).all()
+    import numpy as np
+    np.testing.assert_allclose(got["pixel_mean"], batch["pixel_mean"], rtol=0, atol=0)
+    np.testing.assert_allclose(got["pixel_std"], batch["pixel_std"], rtol=0, atol=0)
