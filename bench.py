@@ -59,6 +59,10 @@ EXTRA_QUERIES = [
     "q87_curation_pipeline",
     "q73_weighted_sample",
     "q81_inverted_index",
+    # round-4 write path: MERGE copy-on-write + z-ordered layout write
+    # (each line = full write+maintain+scan cycle at the sf dir)
+    "q101_merge_upsert",
+    "q105_zorder_write_roundtrip",
 ]
 
 

@@ -601,6 +601,32 @@ def expire_snapshots(
     }
 
 
+def remove_orphan_files(spark: SparkSession, path: str) -> dict:
+    """Delete data files no manifest has ever adopted — the debris a
+    killed write job leaves between landing parquet parts and
+    committing its snapshot (Iceberg ``removeOrphanFiles``). Orphans
+    are exactly on-disk minus every file referenced since the last
+    overwrite (including merge-replaced files, which older snapshots
+    still need). ONLY call while no write is in flight — an
+    uncommitted concurrent write's files look identical to debris.
+    Returns {n_orphans_deleted}."""
+    from lbf_spark import fsio
+
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    if not snaps:
+        raise ValueError("remove_orphan_files needs an existing table snapshot")
+    known = set(_replay_files(snaps)["known"])
+    data_dir = fsio.join(path, "data")
+    on_disk = [
+        f["path"] for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+    ]
+    orphans = sorted(set(on_disk) - known)
+    fs, _p, jvm = fsio._fs_path(spark, data_dir)
+    for f in orphans:
+        fs.delete(jvm.org.apache.hadoop.fs.Path(f"{data_dir}/{f}"), False)
+    return {"n_orphans_deleted": len(orphans)}
+
+
 def compaction_plan(
     files: DataFrame,
     target_bytes: int,

@@ -327,3 +327,31 @@ def test_expire_snapshots_deletes_unreachable_files(spark, tiny_events, tmp_path
     with _pytest.raises(ValueError, match="predates an overwrite"):
         TBL.scan(spark, path, snapshot_id=1).count()
     _ = pd
+
+
+def test_remove_orphan_files(spark, tiny_events, tmp_path):
+    """Debris from a killed write (parquet parts with no manifest) is
+    deleted; adopted files — including merge-replaced ones that older
+    snapshots still need — survive."""
+    import shutil
+
+    path = str(tmp_path / "tbl_orphan")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    upd = tiny_events.iloc[:10].copy()
+    upd["phash"] = 9
+    TBL.merge_upsert(
+        spark, path, fixtures.events_to_spark(spark, upd), keys=["image_id"]
+    )
+    # plant debris: copy a real part file to an uncommitted name
+    real = __import__("glob").glob(path + "/data/**/*.parquet", recursive=True)[0]
+    stray = real.replace(".parquet", "-orphan.parquet")
+    shutil.copy(real, stray)
+    n_live = TBL.scan(spark, path).count()
+    res = TBL.remove_orphan_files(spark, path)
+    assert res["n_orphans_deleted"] == 1
+    import os
+    assert not os.path.exists(stray)
+    assert TBL.scan(spark, path).count() == n_live
+    # merge-replaced files survived: pre-merge time travel intact
+    assert TBL.scan(spark, path, snapshot_id=1).count() == len(tiny_events)
