@@ -92,6 +92,34 @@ def write_text_atomic(spark, path: str, text: str) -> None:
             raise IOError(f"rename {tmp} -> {path} failed")
 
 
+def write_text_exclusive(spark, path: str, text: str) -> None:
+    """Commit ``text`` to ``path`` ONLY if nothing is there — the
+    optimistic-concurrency primitive for snapshot manifests: two
+    writers that both computed snapshot N race on the same name, and
+    exactly one rename wins (Hadoop ``FileSystem.rename`` refuses to
+    clobber an existing destination on HDFS and local FS alike — the
+    same claim mechanism Iceberg's HadoopTableOperations uses). The
+    loser gets ``FileExistsError`` and must re-read the table state
+    and retry its commit. On S3A the no-clobber guarantee is
+    best-effort (no atomic create-exclusive) — use a real catalog
+    there."""
+    fs, p, jvm = _fs_path(spark, path)
+    tmp = jvm.org.apache.hadoop.fs.Path(
+        f"{path}.{uuid.uuid4().hex[:12]}.tmp"
+    )
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(text.encode("utf-8")))
+    finally:
+        out.close()
+    if fs.exists(p) or not fs.rename(tmp, p):
+        fs.delete(tmp, False)
+        raise FileExistsError(
+            f"{path} already exists — another writer committed this "
+            "snapshot id first; re-read the table state and retry"
+        )
+
+
 def list_names(spark, path: str) -> list[str]:
     """Immediate children's names (no recursion), [] for a missing dir."""
     fs, p, _ = _fs_path(spark, path)

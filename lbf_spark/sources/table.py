@@ -31,6 +31,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 DAY = 86_400
 
 
+class ConcurrentWriteError(RuntimeError):
+    """Another writer committed the same snapshot id first. The losing
+    writer's data files are already on disk but un-adopted — re-read
+    the table state and retry the write; ``remove_orphan_files``
+    reclaims the debris if the retry is abandoned."""
+
+
 def _with_partition_cols(df: DataFrame, n_buckets: int, ts_unit_day: int) -> DataFrame:
     return df.withColumn(
         "entity_bucket", F.pmod(F.xxhash64("entity"), F.lit(n_buckets)).cast("int")
@@ -140,7 +147,12 @@ def write_table(
         "mode": mode,
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
-    fsio.write_text_atomic(spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1))
+    try:  # optimistic concurrency: exactly one writer claims this id
+        fsio.write_text_exclusive(
+            spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
+        )
+    except FileExistsError as e:
+        raise ConcurrentWriteError(str(e)) from e
     return snapshot
 
 
@@ -380,9 +392,12 @@ def merge_upsert(
         "mode": "merge",
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
-    fsio.write_text_atomic(
-        spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
-    )
+    try:  # optimistic concurrency, same contract as write_table
+        fsio.write_text_exclusive(
+            spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
+        )
+    except FileExistsError as e:
+        raise ConcurrentWriteError(str(e)) from e
     return snapshot
 
 

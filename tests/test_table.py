@@ -355,3 +355,94 @@ def test_remove_orphan_files(spark, tiny_events, tmp_path):
     assert TBL.scan(spark, path).count() == n_live
     # merge-replaced files survived: pre-merge time travel intact
     assert TBL.scan(spark, path, snapshot_id=1).count() == len(tiny_events)
+
+
+def test_concurrent_snapshot_commit_loses_cleanly(
+    spark, tiny_events, tmp_path, monkeypatch
+):
+    """Optimistic concurrency: a writer whose snapshot id was claimed
+    first must raise ConcurrentWriteError (never silently clobber).
+    The race is emulated by hiding the competitor's freshly-committed
+    manifest from THIS writer's listing (it listed before the
+    competitor's rename landed), so both compute snapshot id 2 and
+    exactly one rename can win."""
+    import pytest as _pytest
+
+    from lbf_spark import fsio
+
+    path = str(tmp_path / "tbl_cc")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    # the competitor commits a valid snap-00002 ...
+    snap2 = fixtures.events_to_spark(spark, tiny_events.iloc[:5]).withColumn(
+        "image_id", F.concat(F.lit("other_"), F.col("image_id"))
+    )
+    TBL.write_table(snap2, path, mode="append", ts_unit_day=10_000)
+    # ... which this writer's listing has not seen yet
+    real_list = fsio.list_names
+
+    def stale_list(s, p):
+        return [n for n in real_list(s, p) if "snap-00002" not in n]
+
+    monkeypatch.setattr(fsio, "list_names", stale_list)
+    extra = fixtures.events_to_spark(spark, tiny_events.iloc[:20]).withColumn(
+        "image_id", F.concat(F.lit("cc_"), F.col("image_id"))
+    )
+    with _pytest.raises(TBL.ConcurrentWriteError, match="another writer"):
+        TBL.write_table(extra, path, mode="append", ts_unit_day=10_000)
+    monkeypatch.undo()
+    # the winner's table state is intact and readable
+    assert TBL.current_snapshot(path, spark)["snapshot_id"] == 2
+    # the loser's data files are reclaimable debris
+    assert TBL.remove_orphan_files(spark, path)["n_orphans_deleted"] > 0
+
+
+def test_merge_upsert_matches_pandas_oracle_seeded(spark, tiny_events, tmp_path):
+    """Property-style: 3 seeded random changelogs (update/delete/insert
+    mix) — post-merge scan must equal the pandas-computed expected
+    state every time."""
+    import numpy as np
+    import pandas as pd
+
+    base = tiny_events.copy().reset_index(drop=True)
+    for seed in (11, 23, 47):
+        rng = np.random.default_rng(seed)
+        path = str(tmp_path / f"tbl_prop_{seed}")
+        TBL.write_table(
+            fixtures.events_to_spark(spark, base), path,
+            mode="overwrite", ts_unit_day=10_000,
+        )
+        upd_idx = rng.choice(len(base), size=15, replace=False)
+        del_idx = rng.choice(
+            [i for i in range(len(base)) if i not in set(upd_idx)],
+            size=10, replace=False,
+        )
+        upd = base.iloc[upd_idx].copy()
+        upd["phash"] = rng.integers(0, 1 << 30, size=len(upd))
+        upd["__del"] = False
+        dele = base.iloc[del_idx].copy()
+        dele["__del"] = True
+        ins = base.iloc[rng.choice(len(base), size=5, replace=False)].copy()
+        ins["image_id"] = [f"ins{seed}_{i}" for i in range(len(ins))]
+        ins["__del"] = False
+        changes = pd.concat([upd, dele, ins], ignore_index=True)
+        TBL.merge_upsert(
+            spark, path,
+            fixtures.events_to_spark(spark, changes).withColumn(
+                "__del", F.col("__del").cast("boolean")
+            ),
+            keys=["image_id"], delete_col="__del",
+        )
+        # pandas oracle of the post-merge state
+        keyed = set(changes["image_id"])
+        exp = pd.concat(
+            [base[~base.image_id.isin(keyed)], upd.drop(columns="__del"),
+             ins.drop(columns="__del")],
+            ignore_index=True,
+        )
+        got = TBL.scan(spark, path).toPandas()
+        assert len(got) == len(exp), seed
+        g = got.sort_values("image_id", ignore_index=True)
+        e = exp.sort_values("image_id", ignore_index=True)
+        assert (g["image_id"] == e["image_id"]).all(), seed
+        assert (g["phash"].to_numpy() == e["phash"].to_numpy()).all(), seed
