@@ -4212,6 +4212,123 @@ def q107(spark, sf_dir):
     )
 
 
+@q(
+    "q108_sequence_packing",
+    f"""
+    with d as (
+      select doc_id, source, cast(len({_TOKS_SQL}) as bigint) as n_tok
+      from documents
+    ),
+    p as (
+      select doc_id, source, n_tok,
+             coalesce(sum(n_tok) over (partition by source order by doc_id
+                        rows between unbounded preceding and 1 preceding),
+                      0) as cum
+      from d
+    )
+    select doc_id, source, n_tok,
+           cast(floor(cum / 512.0) as bigint) as pack_id
+    from p
+    """,
+)
+def q108(spark, sf_dir):
+    """Training-sequence packing: greedy first-fit of documents into
+    ~512-token packs, SHARD-LOCAL (per source) — pack_id =
+    floor(exclusive_prefix_sum(n_tok) / budget) over a (source,
+    doc_id)-ordered window, the compaction_plan recipe applied to
+    token budgets. The window partitions by source, so at 10¹² docs
+    the prefix sum is per-shard (the standard practice: sequence
+    packing is always shard-local; a GLOBAL pack order would be one
+    task and is exactly what this shape avoids)."""
+    from pyspark.sql import Window as _W
+
+    from lbf_spark.util import fan_out
+
+    d = fan_out(t(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.size(dedup.tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        _W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return d.withColumn(
+        "pack_id", F.floor(cum / F.lit(512.0)).cast("long")
+    )
+
+
+@q(
+    "q109_bigram_lm_quality",
+    """
+    with g as (
+      select doc_id,
+             unnest(case when length(text) >= 2
+                         then [substr(text, i, 2)
+                               for i in range(1, length(text))]
+                         else [] end) as bigram
+      from documents
+    ),
+    c as (select bigram, count(*) as n from g group by bigram),
+    t as (select count(*) as total from g),
+    s as (
+      select g.doc_id,
+             cast(round(ln(cast(c.n as double) / t.total), 6)
+                  as decimal(18,6)) as lp
+      from g join c using (bigram) cross join t
+    )
+    select doc_id, cast(count(*) as bigint) as n_bigrams,
+           round(cast(sum(lp) as double) / count(*), 6) as lp_avg
+    from s group by doc_id
+    """,
+)
+def q109(spark, sf_dir):
+    """Character-bigram language-model quality score (the KenLM-style
+    perplexity filter of C4/Gopher pipelines, reduced to a corpus-MLE
+    bigram model both engines can compute exactly): per-doc mean log
+    P(bigram) under corpus frequencies. Gibberish/repetitive docs
+    score far from the corpus mode — the classic cheap quality signal.
+
+    Determinism: per-bigram ln is rounded(6) then DECIMAL-summed per
+    doc (order-proof partial aggregation), one double division at the
+    end. Shape at 100 TB: bigram counts are an |alphabet|²-bounded
+    word-count (map-side absorbed); the probability join is against
+    that bounded table (AQE broadcasts it); everything else is
+    row-local explode behind fan_out."""
+    from lbf_spark.util import fan_out
+
+    docs = fan_out(t(spark, sf_dir, "documents"))
+    grams = F.expr(
+        "case when length(text) >= 2"
+        " then transform(sequence(1, length(text) - 1),"
+        "                i -> substr(text, i, 2))"
+        " else cast(array() as array<string>) end"
+    )
+    g = docs.select("doc_id", F.explode(grams).alias("bigram"))
+    c = g.groupBy("bigram").agg(F.count(F.lit(1)).alias("n"))
+    total = g.agg(F.count(F.lit(1)).alias("total"))
+    s = (
+        g.join(c, "bigram")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.round(
+                F.log(F.col("n").cast("double") / F.col("total")), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    return s.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("lp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("lp_avg"),
+    )
+
+
 @q("q103_audio_features", None)
 def q103(spark, sf_dir):
     """Audio modality end-to-end (rows-only: DuckDB cannot run the
