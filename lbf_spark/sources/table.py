@@ -343,19 +343,22 @@ def merge_upsert(
     data_dir = fsio.join(path, "data")
     replay = _replay_files(snaps)
     visible, known = replay["visible"], set(replay["known"])
-    cur = spark.read.option("basePath", data_dir).parquet(
-        *[fsio.join(data_dir, f) for f in visible]
-    )
     keyed_changes = changes.select(*keys).distinct()
-    affected_abs = [
-        r["__f"]
-        for r in cur.withColumn("__f", F.input_file_name())
-        .join(keyed_changes, keys, "left_semi")
-        .select("__f")
-        .distinct()
-        .collect()
-    ]
-    affected = sorted({a[a.rindex("/data/") + 6:] for a in affected_abs})
+    if visible:
+        cur = spark.read.option("basePath", data_dir).parquet(
+            *[fsio.join(data_dir, f) for f in visible]
+        )
+        affected_abs = [
+            r["__f"]
+            for r in cur.withColumn("__f", F.input_file_name())
+            .join(keyed_changes, keys, "left_semi")
+            .select("__f")
+            .distinct()
+            .collect()
+        ]
+        affected = sorted({a[a.rindex("/data/") + 6:] for a in affected_abs})
+    else:  # everything previously merged away: pure-insert merge
+        affected = []
     upserts = changes
     if delete_col is not None:
         upserts = upserts.filter(
@@ -640,6 +643,97 @@ def remove_orphan_files(spark: SparkSession, path: str) -> dict:
     for f in orphans:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{data_dir}/{f}"), False)
     return {"n_orphans_deleted": len(orphans)}
+
+
+def compact_table(
+    spark: SparkSession, path: str, target_bytes: int = 128 * 1024 * 1024
+) -> dict:
+    """Execute small-file compaction (the rewrite `compaction_plan`
+    only PLANS): partition-dir-local first-fit groups of visible files
+    under ``target_bytes`` with ≥2 members are read back and rewritten
+    as ~``ceil(total/target)`` files, committed as a ``merge``-mode
+    snapshot (rewritten files in ``removed_files``, new ones in
+    ``added_files``) — so time travel to pre-compaction snapshots
+    still works and the visible row set is EXACTLY unchanged.
+
+    Shape at 100 TB: grouping is a driver-side pass over the file
+    manifest (metadata-scale); the rewrite reads/writes only the
+    fragmented files, one distributed job for all groups (rows land
+    back in their own partition dirs via partitionBy). Returns
+    {n_rewritten_files, n_new_files} (zeros when nothing qualifies)."""
+    import posixpath as _pp
+
+    from lbf_spark import fsio
+
+    meta_dir = fsio.join(path, "metadata")
+    snaps = _read_snaps(spark, meta_dir)
+    if not snaps:
+        raise ValueError("compact_table needs an existing table snapshot")
+    data_dir = fsio.join(path, "data")
+    replay = _replay_files(snaps)
+    visible = set(replay["visible"])
+    known = set(replay["known"])
+    sizes = {
+        f["path"]: f["bytes"]
+        for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+        if f["path"] in visible
+    }
+    by_dir: dict = {}
+    for f in sorted(sizes):
+        by_dir.setdefault(_pp.dirname(f), []).append(f)
+    doomed: list[str] = []
+    total_bytes = 0
+    for _d, fs_list in by_dir.items():
+        group: list[str] = []
+        g_bytes = 0
+        for f in fs_list:  # first-fit in path order, like compaction_plan
+            if group and g_bytes + sizes[f] > target_bytes:
+                if len(group) >= 2:
+                    doomed += group
+                    total_bytes += g_bytes
+                group, g_bytes = [], 0
+            group.append(f)
+            g_bytes += sizes[f]
+        if len(group) >= 2:
+            doomed += group
+            total_bytes += g_bytes
+    if not doomed:
+        return {"n_rewritten_files": 0, "n_new_files": 0}
+    frag = spark.read.option("basePath", data_dir).parquet(
+        *[fsio.join(data_dir, f) for f in doomed]
+    )
+    n_out = max(1, -(-total_bytes // target_bytes))
+    data_cols = [c for c in frag.columns if c not in ("entity_bucket", "ts_day")]
+    (
+        frag.repartition(n_out, "entity_bucket", "ts_day")
+        .select(*data_cols, "entity_bucket", "ts_day")
+        .write.mode("append")
+        .partitionBy("entity_bucket", "ts_day")
+        .parquet(data_dir)
+    )
+    all_files = [
+        f["path"] for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+    ]
+    new_files = sorted(set(all_files) - known)
+    snapshot = {
+        "snapshot_id": snaps[-1]["snapshot_id"] + 1,
+        "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
+        "schema": snaps[-1]["schema"],
+        "partition_spec": snaps[-1]["partition_spec"],
+        "added_files": new_files,
+        "file_stats": _file_ts_stats(spark, data_dir, new_files),
+        "removed_files": sorted(doomed),
+        "n_data_files": len(all_files),
+        "mode": "merge",
+    }
+    name = f"snap-{snapshot['snapshot_id']:05d}.json"
+    try:
+        fsio.write_text_exclusive(
+            spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
+        )
+    except FileExistsError as e:
+        raise ConcurrentWriteError(str(e)) from e
+    return {"n_rewritten_files": len(doomed), "n_new_files": len(new_files)}
 
 
 def compaction_plan(

@@ -446,3 +446,47 @@ def test_merge_upsert_matches_pandas_oracle_seeded(spark, tiny_events, tmp_path)
         e = exp.sort_values("image_id", ignore_index=True)
         assert (g["image_id"] == e["image_id"]).all(), seed
         assert (g["phash"].to_numpy() == e["phash"].to_numpy()).all(), seed
+
+
+def test_compact_table_rewrites_small_files(spark, tiny_events, tmp_path):
+    """Five tiny appends fragment the table; compact_table must shrink
+    the visible file count, keep the row set exactly, keep pre-compact
+    time travel, and refuse incremental reads across the rewrite."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_compact")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev.limit(0), path, mode="overwrite", ts_unit_day=10_000_000)
+    n = len(tiny_events)
+    step = n // 5
+    for i in range(5):
+        chunk = fixtures.events_to_spark(
+            spark, tiny_events.iloc[i * step:(i + 1) * step]
+        )
+        TBL.write_table(chunk, path, mode="append", ts_unit_day=10_000_000)
+    before_files = len(TBL.scan_files(spark, path))
+    before_rows = TBL.scan(spark, path).count()
+    pre_snap = TBL.current_snapshot(path, spark)["snapshot_id"]
+
+    res = TBL.compact_table(spark, path, target_bytes=1 << 30)
+    assert res["n_rewritten_files"] >= 2
+    assert res["n_new_files"] >= 1
+    after_files = len(TBL.scan_files(spark, path))
+    assert after_files < before_files
+    got = TBL.scan(spark, path)
+    assert got.count() == before_rows
+    # row CONTENT identical, not just the count
+    assert (
+        got.selectExpr("sum(crc32(cast(image_id as binary))) as s").first()["s"]
+        == TBL.scan(spark, path, snapshot_id=pre_snap)
+        .selectExpr("sum(crc32(cast(image_id as binary))) as s")
+        .first()["s"]
+    )
+    # pre-compaction snapshots still readable; changelog refuses
+    assert TBL.scan(spark, path, snapshot_id=pre_snap).count() == before_rows
+    with _pytest.raises(ValueError, match="merge"):
+        TBL.incremental_files(spark, path, after=pre_snap - 1)
+    # idempotence: a second compact finds nothing to do
+    assert TBL.compact_table(spark, path, target_bytes=1 << 30) == {
+        "n_rewritten_files": 0, "n_new_files": 0,
+    }
