@@ -109,6 +109,30 @@ def resize(df: DataFrame, out_w: int, out_h: int) -> DataFrame:
     return df.mapInPandas(batches, schema)
 
 
+def transcode(df: DataFrame, to_fmt: str) -> DataFrame:
+    """Re-encode every image into ``to_fmt`` (decode → encode inside one
+    Arrow batch stage — the payload never moves between stages). The
+    ingest-normalization step of an image pipeline: heterogeneous
+    formats in, one format out; pair with ``image_fidelity`` to certify
+    the codec's PSNR floor after conversion."""
+    schema = df.schema
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_bytes = []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    new_bytes.append(None)
+                    continue
+                new_bytes.append(encode_image(decode_image(bytes(data), fmt), to_fmt))
+            out = pdf.copy()
+            out["bytes"] = new_bytes
+            out["fmt"] = to_fmt
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
 def image_fidelity(df: DataFrame, ref: DataFrame, key: str = "image_id") -> DataFrame:
     """Row-level fidelity vs a reference table: decoded-pixel PSNR and
     exact caption equality (the per-row invariant in BASELINE.json

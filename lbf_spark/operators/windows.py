@@ -440,6 +440,71 @@ def dyad_centers(
     return events.withColumn(out, F.explode(centers))
 
 
+def dyad_centers_prob(
+    events: DataFrame,
+    spacing: int,
+    by: str = "entity",
+    on: str = "ts",
+    duration_col: str = "duration",
+    id_col: str = "event_id",
+    out: str = "center_ts",
+    seed: int = 42,
+    with_k: bool = False,
+) -> DataFrame:
+    """SEEDED probabilistic dyad expansion — the reference's stochastic
+    A5 mode (``signal_transformer.py:50-113``) with the unseeded
+    ``np.random.choice`` replaced by an md5-derived per-row uniform
+    (the A15 seeding rule), so results are deterministic, partition-
+    order independent, and engine-portable while keeping the
+    reference's sampling law:
+
+      k_floor = duration // spacing, rem = duration % spacing,
+      P(k = k_floor + 1) = rem / spacing   (reference's ``p_next``),
+      k = max(1, draw), expanded = k * spacing,
+      centers = midpoint − expanded//2 + spacing//2 + i·spacing.
+
+    The uniform is pure JVM: ``md5(seed:entity:event_id)`` → first 13
+    hex chars → 52-bit integer / 2^52 ∈ [0, 1). Explode is JVM-side —
+    no Python anywhere. ``with_k`` keeps the drawn count (``dyad_k``)
+    and the uniform (``dyad_u``) for certificate queries.
+    """
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":", F.lit(str(seed)), F.col(by), F.col(id_col)
+                    )
+                ),
+                1,
+                13,
+            ),
+            16,
+            10,
+        ).cast("long")
+        / F.lit(float(1 << 52))
+    )
+    dur = F.col(duration_col)
+    k_floor = F.floor(dur / F.lit(spacing))
+    p_next = (dur % F.lit(spacing)) / F.lit(float(spacing))
+    k = F.greatest(
+        F.lit(1).cast("long"),
+        (k_floor + (F.col("dyad_u") < p_next).cast("long")).cast("long"),
+    )
+    expanded = F.col("dyad_k") * F.lit(spacing)
+    est = F.col(on) + F.floor(dur / 2).cast("long") - F.floor(expanded / 2).cast("long")
+    centers = F.transform(
+        F.sequence(F.lit(0).cast("long"), F.col("dyad_k") - 1),
+        lambda i: est + F.lit(spacing // 2) + i * F.lit(spacing),
+    )
+    res = (
+        events.withColumn("dyad_u", u)
+        .withColumn("dyad_k", k)
+        .withColumn(out, F.explode(centers))
+    )
+    return res if with_k else res.drop("dyad_k", "dyad_u")
+
+
 def funnel_conversion(
     df: DataFrame,
     start_event: str,

@@ -2856,7 +2856,8 @@ def q76(spark, sf_dir):
                       0) as cum
       from f
     )
-    select path, n_rows, bytes, cum // 200000 as group_id from c
+    select path, n_rows, bytes,
+           cast(cum // 200000 as bigint) as group_id from c
     """,
 )
 def q77(spark, sf_dir):
@@ -2891,16 +2892,16 @@ def q77(spark, sf_dir):
       from events
     )
     select event_id,
-           list_sum([ ((x // cast(pow(2, i) as bigint)) % 2)
+           cast(list_sum([ ((x // cast(pow(2, i) as bigint)) % 2)
                         * cast(pow(2, 2 * i) as bigint)
                       + ((y // cast(pow(2, i) as bigint)) % 2)
                         * cast(pow(2, 2 * i + 1) as bigint)
-                      for i in range(0, 16)]) as z_value,
-           list_sum([ ((x // cast(pow(2, i) as bigint)) % 2)
+                      for i in range(0, 16)]) as bigint) as z_value,
+           cast(list_sum([ ((x // cast(pow(2, i) as bigint)) % 2)
                         * cast(pow(2, 2 * i) as bigint)
                       + ((y // cast(pow(2, i) as bigint)) % 2)
                         * cast(pow(2, 2 * i + 1) as bigint)
-                      for i in range(0, 16)]) // 16777216 as z_bucket
+                      for i in range(0, 16)]) // 16777216 as bigint) as z_bucket
     from b
     """,
 )
@@ -3406,7 +3407,7 @@ def q90(spark, sf_dir):
     with c as (select cast(user_id as varchar) as k, count(*) as n
                from events group by 1),
     s as (
-      select count(*) as n_keys, sum(n) as total_rows,
+      select count(*) as n_keys, cast(sum(n) as bigint) as total_rows,
              round(quantile_cont(n, 0.5), 4) as p50_rows_per_key,
              round(quantile_cont(n, 0.99), 4) as p99_rows_per_key,
              round(max(n) / (sum(n) / count(*)), 4) as skew_ratio
@@ -4383,22 +4384,362 @@ def q103(spark, sf_dir):
     )
 
 
+# =====================================================================
+# certificate queries (q104 pattern): each emits one row per VIOLATION
+# of a stated invariant of a non-SQL-expressible operator, and the
+# oracle is the empty set — the driver's hash check then *proves* the
+# invariant held on this data. This upgrades the former rows-only
+# entries (q33 image pipeline, q50 p-values, q51 subsample, q103 audio)
+# to driver-hash-verified.
+# =====================================================================
+
+
+_EMPTY_CERT3 = """
+    select cast(null as varchar) as family,
+           cast(null as varchar) as key,
+           cast(null as double) as err
+    where 1 = 0
+    """
+
+
+@q("q110_decode_fidelity_cert", _EMPTY_CERT3)
+def q110(spark, sf_dir):
+    """Decode-fidelity CERTIFICATE for the image modality (the
+    BASELINE.json per-row invariant: decoded-pixel PSNR ≥ 40 dB for
+    lossy, caption exactly equal). Synthesizes the deterministic
+    image+caption table, TRANSCODES every row to the lossy codec
+    (operators/images.py:transcode — decode→re-encode in one Arrow
+    stage), then runs image_fidelity against the originals and emits
+    every row whose PSNR dips under 40 dB or whose caption drifted.
+    Empty ⇔ the codec's quantization floor (≈46.9 dB, codec.py:103)
+    and the caption passthrough both hold end-to-end through the
+    distributed plumbing."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.images import image_fidelity, transcode
+    from lbf_spark.util import fan_out
+
+    n = 2000 if "0.001" in sf_dir else 6000
+    ev = fan_out(
+        fixtures.events_to_spark(spark, fixtures.generate_events(n_rows=n, n_entities=8))
+    ).select("image_id", "bytes", "fmt", "caption")
+    sent = transcode(ev, "jpeg")
+    fid = image_fidelity(sent, ev)
+    return fid.filter(
+        (F.col("psnr_db") < 40.0) | (~F.col("caption_equal"))
+    ).select(
+        F.lit("image_fidelity").alias("family"),
+        F.col("image_id").alias("key"),
+        F.round(40.0 - F.col("psnr_db"), 6).alias("err"),
+    )
+
+
+@q("q111_audio_feature_cert", _EMPTY_CERT3)
+def q111(spark, sf_dir):
+    """Audio-kernel CERTIFICATE: the distributed frame features
+    (operators/images.py:audio_frame_features — vectorized batch path)
+    must equal an INDEPENDENT per-frame loop oracle computed inside the
+    synth stage (the tests/test_audio.py oracle, shipped to executors).
+    Emits one row per frame where any of rms/zcr/centroid diverges by
+    > 1e-9 — empty ⇔ the vectorized kernel and the Arrow plumbing are
+    exact at sf scale, which upgrades q103's rows-only check to a
+    driver-hashed proof."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lbf_spark.functions import audio as AU
+    from lbf_spark.operators.images import audio_frame_features
+    from lbf_spark.util import fan_out
+
+    ids = fan_out(
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 50 == 0)
+        .select("event_id")
+    )
+    clip_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+    exp_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("rms_e", T.DoubleType(), False),
+            T.StructField("zcr_e", T.DoubleType(), False),
+            T.StructField("cen_e", T.DoubleType(), False),
+        ]
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                pcm = AU.synth_pcm(eid, 4096 + (eid % 4) * 2048)
+                fmt = "wav" if eid % 2 == 0 else "mp3"
+                rows.append((f"clip_{eid}", AU.encode_audio(pcm, 16_000, fmt), fmt))
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    def loop_oracle(it):
+        # plain per-frame loop (NOT the vectorized kernel): the
+        # independent twin from tests/test_audio.py:41-58
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                pcm = AU.synth_pcm(eid, 4096 + (eid % 4) * 2048)
+                fmt = "wav" if eid % 2 == 0 else "mp3"
+                sr, dec = AU.decode_audio(AU.encode_audio(pcm, 16_000, fmt), fmt)
+                frame = 2048
+                for k in range(len(dec) // frame):
+                    seg = dec[k * frame : (k + 1) * frame].astype(np.float64) / 32768.0
+                    rms = float(np.sqrt((seg**2).sum() / frame))
+                    sign = np.signbit(seg)
+                    zcr = float((sign[1:] != sign[:-1]).mean())
+                    mag = np.abs(np.fft.rfft(seg))
+                    den = float(mag.sum())
+                    cen = float((mag * np.fft.rfftfreq(frame, d=1.0 / sr)).sum() / den) if den > 0 else 0.0
+                    # the operator np.rounds(6) its outputs (engine-stability
+                    # rule) — round the twin with the SAME primitive so
+                    # agreement is bit-exact (Python round() half-evens via a
+                    # different algorithm and can differ in the last ulp)
+                    rows.append(
+                        (
+                            f"clip_{eid}",
+                            k,
+                            float(np.round(rms, 6)),
+                            float(np.round(zcr, 6)),
+                            float(np.round(cen, 6)),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["audio_id", "frame_idx", "rms_e", "zcr_e", "cen_e"])
+
+    got = audio_frame_features(ids.mapInPandas(synth, clip_schema), frame=2048)
+    exp = ids.mapInPandas(loop_oracle, exp_schema)
+    j = got.join(exp, ["audio_id", "frame_idx"], "full_outer")
+    err = F.greatest(
+        F.abs(F.col("rms") - F.col("rms_e")),
+        F.abs(F.col("zcr") - F.col("zcr_e")),
+        F.abs(F.col("centroid_hz") - F.col("cen_e")),
+    )
+    return j.filter(
+        F.col("rms").isNull() | F.col("rms_e").isNull() | (err > 1e-9)
+    ).select(
+        F.lit("audio_frames").alias("family"),
+        F.concat_ws("#", "audio_id", F.col("frame_idx").cast("string")).alias("key"),
+        F.round(F.coalesce(err, F.lit(-1.0)), 6).alias("err"),
+    )
+
+
+@q("q112_pvalue_bounds_cert", _EMPTY_CERT3)
+def q112(spark, sf_dir):
+    """Group-test CERTIFICATE for the p-value family (q50's rows-only
+    half): (a) the pandas-kernel U statistic must equal an INDEPENDENT
+    exact-SQL rank-sum recomputation (avg rank = min-rank + (ties−1)/2,
+    the CLAUDE.md rank rule — pure JVM window math); (b) every p ∈
+    [0, 1]; (c) BH adjustment is valid: p_adj ≥ p, p_adj ≤ 1, and
+    p_adj is non-decreasing in p order (the defining property of the
+    step-up procedure). One row per violation; empty ⇔ all hold. The
+    global orderBy window in (c) runs over the per-user TEST RESULTS
+    (≤ distinct users rows, metadata-sized), not the event stream."""
+    ev2 = t(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "error")
+    )
+    mwu = stats.adjust_pvalues(
+        stats.group_test_2(ev2, "value", "event_type", "user_id")
+    )
+    # independent U twin: exact SQL rank sums on the same filtered input
+    wr = Window.partitionBy("user_id").orderBy("value")
+    ranked = (
+        ev2.select("user_id", "event_type", "value")
+        .withColumn("min_rank", F.rank().over(wr))
+        .withColumn(
+            "ties",
+            F.count(F.lit(1)).over(Window.partitionBy("user_id", "value")),
+        )
+        .withColumn("avg_rank", F.col("min_rank") + (F.col("ties") - 1) / 2.0)
+    )
+    twin = ranked.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", F.col("avg_rank"))).alias("r_a"),
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("n_b"),
+    ).withColumn("u_twin", F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0)
+    joined = mwu.join(twin, "user_id", "inner")
+    u_viol = joined.filter(
+        F.abs(F.col("u_stat") - F.col("u_twin")) > 1e-9
+    ).select(
+        F.lit("u_stat").alias("family"),
+        F.col("user_id").cast("string").alias("key"),
+        F.round(F.abs(F.col("u_stat") - F.col("u_twin")), 6).alias("err"),
+    )
+    range_viol = mwu.filter(
+        (F.col("p_value") < 0) | (F.col("p_value") > 1)
+        | (F.col("p_adj") < F.col("p_value") - 1e-12) | (F.col("p_adj") > 1 + 1e-12)
+    ).select(
+        F.lit("p_range").alias("family"),
+        F.col("user_id").cast("string").alias("key"),
+        F.round(F.col("p_value"), 6).alias("err"),
+    )
+    wp = Window.orderBy("p_value", "user_id")
+    mono_viol = (
+        mwu.withColumn("prev_adj", F.lag("p_adj").over(wp))
+        .filter(F.col("p_adj") < F.col("prev_adj") - 1e-12)
+        .select(
+            F.lit("bh_monotone").alias("family"),
+            F.col("user_id").cast("string").alias("key"),
+            F.round(F.col("prev_adj") - F.col("p_adj"), 6).alias("err"),
+        )
+    )
+    return u_viol.unionByName(range_viol).unionByName(mono_viol)
+
+
+@q("q113_subsample_cert", _EMPTY_CERT3)
+def q113(spark, sf_dir):
+    """Multinomial-subsample CERTIFICATE (q51's rows-only half):
+    (a) each group's draws sum to exactly n_draws (total probability 1);
+    (b) draws are non-negative and zero wherever the source count is
+    zero; (c) DETERMINISM — a second independent run of the operator
+    must reproduce every draw bit-for-bit (md5-derived per-group seeds,
+    partition-order independent). One row per violation; empty ⇔ the
+    seeded sampler is a pure function of (seed, group, distribution)."""
+    ev = t(spark, sf_dir, "events")
+    counts = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("cnt")
+    )
+    sub = D.multinomial_subsample(
+        counts, "cnt", n_draws=1000, by="user_id", key_cols=["event_type"]
+    )
+    sum_viol = (
+        sub.groupBy("user_id")
+        .agg(F.sum("subsampled").alias("tot"))
+        .filter(F.col("tot") != 1000)
+        .select(
+            F.lit("sum_draws").alias("family"),
+            F.col("user_id").cast("string").alias("key"),
+            F.col("tot").cast("double").alias("err"),
+        )
+    )
+    neg_viol = (
+        sub.join(counts, ["user_id", "event_type"])
+        .filter((F.col("subsampled") < 0) | ((F.col("cnt") == 0) & (F.col("subsampled") > 0)))
+        .select(
+            F.lit("draw_range").alias("family"),
+            F.concat_ws("#", F.col("user_id").cast("string"), "event_type").alias("key"),
+            F.col("subsampled").cast("double").alias("err"),
+        )
+    )
+    sub2 = D.multinomial_subsample(
+        counts, "cnt", n_draws=1000, by="user_id", key_cols=["event_type"]
+    ).withColumnRenamed("subsampled", "subsampled2")
+    det_viol = (
+        sub.join(sub2, ["user_id", "event_type"], "full_outer")
+        .filter(
+            F.col("subsampled").isNull()
+            | F.col("subsampled2").isNull()
+            | (F.col("subsampled") != F.col("subsampled2"))
+        )
+        .select(
+            F.lit("determinism").alias("family"),
+            F.concat_ws("#", F.col("user_id").cast("string"), "event_type").alias("key"),
+            F.lit(1.0).alias("err"),
+        )
+    )
+    return sum_viol.unionByName(neg_viol).unionByName(det_viol)
+
+
+@q("q114_prob_dyad_cert", _EMPTY_CERT3)
+def q114(spark, sf_dir):
+    """Seeded probabilistic dyad CERTIFICATE (the reference's stochastic
+    A5 mode, ``signal_transformer.py:50-113``, with md5-seeded draws —
+    operators/windows.py:dyad_centers_prob). Verifies the sampling law
+    and geometry row-by-row, all in JVM SQL over the exploded output:
+    (a) the drawn k ∈ {duration//spacing, +1} and ≥ 1, and the draw
+    agrees with the md5 uniform: k = max(1, floor + (u < rem/spacing));
+    (b) exactly k centers were emitted; (c) centers start at
+    midpoint − k·spacing/2 + spacing/2 and step by exactly `spacing`;
+    (d) the seeded mean of k tracks the law's expectation
+    E[k] = duration/spacing for duration ≥ spacing within 2 % (one
+    global row over ~sf·10⁵ draws — deterministic, not flaky). Empty ⇔
+    the stochastic mode is exact, reproducible, and unbiased."""
+    spacing = 600_000_000  # 10 min in µs — several dyads per session-scale duration
+    ev = _events(spark, sf_dir).withColumn(
+        "duration", ((F.col("event_id") % 180) + 60) * 10_000_000
+    ).select("event_id", F.col("user_id").alias("entity"), F.col("ts_us").alias("ts"), "duration")
+    out = W.dyad_centers_prob(
+        ev, spacing, by="entity", on="ts", id_col="event_id", with_k=True
+    )
+    k_floor = F.floor(F.col("duration") / F.lit(spacing))
+    p_next = (F.col("duration") % F.lit(spacing)) / F.lit(float(spacing))
+    k_law = F.greatest(
+        F.lit(1).cast("long"),
+        (k_floor + (F.col("dyad_u") < p_next).cast("long")).cast("long"),
+    )
+    per_event = out.groupBy(
+        "event_id", "ts", "duration", "dyad_k", "dyad_u"
+    ).agg(
+        F.count(F.lit(1)).alias("n_centers"),
+        F.min("center_ts").alias("first_c"),
+        F.max("center_ts").alias("last_c"),
+        F.count_distinct(
+            (F.col("center_ts") % F.lit(spacing))
+        ).alias("n_phases"),
+    )
+    expanded = F.col("dyad_k") * F.lit(spacing)
+    est = F.col("ts") + F.floor(F.col("duration") / 2).cast("long") - F.floor(expanded / 2).cast("long")
+    law_viol = per_event.filter(
+        (F.col("dyad_k") != k_law)
+        | (F.col("n_centers") != F.col("dyad_k"))
+        | (F.col("first_c") != est + F.lit(spacing // 2))
+        | (F.col("last_c") != est + F.lit(spacing // 2) + (F.col("dyad_k") - 1) * F.lit(spacing))
+        | (F.col("n_phases") != 1)
+    ).select(
+        F.lit("dyad_law").alias("family"),
+        F.col("event_id").cast("string").alias("key"),
+        F.col("dyad_k").cast("double").alias("err"),
+    )
+    bias_viol = (
+        per_event.filter(F.col("duration") >= spacing)
+        .agg(
+            F.avg(F.col("dyad_k").cast("double")).alias("mean_k"),
+            F.avg(F.col("duration").cast("double") / F.lit(float(spacing))).alias("mean_exp"),
+        )
+        .filter(
+            F.abs(F.col("mean_k") - F.col("mean_exp")) > 0.02 * F.col("mean_exp")
+        )
+        .select(
+            F.lit("dyad_bias").alias("family"),
+            F.lit("global").alias("key"),
+            F.round(F.abs(F.col("mean_k") - F.col("mean_exp")), 6).alias("err"),
+        )
+    )
+    return law_viol.unionByName(bias_viol)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
 # driver-checked slot carries a full rows+schema+hash oracle AND so the
 # window rotates across rounds to cover the whole catalog:
-# 1. every oracled entry that has NOT yet earned a driver CORRECTNESS
-#    row (rounds 1-3 checked the `_DRIVER_CHECKED_R3` set below — the
-#    other ~half of the catalog was only judge/parity-verified), in
-#    catalog order; new round-4 entries land here automatically;
+# 1. every oracled entry that has NOT yet earned a GREEN driver
+#    CORRECTNESS row, in catalog order — for round 5 that is
+#    q77/q78/q91 (r4 hash-red: DuckDB HUGEINT in the oracle SQL, cast
+#    to bigint this round), q105-q109 (registered past r4's cutoff),
+#    and the new certificate entries q110-q114; new entries in later
+#    rounds land here automatically;
 # 2. the already-driver-green oracled entries (relative order
-#    preserved) — rounds 3+4 combined then give the full catalog
-#    driver-level proof;
-# 3. the rows-only entries (q33 pixel decode, q50 p-values, q51
-#    multinomial subsample) last — pytest-gated past the cutoff.
+#    preserved) — rounds 3+4 proved these 97; re-checks are harmless;
+# 3. the remaining rows-only entries last — q33 image pipeline / q50
+#    p-values / q51 subsample / q103 audio keep their rows-only rows,
+#    but each is now ALSO hash-proved by a certificate twin
+#    (q110-q113) inside the driver window.
+# `_DRIVER_GREEN` = rows proven green in CORRECTNESS_r03 ∪ r04.
 # ---------------------------------------------------------------------
-_DRIVER_CHECKED_R3 = {
+_DRIVER_GREEN = {
+    # round 3 (all 50 green)
     "q61_flagship_pit", "q87_curation_pipeline", "q01_filter_project",
     "q02_agg_pricing_summary", "q03_topn_orders", "q04_join_enrich",
     "q05_union_tagged", "q06_pivot_event_types", "q07_rolling_mean",
@@ -4416,15 +4757,32 @@ _DRIVER_CHECKED_R3 = {
     "q42_window_entropy", "q43_kl_to_flanking", "q44_dyad_coverage",
     "q45_asof_forward", "q46_asof_nearest", "q47_group_stats_k",
     "q48_dunn_posthoc",
+    # round 4 (47 of 50 green; q77/q78/q91 were hash-red → stay out)
+    "q49_flagship_matrix", "q52_peter_ulz", "q53_recenter_expand",
+    "q54_histogram_peaks", "q55_dup_clusters", "q56_gopher_quality",
+    "q57_ngram_repetition", "q59_resample_ffill", "q60_stratified_sample",
+    "q62_session_window", "q63_c4_rules", "q64_tumbling_window",
+    "q65_vocab_stats", "q66_decontaminate", "q67_mixture_sample",
+    "q68_group_quantiles", "q69_group_corr", "q70_doc_chunking",
+    "q71_tfidf_topk", "q72_pii_scrub", "q73_weighted_sample",
+    "q74_funnel_conversion", "q75_bm25", "q76_json_extract",
+    "q79_kmeans_assign", "q80_rollup", "q81_inverted_index",
+    "q82_salted_join", "q83_equidepth_bins", "q84_cdc_latest",
+    "q85_session_paths", "q86_cohort_retention", "q88_ewma",
+    "q89_rank_normalize", "q90_chi2_contingency", "q92_table_profile",
+    "q93_hourly_seasonality", "q94_cluster_cohesion", "q95_quantize_int8",
+    "q96_random_projection", "q97_char_bigrams", "q98_blocked_neardup",
+    "q99_time_weighted_avg", "q100_session_cooccurrence",
+    "q101_merge_upsert", "q102_schema_evolution", "q104_approx_bounds",
 }
 _ORACLED = {k: v for k, v in QUERIES.items() if v[1] is not None}
 _ROWS_ONLY = {k: v for k, v in QUERIES.items() if v[1] is None}
 QUERIES.clear()
 QUERIES.update(
-    {k: v for k, v in _ORACLED.items() if k not in _DRIVER_CHECKED_R3}
+    {k: v for k, v in _ORACLED.items() if k not in _DRIVER_GREEN}
 )
 QUERIES.update(
-    {k: v for k, v in _ORACLED.items() if k in _DRIVER_CHECKED_R3}
+    {k: v for k, v in _ORACLED.items() if k in _DRIVER_GREEN}
 )
 QUERIES.update(_ROWS_ONLY)
-del _ORACLED, _ROWS_ONLY, _DRIVER_CHECKED_R3
+del _ORACLED, _ROWS_ONLY, _DRIVER_GREEN
