@@ -61,12 +61,17 @@ def write_text_atomic(spark, path: str, text: str) -> None:
     concurrent writers cannot clobber each other's in-flight temp (last
     rename wins, each rename still atomic). If the FileContext API is
     unavailable for the scheme, falls back to delete+rename, which has
-    a transient missing-destination window — manifest readers treat a
-    missing manifest as "no snapshot yet", so the fallback degrades to
-    a spurious-but-safe empty read, not corruption. Caveat: on S3A a
-    rename is a non-atomic server-side copy+delete; the object PUT
-    itself is still all-or-nothing, so readers can briefly race to the
-    pre-rename object but can never see a torn manifest."""
+    a transient missing-destination window — for the LATEST manifest a
+    reader treats the gap as "no snapshot yet" (spurious-but-safe empty
+    read); for a MID-CHAIN manifest rewrite (expire_snapshots' reset
+    point, exactly-once sinks patching an old snapshot) the gap would
+    silently shrink the visible file set while later snapshots remain,
+    so ``table._read_snaps`` refuses to replay across a missing id in
+    the middle of the chain (raises instead of returning a transiently
+    wrong table). Caveat: on S3A a rename is a non-atomic server-side
+    copy+delete; the object PUT itself is still all-or-nothing, so
+    readers can briefly race to the pre-rename object but can never see
+    a torn manifest."""
     fs, p, jvm = _fs_path(spark, path)
     tmp = jvm.org.apache.hadoop.fs.Path(
         f"{path}.{uuid.uuid4().hex[:12]}.tmp"
@@ -161,3 +166,25 @@ def count_files_recursive(spark, path: str, suffix: str) -> int:
 def mkdirs(spark, path: str) -> None:
     fs, p, _ = _fs_path(spark, path)
     fs.mkdirs(p)
+
+
+def move_file(spark, src: str, dst: str) -> None:
+    """Rename ``src`` to ``dst``, creating the destination's parent
+    directories. Refuses to clobber (rename fails onto an existing
+    destination) — the staged-write adopt step relies on part-file
+    names being unique (Spark embeds a per-job UUID in them)."""
+    fs, sp, jvm = _fs_path(spark, src)
+    dp = jvm.org.apache.hadoop.fs.Path(dst)
+    parent = dp.getParent()
+    if parent is not None and not fs.exists(parent):
+        fs.mkdirs(parent)
+    if not fs.rename(sp, dp):
+        raise IOError(f"rename {src} -> {dst} failed")
+
+
+def delete(spark, path: str, recursive: bool = False) -> bool:
+    """Delete a file or directory tree; False if it didn't exist."""
+    fs, p, _ = _fs_path(spark, path)
+    if not fs.exists(p):
+        return False
+    return bool(fs.delete(p, recursive))

@@ -64,6 +64,15 @@ class FeatureConfig:
     # mean rows-per-shuffle-partition (a straggler by definition).
     # 0 ⇒ every entity sliced (the pure-sliced plan).
     hot_entity_threshold: int | None = None
+    # managed-table path of the events input, when there is one: hot
+    # entities then come from the manifests' per-file stats sketches
+    # (sources/table.py:hot_entity_counts — metadata-only) instead of a
+    # per-job counts pass over the events scan. Routing only — both
+    # branches produce identical values, so the sketch's lower-bound
+    # nature can never change results, only which plan a borderline
+    # entity takes. Falls back to the counts pass for non-table inputs
+    # or pre-extension manifests.
+    table_path: str | None = None
 
     @property
     def n_buckets(self) -> int:
@@ -194,16 +203,31 @@ def _sliced_window_stage(df: DataFrame, cfg: FeatureConfig) -> DataFrame:
 def _hot_entities(events: DataFrame, cfg: FeatureConfig) -> list:
     """Entities whose row count exceeds the hot threshold (auto: 2× the
     mean rows-per-shuffle-partition — a straggler by definition).
-    Costs two tiny jobs over the entity column only (column pruning
-    reaches the scan); at warehouse scale pass hot_entity_threshold
-    explicitly or maintain the hot list as table metadata upstream.
-    Capped at the 1024 hottest (isin-filter size bound)."""
+    Capped at the 1024 hottest (isin-filter size bound).
+
+    Source, in preference order: (1) ``cfg.table_path`` manifests — the
+    per-file stats sketches already record exactly this (metadata-only,
+    no extra scan of the events table per job); (2) a counts pass over
+    the entity column only (column pruning reaches the scan). Routing
+    only — the hot/rest branches are value-identical, so the manifest
+    sketch's lower bounds can't change results."""
+    n_part = int(events.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    if cfg.table_path is not None:
+        from lbf_spark.sources.table import hot_entity_counts
+
+        meta = hot_entity_counts(events.sparkSession, cfg.table_path)
+        if meta is not None:
+            thr = cfg.hot_entity_threshold
+            if thr is None:
+                thr = max(1, (2 * meta["total"]) // max(1, n_part))
+            hot = sorted(
+                ((n, e) for e, n in meta["entities"].items() if n > thr),
+                key=lambda t: (-t[0], t[1]),
+            )[:1024]
+            return [e for _n, e in hot]
     counts = events.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
     thr = cfg.hot_entity_threshold
     if thr is None:
-        n_part = int(
-            events.sparkSession.conf.get("spark.sql.shuffle.partitions")
-        )
         total = counts.agg(F.sum("n").alias("t")).first()["t"] or 0
         thr = max(1, (2 * total) // max(1, n_part))
     rows = (

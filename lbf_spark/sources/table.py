@@ -32,10 +32,15 @@ DAY = 86_400
 
 
 class ConcurrentWriteError(RuntimeError):
-    """Another writer committed the same snapshot id first. The losing
-    writer's data files are already on disk but un-adopted — re-read
-    the table state and retry the write; ``remove_orphan_files``
-    reclaims the debris if the retry is abandoned."""
+    """Another writer committed the same snapshot id first. Safe to
+    retry immediately: every write stages its part files in a unique
+    ``.staging/<token>`` dir and records EXACTLY those files in its
+    manifest (never a directory diff), and the loser's already-moved
+    files are best-effort deleted before this is raised — so a retry
+    can neither adopt a previous attempt's data nor double-write rows.
+    Any debris a *crashed* writer leaves (staging dirs, moved-but-
+    uncommitted parts) stays invisible to readers (scans are
+    manifest-driven) until ``remove_orphan_files`` reclaims it."""
 
 
 def _with_partition_cols(df: DataFrame, n_buckets: int, ts_unit_day: int) -> DataFrame:
@@ -81,6 +86,7 @@ def write_table(
     layout_cols: list[str] | None = None,
     layout_bits: int = 8,
     layout_files: int = 8,
+    extra: dict | None = None,
 ) -> dict:
     """Partitioned write + snapshot manifest. Returns the snapshot.
 
@@ -97,7 +103,12 @@ def write_table(
     columns before writing, so parquet min/max stats cluster in EVERY
     listed dimension and multi-column predicates prune files, not just
     the leading key. The key column itself is dropped before write —
-    the clustering is carried by row order."""
+    the clustering is carried by row order.
+
+    ``extra`` fields merge into the manifest inside the SAME exclusive
+    commit (exactly-once sinks record their batch_id this way — a
+    post-commit patch would leave a crash window where the snapshot is
+    committed but not yet idempotency-tagged)."""
     from lbf_spark import fsio
 
     spark = df.sparkSession
@@ -113,81 +124,172 @@ def write_table(
             .sortWithinPartitions("entity_bucket", "ts_day", "__z")
             .drop("__z")
         )
-    pdf.write.mode(mode).partitionBy("entity_bucket", "ts_day").parquet(
-        fsio.join(path, "data")
+    added = _land_data_files(
+        spark, pdf, path, clear_data_first=(mode == "overwrite")
     )
     fsio.mkdirs(spark, meta_dir)
     existing = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
     parent = existing[-1] if existing else None
-    all_files = [
-        f["path"]
-        for f in fsio.list_files_recursive(spark, fsio.join(path, "data"), ".parquet")
-    ]
-    if mode == "overwrite" or parent is None:
-        prev_known: set[str] = set()
-    else:
-        # files ever WRITTEN since the last overwrite — not the visible
-        # set: a merge leaves its replaced files on disk (time travel
-        # needs them) and they must not be re-adopted as "added" here
-        prev_known = set(
-            _replay_files(_read_snaps(spark, meta_dir))["known"]
-        )
-    added = sorted(set(all_files) - prev_known)
-    snapshot = {
-        "snapshot_id": len(existing) + 1,
-        "parent": parent,
-        "schema": df.schema.json(),
-        "partition_spec": {
-            "entity_bucket": f"bucket({n_buckets}, entity)",
-            "ts_day": f"floor(ts / {ts_unit_day})",
-        },
-        "added_files": added,
-        "file_stats": _file_ts_stats(spark, fsio.join(path, "data"), added),
-        "n_data_files": len(all_files),
-        "mode": mode,
-    }
+    snapshot = dict(extra or {})
+    snapshot.update(
+        {
+            "snapshot_id": len(existing) + 1,
+            "parent": parent,
+            "schema": df.schema.json(),
+            "partition_spec": {
+                "entity_bucket": f"bucket({n_buckets}, entity)",
+                "ts_day": f"floor(ts / {ts_unit_day})",
+            },
+            "added_files": added,
+            "file_stats": _file_ts_stats(spark, fsio.join(path, "data"), added),
+            "n_data_files": fsio.count_files_recursive(
+                spark, fsio.join(path, "data"), ".parquet"
+            ),
+            "mode": mode,
+        }
+    )
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
-    try:  # optimistic concurrency: exactly one writer claims this id
-        fsio.write_text_exclusive(
-            spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
-        )
-    except FileExistsError as e:
-        raise ConcurrentWriteError(str(e)) from e
+    _commit_or_cleanup(spark, fsio.join(meta_dir, name), snapshot, path, added)
     return snapshot
 
 
+def _land_data_files(
+    spark, pdf: DataFrame, path: str, clear_data_first: bool = False
+) -> list[str]:
+    """Stage-then-adopt data write: land the partitioned parquet under a
+    unique ``.staging/<token>`` dir, move exactly those part files into
+    ``data/`` (same partition-relative path — Spark's per-job UUID in
+    part names makes collisions impossible), and return their relative
+    paths. The added-file list comes FROM THE WRITE ITSELF, never from
+    diffing the data dir — so debris left by a crashed or race-losing
+    writer is never silently adopted into a later snapshot, and a
+    retried write cannot double-adopt its first attempt's rows (the
+    round-4 concurrent-retry duplication hazard)."""
+    import uuid as _uuid
+
+    from lbf_spark import fsio
+
+    staging = fsio.join(path, ".staging", _uuid.uuid4().hex[:16])
+    pdf.write.mode("overwrite").partitionBy("entity_bucket", "ts_day").parquet(
+        staging
+    )
+    parts = [
+        f["path"] for f in fsio.list_files_recursive(spark, staging, ".parquet")
+    ]
+    data_dir = fsio.join(path, "data")
+    if clear_data_first:  # overwrite: old data outlives the write job —
+        # it disappears only in the metadata-fast window between staging
+        # success and the moves below (never while rows are being computed)
+        fsio.delete(spark, data_dir, recursive=True)
+    for rel in parts:
+        fsio.move_file(
+            spark, fsio.join(staging, rel), fsio.join(data_dir, rel)
+        )
+    fsio.delete(spark, staging, recursive=True)
+    return sorted(parts)
+
+
+def _commit_or_cleanup(
+    spark, manifest_path: str, snapshot: dict, path: str, added: list[str]
+) -> None:
+    """Exclusive manifest commit; on losing the snapshot-id race,
+    best-effort delete the data files this attempt already moved into
+    ``data/`` so a retry starts clean, then raise ConcurrentWriteError."""
+    from lbf_spark import fsio
+
+    try:  # optimistic concurrency: exactly one writer claims this id
+        fsio.write_text_exclusive(
+            spark, manifest_path, json.dumps(snapshot, indent=1)
+        )
+    except FileExistsError as e:
+        data_dir = fsio.join(path, "data")
+        for rel in added:
+            try:
+                fsio.delete(spark, fsio.join(data_dir, rel))
+            except Exception:
+                pass  # leftover becomes an orphan; remove_orphan_files reclaims
+        raise ConcurrentWriteError(str(e)) from e
+
+
+_HOT_STATS_K = 8  # per-file hot-entity entries kept in the manifest
+
+
 def _file_ts_stats(spark, data_dir: str, files: list[str]) -> dict:
-    """Per-added-file min/max of ``ts`` — the Iceberg per-file column
-    stats that make FILE skipping (not just partition pruning) work.
-    One metadata-scale Spark job over exactly the files this write
-    created (Iceberg collects these in the write tasks themselves; a
-    read-back is the parquet-shim equivalent). Returns
-    {relative_path: [ts_min, ts_max]}."""
+    """Per-added-file column stats — the Iceberg per-file stats that
+    make FILE skipping (not just partition pruning) work, plus row
+    counts and a top-K per-entity count sketch for skew planning. One
+    metadata-scale Spark job over exactly the files this write created
+    (Iceberg collects these in the write tasks themselves; a read-back
+    is the parquet-shim equivalent). Returns
+    ``{relative_path: [ts_min, ts_max, n_rows, {entity: count}]}``
+    (older manifests hold 2-element ``[ts_min, ts_max]`` lists —
+    readers index, never unpack). The hot map holds the file's top-8
+    entities by row count: summed across a table's visible files these
+    are LOWER BOUNDS on per-entity totals (exact for any entity that
+    is top-8 in every file it touches — guaranteed for the dominant
+    entities skew planning cares about, since the layout buckets by
+    entity)."""
     if not files:
         return {}
+    base = spark.read.option("basePath", data_dir).parquet(
+        *[f"{data_dir}/{f}" for f in files]
+    )
+    per = base.groupBy(F.input_file_name().alias("__f"), "entity").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.min("ts").alias("mn"),
+        F.max("ts").alias("mx"),
+    )
+    w = Window.partitionBy("__f").orderBy(F.desc("n"), F.asc("entity"))
     rows = (
-        spark.read.option("basePath", data_dir)
-        .parquet(*[f"{data_dir}/{f}" for f in files])
-        .groupBy(F.input_file_name().alias("__f"))
-        .agg(F.min("ts").alias("mn"), F.max("ts").alias("mx"))
+        per.withColumn("rk", F.row_number().over(w))
+        .groupBy("__f")
+        .agg(
+            F.min("mn").alias("mn"),
+            F.max("mx").alias("mx"),
+            F.sum("n").alias("n_rows"),
+            F.map_from_entries(
+                F.collect_list(
+                    F.when(
+                        (F.col("rk") <= _HOT_STATS_K)
+                        & F.col("entity").isNotNull(),
+                        F.struct(F.col("entity").cast("string"), F.col("n")),
+                    )
+                )
+            ).alias("hot"),
+        )
         .collect()
     )
     out = {}
     for r in rows:
-        if r["mn"] is None:
-            continue  # all-NULL ts file: no stats, conservatively kept
         rel = r["__f"][r["__f"].rindex("/data/") + 6:]
-        out[rel] = [int(r["mn"]), int(r["mx"])]
+        mn = int(r["mn"]) if r["mn"] is not None else None
+        mx = int(r["mx"]) if r["mx"] is not None else None
+        out[rel] = [mn, mx, int(r["n_rows"]), dict(r["hot"] or {})]
     return out
 
 
 def _read_snaps(spark, meta_dir: str) -> list[dict]:
+    """Load the snapshot chain. Refuses a MID-CHAIN gap in snapshot ids:
+    a missing middle manifest (e.g. a reader racing write_text_atomic's
+    delete+rename fallback while expire_snapshots rewrites its reset
+    point) would silently drop that snapshot's added_files while later
+    snapshots remain — a transiently WRONG (shrunken) table, not an
+    empty one. A missing PREFIX is legitimate (snapshot expiration
+    deletes the oldest manifests)."""
     from lbf_spark import fsio
 
     names = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
-    return [
+    snaps = [
         json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))) for n in names
     ]
+    ids = [s["snapshot_id"] for s in snaps]
+    if ids and ids != list(range(ids[0], ids[0] + len(ids))):
+        raise ValueError(
+            f"snapshot chain has a mid-chain gap (ids {ids}) — a manifest "
+            "is missing or a concurrent manifest rewrite is in flight; "
+            "retry the read"
+        )
+    return snaps
 
 
 def _replay_files(
@@ -341,8 +443,7 @@ def merge_upsert(
         raise ValueError(f"merge keys {missing} not in table columns")
 
     data_dir = fsio.join(path, "data")
-    replay = _replay_files(snaps)
-    visible, known = replay["visible"], set(replay["known"])
+    visible = _replay_files(snaps)["visible"]
     keyed_changes = changes.select(*keys).distinct()
     if visible:
         cur = spark.read.option("basePath", data_dir).parquet(
@@ -375,32 +476,20 @@ def merge_upsert(
     else:
         new_rows = upserts
     pdf = _with_partition_cols(new_rows, n_buckets, ts_unit_day)
-    pdf.write.mode("append").partitionBy("entity_bucket", "ts_day").parquet(
-        data_dir
-    )
-    all_files = [
-        f["path"]
-        for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
-    ]
-    new_files = sorted(set(all_files) - known)
+    new_files = _land_data_files(spark, pdf, path)
     snapshot = {
-        "snapshot_id": len(snaps) + 1,
+        "snapshot_id": snaps[-1]["snapshot_id"] + 1,
         "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
         "schema": snaps[-1]["schema"],
         "partition_spec": spec,
         "added_files": new_files,
         "file_stats": _file_ts_stats(spark, data_dir, new_files),
         "removed_files": affected,
-        "n_data_files": len(all_files),
+        "n_data_files": fsio.count_files_recursive(spark, data_dir, ".parquet"),
         "mode": "merge",
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
-    try:  # optimistic concurrency, same contract as write_table
-        fsio.write_text_exclusive(
-            spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
-        )
-    except FileExistsError as e:
-        raise ConcurrentWriteError(str(e)) from e
+    _commit_or_cleanup(spark, fsio.join(meta_dir, name), snapshot, path, new_files)
     return snapshot
 
 
@@ -448,15 +537,26 @@ def scan(
             snaps, snapshot_id, ts_min, ts_max,
         )
         if not files:  # everything merged away: empty frame, live schema
-            from pyspark.sql.types import StructType
+            from pyspark.sql.types import (
+                IntegerType, LongType, StructField, StructType,
+            )
 
             upto = [
                 s for s in snaps
                 if snapshot_id is None or s["snapshot_id"] <= snapshot_id
             ]
-            return spark.createDataFrame(
-                [], StructType.fromJson(json.loads(upto[-1]["schema"]))
+            schema = StructType.fromJson(json.loads(upto[-1]["schema"]))
+            # every non-empty scan carries the hive partition columns —
+            # the empty branch must match or downstream selects of
+            # entity_bucket/ts_day fail only when the table is empty
+            schema = StructType(
+                schema.fields
+                + [
+                    StructField("entity_bucket", IntegerType(), True),
+                    StructField("ts_day", LongType(), True),
+                ]
             )
+            return spark.createDataFrame([], schema)
         schemas = {s["schema"] for s in snaps}
         reader = spark.read.option("basePath", data_dir)
         if len(schemas) > 1:
@@ -519,7 +619,7 @@ def _stats_pruned_files(
         if st is None or st[0] is None:
             out.append(f)
             continue
-        mn, mx = st
+        mn, mx = st[0], st[1]  # stats may carry [mn, mx] or [mn, mx, n, hot]
         if (ts_max is not None and mn > ts_max) or (
             ts_min is not None and mx < ts_min
         ):
@@ -545,6 +645,45 @@ def scan_files(
         _cumulative_files(spark, path, snaps, as_of=snapshot_id),
         snaps, snapshot_id, ts_min, ts_max,
     )
+
+
+def hot_entity_counts(
+    spark: SparkSession, path: str, snapshot_id: int | None = None
+) -> dict[str, int] | None:
+    """Per-entity LOWER-BOUND row counts from the manifests' per-file
+    hot-entity sketches (``_file_ts_stats``), plus the table's total
+    row count — zero data IO, pure metadata. Returns
+    ``{"total": n, "entities": {entity: count}}``-shaped dict, or None
+    when any visible file predates the extended stats (then the caller
+    must fall back to a counts job; a partial answer would silently
+    under-route hot entities).
+
+    The bounds are exact for entities that are top-K in every file they
+    touch — guaranteed for the dominant entities skew planning cares
+    about, since the layout buckets rows by entity. Used by
+    ``plans.pipeline`` to pick halo-sliced routing WITHOUT the extra
+    per-job counts pass over the events scan."""
+    from lbf_spark import fsio
+
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    if not snaps:
+        return None
+    visible = _replay_files(snaps, as_of=snapshot_id)["visible"]
+    stats: dict = {}
+    for s in snaps:
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        stats.update(s.get("file_stats") or {})
+    total = 0
+    per_entity: dict[str, int] = {}
+    for f in visible:
+        st = stats.get(f)
+        if st is None or len(st) < 4:
+            return None  # pre-extension manifest: no row counts recorded
+        total += st[2]
+        for e, n in (st[3] or {}).items():
+            per_entity[e] = per_entity.get(e, 0) + int(n)
+    return {"total": total, "entities": per_entity}
 
 
 def expire_snapshots(
@@ -579,10 +718,15 @@ def expire_snapshots(
             _replay_files(snaps, as_of=s["snapshot_id"])["visible"]
         )
     data_dir = fsio.join(path, "data")
-    on_disk = [
-        f["path"] for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
-    ]
-    doomed = sorted(set(on_disk) - keep_files)
+    # delete only MANIFEST-KNOWN files no retained snapshot can see —
+    # never "everything else on disk": an uncommitted concurrent
+    # writer's just-moved parts are on disk but in no manifest, and
+    # sweeping them here would corrupt that write (that sweep is
+    # remove_orphan_files' job, which documents its no-write-in-flight
+    # requirement). So expire+concurrent-write is safe; only
+    # orphan-removal requires quiescence.
+    known = set(_replay_files(snaps)["known"])
+    doomed = sorted(known - keep_files)
     fs, _p, jvm = fsio._fs_path(spark, data_dir)
     for f in doomed:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{data_dir}/{f}"), False)
@@ -642,7 +786,12 @@ def remove_orphan_files(spark: SparkSession, path: str) -> dict:
     fs, _p, jvm = fsio._fs_path(spark, data_dir)
     for f in orphans:
         fs.delete(jvm.org.apache.hadoop.fs.Path(f"{data_dir}/{f}"), False)
-    return {"n_orphans_deleted": len(orphans)}
+    # crashed writers also leave .staging/<token> trees (parts that were
+    # never moved into data/) — same debris class, same reclaim
+    staging_root = fsio.join(path, ".staging")
+    n_staging = len(fsio.list_names(spark, staging_root))
+    fsio.delete(spark, staging_root, recursive=True)
+    return {"n_orphans_deleted": len(orphans), "n_staging_dirs_deleted": n_staging}
 
 
 def compact_table(
@@ -670,9 +819,7 @@ def compact_table(
     if not snaps:
         raise ValueError("compact_table needs an existing table snapshot")
     data_dir = fsio.join(path, "data")
-    replay = _replay_files(snaps)
-    visible = set(replay["visible"])
-    known = set(replay["known"])
+    visible = set(_replay_files(snaps)["visible"])
     sizes = {
         f["path"]: f["bytes"]
         for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
@@ -704,17 +851,13 @@ def compact_table(
     )
     n_out = max(1, -(-total_bytes // target_bytes))
     data_cols = [c for c in frag.columns if c not in ("entity_bucket", "ts_day")]
-    (
-        frag.repartition(n_out, "entity_bucket", "ts_day")
-        .select(*data_cols, "entity_bucket", "ts_day")
-        .write.mode("append")
-        .partitionBy("entity_bucket", "ts_day")
-        .parquet(data_dir)
+    new_files = _land_data_files(
+        spark,
+        frag.repartition(n_out, "entity_bucket", "ts_day").select(
+            *data_cols, "entity_bucket", "ts_day"
+        ),
+        path,
     )
-    all_files = [
-        f["path"] for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
-    ]
-    new_files = sorted(set(all_files) - known)
     snapshot = {
         "snapshot_id": snaps[-1]["snapshot_id"] + 1,
         "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
@@ -723,16 +866,11 @@ def compact_table(
         "added_files": new_files,
         "file_stats": _file_ts_stats(spark, data_dir, new_files),
         "removed_files": sorted(doomed),
-        "n_data_files": len(all_files),
+        "n_data_files": fsio.count_files_recursive(spark, data_dir, ".parquet"),
         "mode": "merge",
     }
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
-    try:
-        fsio.write_text_exclusive(
-            spark, fsio.join(meta_dir, name), json.dumps(snapshot, indent=1)
-        )
-    except FileExistsError as e:
-        raise ConcurrentWriteError(str(e)) from e
+    _commit_or_cleanup(spark, fsio.join(meta_dir, name), snapshot, path, new_files)
     return {"n_rewritten_files": len(doomed), "n_new_files": len(new_files)}
 
 

@@ -298,7 +298,13 @@ def table_batch_commit(
     records ``batch_id`` and a replayed (already-committed) batch id is
     a no-op. Factored out of ``stream_table_sink`` so the replay
     contract is directly testable. Returns the snapshot, or None if
-    skipped/empty."""
+    skipped/empty.
+
+    ``batch_id`` rides in ``write_table``'s SINGLE exclusive manifest
+    commit (the ``extra`` fields) — never patched in afterwards: a
+    two-step commit-then-tag would leave a crash window where the
+    snapshot is durable but untagged, and the replayed batch would
+    append its rows a second time."""
     from lbf_spark import fsio
     from lbf_spark.sources import table as TBL
 
@@ -315,14 +321,8 @@ def table_batch_commit(
     ] if fsio.exists(spark, meta_dir) else []
     if batch_id in committed:
         return None  # replayed batch: already durable (idempotence)
-    snap = TBL.write_table(
+    return TBL.write_table(
         batch_df, path, mode="append" if committed else "overwrite",
         n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+        extra={"batch_id": batch_id},
     )
-    snap["batch_id"] = batch_id
-    fsio.write_text_atomic(
-        spark,
-        fsio.join(meta_dir, f"snap-{snap['snapshot_id']:05d}.json"),
-        json.dumps(snap, indent=1),
-    )
-    return snap

@@ -393,8 +393,22 @@ def test_concurrent_snapshot_commit_loses_cleanly(
     monkeypatch.undo()
     # the winner's table state is intact and readable
     assert TBL.current_snapshot(path, spark)["snapshot_id"] == 2
-    # the loser's data files are reclaimable debris
-    assert TBL.remove_orphan_files(spark, path)["n_orphans_deleted"] > 0
+    n_before_retry = TBL.scan(spark, path).count()
+    # the loser cleaned up after itself: no debris to reclaim, and none
+    # of its rows are visible
+    assert TBL.remove_orphan_files(spark, path)["n_orphans_deleted"] == 0
+    assert TBL.scan(spark, path).count() == n_before_retry
+    # the documented retry is safe: re-running the losing write adopts
+    # EXACTLY its own rows once (no double-adoption of a prior attempt)
+    snap = TBL.write_table(extra, path, mode="append", ts_unit_day=10_000)
+    assert snap["snapshot_id"] == 3
+    assert TBL.scan(spark, path).count() == n_before_retry + 20
+    got_cc = (
+        TBL.scan(spark, path)
+        .filter(F.col("image_id").startswith("cc_"))
+        .count()
+    )
+    assert got_cc == 20
 
 
 def test_merge_upsert_matches_pandas_oracle_seeded(spark, tiny_events, tmp_path):
@@ -490,3 +504,124 @@ def test_compact_table_rewrites_small_files(spark, tiny_events, tmp_path):
     assert TBL.compact_table(spark, path, target_bytes=1 << 30) == {
         "n_rewritten_files": 0, "n_new_files": 0,
     }
+
+
+def test_merge_leaves_unmatched_files_byte_identical(spark, tiny_events, tmp_path):
+    """Copy-on-write IO discipline: a MERGE rewrites ONLY the files that
+    contain a matched key. Pinned two ways: (a) the snapshot's
+    removed_files equals an independently computed per-file matched-key
+    footprint; (b) every unmatched file is byte-identical (md5) after
+    the merge — the rewrite job never even rewrote it in place."""
+    import hashlib
+    import os
+
+    path = str(tmp_path / "tbl_cow_io")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    data_dir = os.path.join(path, "data")
+
+    def file_md5s():
+        out = {}
+        for root, _dirs, files in os.walk(data_dir):
+            for f in files:
+                if not f.endswith(".parquet"):
+                    continue
+                full = os.path.join(root, f)
+                rel = os.path.relpath(full, data_dir)
+                out[rel] = hashlib.md5(open(full, "rb").read()).hexdigest()
+        return out
+
+    before = file_md5s()
+    # change 3 specific keys; compute their file footprint independently
+    keys = tiny_events.iloc[[0, 7, 13]][["image_id"]]
+    matched_files = set()
+    for rel in before:
+        pdf = (
+            spark.read.option("basePath", data_dir)
+            .parquet(os.path.join(data_dir, rel))
+            .select("image_id")
+            .toPandas()
+        )
+        if pdf["image_id"].isin(keys["image_id"]).any():
+            matched_files.add(rel)
+    assert matched_files and len(matched_files) < len(before)
+
+    changes = tiny_events.iloc[[0, 7, 13]].copy()
+    changes["caption"] = "rewritten"
+    snap = TBL.merge_upsert(
+        spark, path, fixtures.events_to_spark(spark, changes), keys=["image_id"]
+    )
+    assert set(snap["removed_files"]) == matched_files
+    after = file_md5s()
+    for rel, digest in before.items():
+        if rel not in matched_files:
+            assert after[rel] == digest, f"unmatched file {rel} was rewritten"
+
+
+def test_hot_entity_counts_from_manifests(spark, tmp_path):
+    """The manifests' per-file hot-entity sketches give exact counts for
+    dominant entities and a correct total, with zero data IO — and the
+    pipeline's manifest-driven hot routing picks the same entities as
+    the counts-pass route."""
+    import pandas as pd
+
+    from lbf_spark.plans import pipeline as P
+
+    path = str(tmp_path / "tbl_hot")
+    # 1 dominant entity (600 rows), 20 background entities (10 each)
+    rows = []
+    for i in range(600):
+        rows.append(("hot_e", 1000 + i))
+    for j in range(20):
+        for i in range(10):
+            rows.append((f"bg_{j:02d}", 5000 + j * 100 + i))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts"])
+    df = spark.createDataFrame(pdf).withColumn("v", F.lit(1.0))
+    TBL.write_table(df, path, mode="overwrite", ts_unit_day=10_000)
+
+    meta = TBL.hot_entity_counts(spark, path)
+    assert meta is not None
+    assert meta["total"] == len(rows)
+    assert meta["entities"]["hot_e"] == 600  # exact: dominant everywhere
+
+    got = TBL.scan(spark, path)
+    cfg = P.FeatureConfig(table_path=path, hot_entity_threshold=100)
+    via_manifest = P._hot_entities(got, cfg)
+    via_counts = P._hot_entities(
+        got, P.FeatureConfig(hot_entity_threshold=100)
+    )
+    assert via_manifest == via_counts == ["hot_e"]
+
+
+def test_expire_snapshots_spares_unknown_files(spark, tiny_events, tmp_path):
+    """expire_snapshots deletes only manifest-known unreachable files —
+    an uncommitted concurrent writer's on-disk parts (in no manifest)
+    must survive, unlike remove_orphan_files which documents its
+    no-write-in-flight requirement."""
+    import os
+
+    path = str(tmp_path / "tbl_exp_safe")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    chg = tiny_events.iloc[:5].copy()
+    chg["caption"] = "v2"
+    TBL.merge_upsert(
+        spark, path, fixtures.events_to_spark(spark, chg), keys=["image_id"]
+    )
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[:3]),
+        path, mode="append", ts_unit_day=10_000,
+    )
+    # an in-flight writer's moved-but-uncommitted part file
+    part_dir = None
+    for root, _dirs, files in os.walk(os.path.join(path, "data")):
+        if any(f.endswith(".parquet") for f in files):
+            part_dir = root
+            break
+    stray = os.path.join(part_dir, "part-inflight-deadbeef.parquet")
+    with open(stray, "wb") as fh:
+        fh.write(b"PAR1 in-flight")
+    res = TBL.expire_snapshots(spark, path, keep_last=1)
+    assert res["n_deleted_files"] > 0  # merge-replaced history went away
+    assert os.path.exists(stray)  # the uncommitted write survived
+    os.remove(stray)
