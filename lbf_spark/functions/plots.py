@@ -1,0 +1,206 @@
+"""Dependency-free plotting layer — the reference ``plotting_lib`` analog.
+
+The reference renders per-interval signal curves and amplitude-ranked
+top/bottom-k panels with matplotlib/seaborn
+(``plotting_lib/plotting_functions.py:150-235``: amplitude column,
+row masking to the top/bottom intervals, one polyline per interval with
+per-interval center markers). Neither matplotlib nor seaborn ships in
+this container — and a 1000-executor engine shouldn't drag a GUI stack
+into its workers anyway — so the split here is:
+
+* **selection + aggregation stay distributed** —
+  ``select_amplitude_panel`` ranks series by the amplitude operator
+  (``operators/stats.py:amplitude``, the ``accessibility_extraction``
+  math) and keeps top-k/bottom-k with a total order;
+* **rendering is driver-side over a METADATA-SIZED frame** — k curves
+  × n_buckets points collected, then emitted as a self-contained SVG
+  string (pure string building, deterministic byte-for-byte: sorted
+  series, fixed palette, fixed float formatting);
+* output goes through ``fsio`` so plots land on DFS next to the run's
+  checkpoint manifests.
+
+Swapping in matplotlib later = feeding the same
+``select_amplitude_panel`` output to ``ax.plot`` — the distributed part
+is unchanged.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from lbf_spark.operators.stats import amplitude
+
+# fixed categorical palette (no seaborn): 10 distinguishable hexes,
+# cycled in sorted-series order so output is deterministic
+PALETTE = [
+    "#4c72b0", "#dd8452", "#55a868", "#c44e52", "#8172b3",
+    "#937860", "#da8bc3", "#8c8c8c", "#ccb974", "#64b5cd",
+]
+
+
+def select_amplitude_panel(
+    summary: DataFrame,
+    n_positions: int,
+    center_n: int,
+    top: int = 5,
+    bottom: int = 5,
+    by: list[str] | str = "entity",
+    value: str = "signal",
+    position: str = "bucket",
+) -> DataFrame:
+    """Rank each series by amplitude (center-window mean − flanking
+    mean, the reference's panel-selection statistic) and keep the top-k
+    and bottom-k with a deterministic total order (amplitude, then the
+    series key — the reference's unstable ``sort_values`` made ties
+    render nondeterministically). Returns
+    ``(by..., amplitude, panel ∈ {'top','bottom'})`` — series-level
+    metadata, k+k rows. Requesting more rows than series exist simply
+    returns every series once (top wins ties, like the reference's
+    row-mask clamp)."""
+    by = [by] if isinstance(by, str) else list(by)
+    amp = amplitude(summary, value, position, n_positions, center_n, by=by)
+    top_df = (
+        amp.orderBy(F.desc("amplitude"), *[F.asc(c) for c in by])
+        .limit(top)
+        .withColumn("panel", F.lit("top"))
+    )
+    bot_df = (
+        amp.orderBy(F.asc("amplitude"), *[F.asc(c) for c in by])
+        .limit(bottom)
+        .withColumn("panel", F.lit("bottom"))
+    )
+    # a series in both halves (fewer series than top+bottom) keeps its
+    # 'top' row only — one curve per series in the rendered panel
+    return top_df.unionByName(
+        bot_df.join(top_df.select(*by), by, "left_anti")
+    )
+
+
+def _fmt(x: float) -> str:
+    return f"{x:.2f}"
+
+
+def signal_plot_svg(
+    series: dict[str, list[float]],
+    title: str = "signal per interval",
+    ylabel: str = "signal",
+    width: int = 960,
+    height: int = 480,
+) -> str:
+    """Render named series as an SVG line chart (one polyline per
+    series, sorted by name; y auto-scaled over all series; dotted
+    series-boundary grid and a center marker per the reference's
+    per-interval axvlines). Pure string building — deterministic
+    bytes for identical input."""
+    m_l, m_r, m_t, m_b = 64, 24, 42, 46
+    pw, ph = width - m_l - m_r, height - m_t - m_b
+    names = sorted(series)
+    all_vals = [v for n in names for v in series[n] if v is not None]
+    lo = min(all_vals) if all_vals else 0.0
+    hi = max(all_vals) if all_vals else 1.0
+    if hi == lo:
+        hi = lo + 1.0
+    n_pts = max((len(series[n]) for n in names), default=2)
+
+    def sx(i: int) -> float:
+        return m_l + (i / max(1, n_pts - 1)) * pw
+
+    def sy(v: float) -> float:
+        return m_t + (1.0 - (v - lo) / (hi - lo)) * ph
+
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+        f'<text x="{width / 2:.0f}" y="24" text-anchor="middle" '
+        f'font-size="16" font-family="sans-serif">{title}</text>',
+        # y axis + 5 ticks
+        f'<line x1="{m_l}" y1="{m_t}" x2="{m_l}" y2="{m_t + ph}" '
+        'stroke="black"/>',
+        f'<line x1="{m_l}" y1="{m_t + ph}" x2="{m_l + pw}" '
+        f'y2="{m_t + ph}" stroke="black"/>',
+    ]
+    for k in range(5):
+        v = lo + (hi - lo) * k / 4
+        y = sy(v)
+        parts.append(
+            f'<line x1="{m_l - 4}" y1="{_fmt(y)}" x2="{m_l}" '
+            f'y2="{_fmt(y)}" stroke="black"/>'
+            f'<text x="{m_l - 8}" y="{_fmt(y + 4)}" text-anchor="end" '
+            f'font-size="10" font-family="sans-serif">{v:.4g}</text>'
+        )
+    parts.append(
+        f'<text x="16" y="{m_t + ph / 2:.0f}" font-size="12" '
+        f'font-family="sans-serif" transform="rotate(-90 16 '
+        f'{m_t + ph / 2:.0f})" text-anchor="middle">{ylabel}</text>'
+    )
+    # center marker (reference: dash-dot axvline at each interval center)
+    cx = sx((n_pts - 1) // 2)
+    parts.append(
+        f'<line x1="{_fmt(cx)}" y1="{m_t}" x2="{_fmt(cx)}" '
+        f'y2="{m_t + ph}" stroke="gray" stroke-dasharray="6,3" '
+        'opacity="0.6"/>'
+    )
+    for idx, name in enumerate(names):
+        color = PALETTE[idx % len(PALETTE)]
+        pts = " ".join(
+            f"{_fmt(sx(i))},{_fmt(sy(v))}"
+            for i, v in enumerate(series[name])
+            if v is not None
+        )
+        parts.append(
+            f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '
+            f'points="{pts}"><title>{name}</title></polyline>'
+        )
+        ly = m_t + 14 * idx
+        parts.append(
+            f'<line x1="{m_l + pw - 110}" y1="{ly + 4}" '
+            f'x2="{m_l + pw - 90}" y2="{ly + 4}" stroke="{color}" '
+            'stroke-width="2"/>'
+            f'<text x="{m_l + pw - 84}" y="{ly + 8}" font-size="10" '
+            f'font-family="sans-serif">{name}</text>'
+        )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def plot_signal(
+    summary: DataFrame,
+    out_path: str,
+    n_positions: int,
+    center_n: int,
+    top: int = 5,
+    bottom: int = 5,
+    by: list[str] | str = "entity",
+    value: str = "signal",
+    position: str = "bucket",
+    title: str = "signal per interval",
+) -> str:
+    """The reference's ``plot_signal`` hook end-to-end: amplitude-rank
+    the series distributed, collect ONLY the selected k+k curves
+    (metadata-sized: (top+bottom) × n_positions points), render SVG,
+    write atomically via fsio (DFS-safe). Returns the SVG string."""
+    from lbf_spark import fsio
+
+    by = [by] if isinstance(by, str) else list(by)
+    panel = select_amplitude_panel(
+        summary, n_positions, center_n, top, bottom, by, value, position
+    )
+    curves = (
+        summary.join(panel.select(*by, "panel"), by)
+        .groupBy(*by, "panel")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(position), F.col(value)))
+            ).alias("pts")
+        )
+        .collect()
+    )
+    series: dict[str, list[float]] = {}
+    for r in curves:
+        key = "/".join(str(r[c]) for c in by) + f" [{r['panel']}]"
+        pts = r["pts"] or {}
+        series[key] = [pts.get(i) for i in range(n_positions)]
+    svg = signal_plot_svg(series, title=title)
+    fsio.write_text_atomic(summary.sparkSession, out_path, svg)
+    return svg

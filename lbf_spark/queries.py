@@ -4719,6 +4719,57 @@ def q114(spark, sf_dir):
     return law_viol.unionByName(bias_viol)
 
 
+@q(
+    "q115_amplitude_panel",
+    f"""
+    with sig as (
+      select user_id, cast((ts_us // 3600000000) % 24 as bigint) as pos,
+             round(avg(value), 6) as signal
+      from {_EVENTS_SQL} group by 1, 2
+    ),
+    amp as (
+      select user_id,
+             avg(case when pos >= 8 and pos < 16 then signal end)
+           - avg(case when pos < 8 or pos >= 16 then signal end) as amplitude
+      from sig group by 1
+    ),
+    t as (select user_id, amplitude, 'top' as panel
+          from amp order by amplitude desc, user_id asc limit 5),
+    b0 as (select user_id, amplitude, 'bottom' as panel
+           from amp order by amplitude asc, user_id asc limit 5),
+    b as (select * from b0 where user_id not in (select user_id from t))
+    select user_id, round(amplitude, 6) as amplitude, panel from t
+    union all
+    select user_id, round(amplitude, 6) as amplitude, panel from b
+    """,
+)
+def q115(spark, sf_dir):
+    """Amplitude-ranked top/bottom-k panel SELECTION — the distributed
+    half of the reference's ``plot_signal`` hook
+    (``plotting_functions.py:150-190``: amplitude column + row mask to
+    the top/bottom intervals). Series = per-user hour-of-day signal
+    curves (24 positions); amplitude = center-window mean − flanking
+    mean (stats.amplitude); selection totally ordered (amplitude, then
+    user). The SVG rendering half is functions/plots.py, pytest-gated
+    (tests/test_plots.py) — only this metadata-sized selection needs an
+    oracle."""
+    from lbf_spark.functions.plots import select_amplitude_panel
+
+    sig = (
+        _events(spark, sf_dir)
+        .withColumn("pos", F.expr("ts_us div 3600000000") % 24)
+        .groupBy("user_id", "pos")
+        .agg(F.round(F.avg("value"), 6).alias("signal"))
+    )
+    panel = select_amplitude_panel(
+        sig, n_positions=24, center_n=8, top=5, bottom=5,
+        by="user_id", value="signal", position="pos",
+    )
+    return panel.select(
+        "user_id", F.round("amplitude", 6).alias("amplitude"), "panel"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1,0 +1,83 @@
+"""Plotting layer (functions/plots.py — the reference plotting_lib
+analog): distributed amplitude-panel selection vs a pandas twin, and
+deterministic SVG rendering."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from lbf_spark.functions import plots as PL
+
+
+@pytest.fixture(scope="module")
+def summary_df(spark):
+    # 8 series × 16 positions; series s{k} has a center bump of height k
+    rows = []
+    for k in range(8):
+        for pos in range(16):
+            base = 1.0 + 0.01 * pos
+            bump = float(k) if 6 <= pos < 10 else 0.0
+            rows.append((f"s{k}", pos, base + bump))
+    return spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "bucket", "signal"])
+    )
+
+
+def test_select_amplitude_panel_matches_pandas_twin(spark, summary_df):
+    got = (
+        PL.select_amplitude_panel(
+            summary_df, n_positions=16, center_n=4, top=2, bottom=2
+        )
+        .toPandas()
+        .sort_values(["panel", "entity"], ignore_index=True)
+    )
+    # twin: amplitude = mean(signal, pos in [6,10)) − mean(others)
+    pdf = summary_df.toPandas()
+    center = pdf[(pdf.bucket >= 6) & (pdf.bucket < 10)].groupby("entity").signal.mean()
+    flank = pdf[(pdf.bucket < 6) | (pdf.bucket >= 10)].groupby("entity").signal.mean()
+    amp = (center - flank).sort_values()
+    exp_top = set(amp.index[-2:])
+    exp_bot = set(amp.index[:2])
+    assert set(got[got.panel == "top"].entity) == exp_top == {"s6", "s7"}
+    assert set(got[got.panel == "bottom"].entity) == exp_bot == {"s0", "s1"}
+    for _i, r in got.iterrows():
+        assert r["amplitude"] == pytest.approx(amp[r["entity"]], rel=1e-9)
+
+
+def test_panel_clamps_to_one_row_per_series(spark, summary_df):
+    """top+bottom exceeding the series count returns every series ONCE
+    (top wins the overlap), like the reference's row-mask clamp."""
+    got = PL.select_amplitude_panel(
+        summary_df, n_positions=16, center_n=4, top=6, bottom=6
+    ).toPandas()
+    assert len(got) == 8
+    assert got.entity.is_unique
+
+
+def test_signal_plot_svg_deterministic_and_structured():
+    series = {
+        "a [top]": [1.0, 2.0, 3.0, 2.0, 1.0],
+        "b [bottom]": [3.0, 2.0, 1.0, 2.0, 3.0],
+    }
+    svg1 = PL.signal_plot_svg(series, title="demo")
+    svg2 = PL.signal_plot_svg(dict(reversed(series.items())), title="demo")
+    assert svg1 == svg2  # dict order must not matter (sorted render)
+    assert svg1.startswith("<svg") and svg1.rstrip().endswith("</svg>")
+    assert svg1.count("<polyline") == 2
+    assert "demo" in svg1
+    # missing points are skipped, not rendered as zeros
+    svg3 = PL.signal_plot_svg({"c": [1.0, None, 3.0]})
+    assert svg3.count(",") >= 2 and "<polyline" in svg3
+
+
+def test_plot_signal_end_to_end(spark, summary_df, tmp_path):
+    out = str(tmp_path / "panel.svg")
+    svg = PL.plot_signal(
+        summary_df, out, n_positions=16, center_n=4, top=2, bottom=2,
+        title="e2e panel",
+    )
+    on_disk = open(out).read()
+    assert on_disk == svg
+    assert svg.count("<polyline") == 4  # 2 top + 2 bottom curves
+    assert "s7/top" in svg.replace(" [", "/").replace("]", "") or "s7 [top]" in svg
