@@ -181,10 +181,20 @@ def _land_data_files(
         # it disappears only in the metadata-fast window between staging
         # success and the moves below (never while rows are being computed)
         fsio.delete(spark, data_dir, recursive=True)
-    for rel in parts:
-        fsio.move_file(
-            spark, fsio.join(staging, rel), fsio.join(data_dir, rel)
-        )
+    # adopt moves are per-file metadata RPCs (same class Iceberg commits
+    # pay per manifest entry) — issue them from a small thread pool so
+    # NameNode round-trips overlap instead of serializing on the driver
+    from concurrent.futures import ThreadPoolExecutor
+
+    def _mv(rel: str) -> None:
+        fsio.move_file(spark, fsio.join(staging, rel), fsio.join(data_dir, rel))
+
+    if len(parts) > 4:
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            list(pool.map(_mv, parts))
+    else:
+        for rel in parts:
+            _mv(rel)
     fsio.delete(spark, staging, recursive=True)
     return sorted(parts)
 
@@ -239,22 +249,35 @@ def _file_ts_stats(spark, data_dir: str, files: list[str]) -> dict:
         F.min("ts").alias("mn"),
         F.max("ts").alias("mx"),
     )
-    w = Window.partitionBy("__f").orderBy(F.desc("n"), F.asc("entity"))
+    # top-K per file in the SAME aggregation (array_sort + slice) — no
+    # extra window stage. The collect_list buffer is bounded by
+    # entities-per-file ≤ rows-per-file (layout buckets by entity, so
+    # production files hold one bucket's entity subset); at ~1-5M rows
+    # per well-sized file that is a few MB of (n, entity) structs.
+    ranked = F.slice(
+        F.array_sort(
+            F.collect_list(
+                F.when(
+                    F.col("entity").isNotNull(),
+                    F.struct(
+                        (-F.col("n")).alias("negn"),
+                        F.col("entity").cast("string").alias("entity"),
+                        F.col("n").alias("n"),
+                    ),
+                )
+            )
+        ),
+        1,
+        _HOT_STATS_K,
+    )
     rows = (
-        per.withColumn("rk", F.row_number().over(w))
-        .groupBy("__f")
+        per.groupBy("__f")
         .agg(
             F.min("mn").alias("mn"),
             F.max("mx").alias("mx"),
             F.sum("n").alias("n_rows"),
             F.map_from_entries(
-                F.collect_list(
-                    F.when(
-                        (F.col("rk") <= _HOT_STATS_K)
-                        & F.col("entity").isNotNull(),
-                        F.struct(F.col("entity").cast("string"), F.col("n")),
-                    )
-                )
+                F.transform(ranked, lambda x: F.struct(x["entity"], x["n"]))
             ).alias("hot"),
         )
         .collect()
@@ -475,7 +498,13 @@ def merge_upsert(
         ).unionByName(upserts)
     else:
         new_rows = upserts
-    pdf = _with_partition_cols(new_rows, n_buckets, ts_unit_day)
+    # hash-distribute by the partition cols before landing (Iceberg's
+    # write.distribution-mode=hash): one file per touched partition dir
+    # instead of one per (task × dir) — a merge that rewrites k files
+    # lands ~k files, not k × shuffle-partitions
+    pdf = _with_partition_cols(new_rows, n_buckets, ts_unit_day).repartition(
+        "entity_bucket", "ts_day"
+    )
     new_files = _land_data_files(spark, pdf, path)
     snapshot = {
         "snapshot_id": snaps[-1]["snapshot_id"] + 1,
