@@ -164,6 +164,96 @@ def signal_plot_svg(
     return "\n".join(parts)
 
 
+def heatmap_svg(
+    rows: dict[str, list[float]],
+    title: str = "signal heatmap",
+    width: int = 960,
+    cell_h: int = 18,
+) -> str:
+    """Series × position heatmap — the ``plot_heatmap_signal_batch``
+    analog: one row per series (sorted), cells shaded on a white→blue
+    ramp over the global min/max. Deterministic bytes; pure strings."""
+    m_l, m_t = 110, 42
+    names = sorted(rows)
+    n_pos = max((len(rows[n]) for n in names), default=1)
+    all_vals = [v for n in names for v in rows[n] if v is not None]
+    lo = min(all_vals) if all_vals else 0.0
+    hi = max(all_vals) if all_vals else 1.0
+    if hi == lo:
+        hi = lo + 1.0
+    cw = (width - m_l - 16) / max(1, n_pos)
+    height = m_t + cell_h * len(names) + 16
+    parts = [
+        f'<svg xmlns="http://www.w3.org/2000/svg" width="{width}" '
+        f'height="{height}" viewBox="0 0 {width} {height}">',
+        f'<rect width="{width}" height="{height}" fill="white"/>',
+        f'<text x="{width / 2:.0f}" y="24" text-anchor="middle" '
+        f'font-size="16" font-family="sans-serif">{title}</text>',
+    ]
+    for r_i, name in enumerate(names):
+        y = m_t + r_i * cell_h
+        parts.append(
+            f'<text x="{m_l - 6}" y="{y + cell_h - 5}" text-anchor="end" '
+            f'font-size="10" font-family="sans-serif">{name}</text>'
+        )
+        for c_i, v in enumerate(rows[name]):
+            if v is None:
+                continue
+            t = (v - lo) / (hi - lo)
+            # white (255,255,255) → deep blue (23,62,120)
+            r = round(255 - t * (255 - 23))
+            g = round(255 - t * (255 - 62))
+            b = round(255 - t * (255 - 120))
+            parts.append(
+                f'<rect x="{_fmt(m_l + c_i * cw)}" y="{y}" '
+                f'width="{_fmt(cw)}" height="{cell_h}" '
+                f'fill="rgb({r},{g},{b})"/>'
+            )
+    parts.append("</svg>")
+    return "\n".join(parts)
+
+
+def plot_heatmap(
+    summary: DataFrame,
+    out_path: str,
+    n_positions: int,
+    by: list[str] | str = "entity",
+    value: str = "signal",
+    position: str = "bucket",
+    title: str = "signal heatmap",
+    max_series: int = 64,
+) -> str:
+    """Heatmap of up to ``max_series`` series (deterministic first-k by
+    key order — cap the collect; pre-filter upstream to choose WHICH
+    series). Collect is metadata-sized: k × n_positions cells."""
+    from lbf_spark import fsio
+
+    by = [by] if isinstance(by, str) else list(by)
+    keys = (
+        summary.select(*by).distinct()
+        .orderBy(*[F.asc(c) for c in by])
+        .limit(max_series)
+    )
+    curves = (
+        summary.join(keys, by, "left_semi")
+        .groupBy(*by)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col(position), F.col(value)))
+            ).alias("pts")
+        )
+        .collect()
+    )
+    rows: dict[str, list[float]] = {}
+    for r in curves:
+        key = "/".join(str(r[c]) for c in by)
+        pts = r["pts"] or {}
+        rows[key] = [pts.get(i) for i in range(n_positions)]
+    svg = heatmap_svg(rows, title=title)
+    fsio.write_text_atomic(summary.sparkSession, out_path, svg)
+    return svg
+
+
 def plot_signal(
     summary: DataFrame,
     out_path: str,

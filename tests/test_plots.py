@@ -81,3 +81,26 @@ def test_plot_signal_end_to_end(spark, summary_df, tmp_path):
     assert on_disk == svg
     assert svg.count("<polyline") == 4  # 2 top + 2 bottom curves
     assert "s7/top" in svg.replace(" [", "/").replace("]", "") or "s7 [top]" in svg
+
+
+def test_heatmap_svg_deterministic_and_shaded():
+    rows = {"a": [0.0, 0.5, 1.0], "b": [1.0, 0.5, 0.0]}
+    svg1 = PL.heatmap_svg(rows)
+    svg2 = PL.heatmap_svg(dict(reversed(rows.items())))
+    assert svg1 == svg2
+    assert svg1.count("<rect") == 1 + 6  # background + 6 cells
+    # extremes hit the ramp endpoints
+    assert "rgb(255,255,255)" in svg1 and "rgb(23,62,120)" in svg1
+    # None cells are skipped
+    assert PL.heatmap_svg({"c": [0.2, None, 0.8]}).count("<rect") == 1 + 2
+
+
+def test_plot_heatmap_end_to_end(spark, summary_df, tmp_path):
+    out = str(tmp_path / "heat.svg")
+    svg = PL.plot_heatmap(
+        summary_df, out, n_positions=16, max_series=3, title="heat e2e"
+    )
+    assert open(out).read() == svg
+    # 3 series × 16 positions + background
+    assert svg.count("<rect") == 1 + 48
+    assert "heat e2e" in svg and "s0" in svg
