@@ -47,6 +47,7 @@ def select_amplitude_panel(
     by: list[str] | str = "entity",
     value: str = "signal",
     position: str = "bucket",
+    decimal_stable: bool = True,
 ) -> DataFrame:
     """Rank each series by amplitude (center-window mean − flanking
     mean, the reference's panel-selection statistic) and keep the top-k
@@ -56,9 +57,15 @@ def select_amplitude_panel(
     ``(by..., amplitude, panel ∈ {'top','bottom'})`` — series-level
     metadata, k+k rows. Requesting more rows than series exist simply
     returns every series once (top wins ties, like the reference's
-    row-mask clamp)."""
+    row-mask clamp). ``decimal_stable`` (default on) makes the ranking
+    statistic partial-aggregation-order-proof — double avg() over a
+    handful of short-decimal signals otherwise flips round() boundaries
+    between runs."""
     by = [by] if isinstance(by, str) else list(by)
-    amp = amplitude(summary, value, position, n_positions, center_n, by=by)
+    amp = amplitude(
+        summary, value, position, n_positions, center_n, by=by,
+        decimal_stable=decimal_stable,
+    )
     top_df = (
         amp.orderBy(F.desc("amplitude"), *[F.asc(c) for c in by])
         .limit(top)

@@ -174,17 +174,33 @@ def amplitude(
     center_n: int,
     by: list[str] | str,
     out: str = "amplitude",
+    decimal_stable: bool = False,
 ) -> DataFrame:
     """Accessibility amplitude: center-window mean − flanking mean,
     sign-flipped for dips (``accessibility_extraction.py:6-27``,
-    ``plotting_functions.py:172-189``)."""
+    ``plotting_functions.py:172-189``).
+
+    ``decimal_stable`` computes each mean as an exact DECIMAL(18,6) sum
+    divided by the count — partial-aggregation-order-proof, so repeated
+    runs (and the DuckDB oracle) agree bit-for-bit even when the means
+    land on round() boundaries. Use it whenever the amplitude feeds a
+    ranking or a hashed output; values must fit 6 decimal digits."""
     by = [by] if isinstance(by, str) else list(by)
     mid = n_positions // 2
     in_center = (F.col(position) >= mid - center_n // 2) & (
         F.col(position) < mid + (center_n + 1) // 2
     )
-    center = F.avg(F.when(in_center, F.col(value)))
-    flank = F.avg(F.when(~in_center, F.col(value)))
+    if decimal_stable:
+        dv = F.col(value).cast("decimal(18,6)")
+        center = F.sum(F.when(in_center, dv)).cast("double") / F.count(
+            F.when(in_center, F.col(value))
+        )
+        flank = F.sum(F.when(~in_center, dv)).cast("double") / F.count(
+            F.when(~in_center, F.col(value))
+        )
+    else:
+        center = F.avg(F.when(in_center, F.col(value)))
+        flank = F.avg(F.when(~in_center, F.col(value)))
     return df.groupBy(*by).agg((center - flank).alias(out))
 
 

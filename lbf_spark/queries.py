@@ -4724,13 +4724,19 @@ def q114(spark, sf_dir):
     f"""
     with sig as (
       select user_id, cast((ts_us // 3600000000) % 24 as bigint) as pos,
-             round(avg(value), 6) as signal
+             round(cast(sum(cast(value as decimal(18,6))) as double)
+                   / count(*), 6) as signal
       from {_EVENTS_SQL} group by 1, 2
     ),
     amp as (
       select user_id,
-             avg(case when pos >= 8 and pos < 16 then signal end)
-           - avg(case when pos < 8 or pos >= 16 then signal end) as amplitude
+             cast(sum(case when pos >= 8 and pos < 16
+                           then cast(signal as decimal(18,6)) end) as double)
+               / count(case when pos >= 8 and pos < 16 then signal end)
+           - cast(sum(case when pos < 8 or pos >= 16
+                           then cast(signal as decimal(18,6)) end) as double)
+               / count(case when pos < 8 or pos >= 16 then signal end)
+               as amplitude
       from sig group by 1
     ),
     t as (select user_id, amplitude, 'top' as panel
@@ -4752,14 +4758,24 @@ def q115(spark, sf_dir):
     mean (stats.amplitude); selection totally ordered (amplitude, then
     user). The SVG rendering half is functions/plots.py, pytest-gated
     (tests/test_plots.py) — only this metadata-sized selection needs an
-    oracle."""
+    oracle. Both the signal means and the amplitude means are exact
+    DECIMAL(18,6) sums / counts (the CLAUDE.md rule): plain double
+    avg() over short-decimal inputs lands ON round() boundaries, where
+    partial-aggregation order flips the hashed output between runs —
+    exactly what a one-in-N-runs driver red would look like."""
     from lbf_spark.functions.plots import select_amplitude_panel
 
     sig = (
         _events(spark, sf_dir)
         .withColumn("pos", F.expr("ts_us div 3600000000") % 24)
         .groupBy("user_id", "pos")
-        .agg(F.round(F.avg("value"), 6).alias("signal"))
+        .agg(
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("signal")
+        )
     )
     panel = select_amplitude_panel(
         sig, n_positions=24, center_n=8, top=5, bottom=5,
