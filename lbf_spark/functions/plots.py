@@ -26,6 +26,8 @@ is unchanged.
 
 from __future__ import annotations
 
+from xml.sax.saxutils import escape as _xesc
+
 from pyspark.sql import DataFrame, functions as F
 
 from lbf_spark.operators.stats import amplitude
@@ -65,14 +67,19 @@ def select_amplitude_panel(
     amp = amplitude(
         summary, value, position, n_positions, center_n, by=by,
         decimal_stable=decimal_stable,
+    ).filter(
+        # a series with no center or no flanking rows has NULL amplitude
+        # — unrankable, and Spark's asc() sorts nulls FIRST (they would
+        # hijack the bottom panel) while SQL engines default nulls last
+        F.col("amplitude").isNotNull()
     )
     top_df = (
-        amp.orderBy(F.desc("amplitude"), *[F.asc(c) for c in by])
+        amp.orderBy(F.desc_nulls_last("amplitude"), *[F.asc(c) for c in by])
         .limit(top)
         .withColumn("panel", F.lit("top"))
     )
     bot_df = (
-        amp.orderBy(F.asc("amplitude"), *[F.asc(c) for c in by])
+        amp.orderBy(F.asc_nulls_last("amplitude"), *[F.asc(c) for c in by])
         .limit(bottom)
         .withColumn("panel", F.lit("bottom"))
     )
@@ -120,7 +127,7 @@ def signal_plot_svg(
         f'height="{height}" viewBox="0 0 {width} {height}">',
         f'<rect width="{width}" height="{height}" fill="white"/>',
         f'<text x="{width / 2:.0f}" y="24" text-anchor="middle" '
-        f'font-size="16" font-family="sans-serif">{title}</text>',
+        f'font-size="16" font-family="sans-serif">{_xesc(title)}</text>',
         # y axis + 5 ticks
         f'<line x1="{m_l}" y1="{m_t}" x2="{m_l}" y2="{m_t + ph}" '
         'stroke="black"/>',
@@ -139,7 +146,7 @@ def signal_plot_svg(
     parts.append(
         f'<text x="16" y="{m_t + ph / 2:.0f}" font-size="12" '
         f'font-family="sans-serif" transform="rotate(-90 16 '
-        f'{m_t + ph / 2:.0f})" text-anchor="middle">{ylabel}</text>'
+        f'{m_t + ph / 2:.0f})" text-anchor="middle">{_xesc(ylabel)}</text>'
     )
     # center marker (reference: dash-dot axvline at each interval center)
     cx = sx((n_pts - 1) // 2)
@@ -157,7 +164,7 @@ def signal_plot_svg(
         )
         parts.append(
             f'<polyline fill="none" stroke="{color}" stroke-width="1.5" '
-            f'points="{pts}"><title>{name}</title></polyline>'
+            f'points="{pts}"><title>{_xesc(name)}</title></polyline>'
         )
         ly = m_t + 14 * idx
         parts.append(
@@ -165,7 +172,7 @@ def signal_plot_svg(
             f'x2="{m_l + pw - 90}" y2="{ly + 4}" stroke="{color}" '
             'stroke-width="2"/>'
             f'<text x="{m_l + pw - 84}" y="{ly + 8}" font-size="10" '
-            f'font-family="sans-serif">{name}</text>'
+            f'font-family="sans-serif">{_xesc(name)}</text>'
         )
     parts.append("</svg>")
     return "\n".join(parts)
@@ -195,13 +202,13 @@ def heatmap_svg(
         f'height="{height}" viewBox="0 0 {width} {height}">',
         f'<rect width="{width}" height="{height}" fill="white"/>',
         f'<text x="{width / 2:.0f}" y="24" text-anchor="middle" '
-        f'font-size="16" font-family="sans-serif">{title}</text>',
+        f'font-size="16" font-family="sans-serif">{_xesc(title)}</text>',
     ]
     for r_i, name in enumerate(names):
         y = m_t + r_i * cell_h
         parts.append(
             f'<text x="{m_l - 6}" y="{y + cell_h - 5}" text-anchor="end" '
-            f'font-size="10" font-family="sans-serif">{name}</text>'
+            f'font-size="10" font-family="sans-serif">{_xesc(name)}</text>'
         )
         for c_i, v in enumerate(rows[name]):
             if v is None:

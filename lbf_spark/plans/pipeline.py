@@ -219,11 +219,23 @@ def _hot_entities(events: DataFrame, cfg: FeatureConfig) -> list:
         if meta is not None:
             thr = cfg.hot_entity_threshold
             if thr is None:
+                # auto threshold from the TABLE's total; when `events`
+                # is a filtered slice of the table this is conservative
+                # (higher threshold → fewer entities routed hot), which
+                # only affects routing, never values
                 thr = max(1, (2 * meta["total"]) // max(1, n_part))
             hot = sorted(
                 ((n, e) for e, n in meta["entities"].items() if n > thr),
                 key=lambda t: (-t[0], t[1]),
             )[:1024]
+            # the sketch stores keys as strings — convert back to the
+            # events column's native type so the isin() routing filter
+            # compares without implicit casts
+            etype = dict(events.dtypes).get("entity", "string")
+            if etype in ("tinyint", "smallint", "int", "bigint"):
+                return [int(e) for _n, e in hot]
+            if etype in ("float", "double"):
+                return [float(e) for _n, e in hot]
             return [e for _n, e in hot]
     counts = events.groupBy("entity").agg(F.count(F.lit(1)).alias("n"))
     thr = cfg.hot_entity_threshold

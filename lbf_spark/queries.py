@@ -4744,9 +4744,9 @@ def q114(spark, sf_dir):
     b0 as (select user_id, amplitude, 'bottom' as panel
            from amp order by amplitude asc, user_id asc limit 5),
     b as (select * from b0 where user_id not in (select user_id from t))
-    select user_id, round(amplitude, 6) as amplitude, panel from t
+    select user_id, round(amplitude, 6) + 0 as amplitude, panel from t
     union all
-    select user_id, round(amplitude, 6) as amplitude, panel from b
+    select user_id, round(amplitude, 6) + 0 as amplitude, panel from b
     """,
 )
 def q115(spark, sf_dir):

@@ -108,7 +108,15 @@ def write_table(
     ``extra`` fields merge into the manifest inside the SAME exclusive
     commit (exactly-once sinks record their batch_id this way — a
     post-commit patch would leave a crash window where the snapshot is
-    committed but not yet idempotency-tagged)."""
+    committed but not yet idempotency-tagged).
+
+    ``mode="overwrite"`` is LOGICAL (Iceberg semantics): the new
+    snapshot's ``overwrite`` mode resets the visible file set at
+    replay; pre-overwrite data files stay on disk until
+    ``remove_orphan_files`` reclaims them. Physically deleting them
+    here would race a concurrent writer — a losing overwrite would
+    wipe the winner's just-committed files before the manifest race
+    was decided."""
     from lbf_spark import fsio
 
     spark = df.sparkSession
@@ -124,16 +132,22 @@ def write_table(
             .sortWithinPartitions("entity_bucket", "ts_day", "__z")
             .drop("__z")
         )
-    added = _land_data_files(
-        spark, pdf, path, clear_data_first=(mode == "overwrite")
-    )
+    added = _land_data_files(spark, pdf, path)
     fsio.mkdirs(spark, meta_dir)
     existing = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
     parent = existing[-1] if existing else None
+    # next id = last EXISTING id + 1, never len(existing)+1: snapshot
+    # expiration deletes prefix manifests, so after expire(keep_last=1)
+    # a count-based id would collide with (or sort before) the retained
+    # snapshot and append rows invisibly
+    if existing:
+        next_id = int(existing[-1].split("-")[1].split(".")[0]) + 1
+    else:
+        next_id = 1
     snapshot = dict(extra or {})
     snapshot.update(
         {
-            "snapshot_id": len(existing) + 1,
+            "snapshot_id": next_id,
             "parent": parent,
             "schema": df.schema.json(),
             "partition_spec": {
@@ -153,9 +167,7 @@ def write_table(
     return snapshot
 
 
-def _land_data_files(
-    spark, pdf: DataFrame, path: str, clear_data_first: bool = False
-) -> list[str]:
+def _land_data_files(spark, pdf: DataFrame, path: str) -> list[str]:
     """Stage-then-adopt data write: land the partitioned parquet under a
     unique ``.staging/<token>`` dir, move exactly those part files into
     ``data/`` (same partition-relative path — Spark's per-job UUID in
@@ -177,10 +189,6 @@ def _land_data_files(
         f["path"] for f in fsio.list_files_recursive(spark, staging, ".parquet")
     ]
     data_dir = fsio.join(path, "data")
-    if clear_data_first:  # overwrite: old data outlives the write job —
-        # it disappears only in the metadata-fast window between staging
-        # success and the moves below (never while rows are being computed)
-        fsio.delete(spark, data_dir, recursive=True)
     # adopt moves are per-file metadata RPCs (same class Iceberg commits
     # pay per manifest entry) — issue them from a small thread pool so
     # NameNode round-trips overlap instead of serializing on the driver
@@ -327,8 +335,10 @@ def _replay_files(
     keeps its replaced files ON DISK so older snapshots stay readable,
     and ``write_table`` needs *known* (not *visible*) to tell which
     on-disk files a fresh append actually created. Raises if ``as_of``
-    predates the last overwrite (those files are gone — Spark's
-    overwrite wipes the data dir)."""
+    predates the last overwrite — those files left the tracked chain
+    (an overwrite is a logical reset; the physical files linger only
+    until ``remove_orphan_files``), so travel across it is
+    undefined."""
     if as_of is not None and any(
         s["mode"] == "overwrite" and s["snapshot_id"] > as_of for s in snaps
     ):
@@ -622,6 +632,14 @@ def scan(
         df = df.filter(
             (F.col("ts_day") <= ts_max // ts_unit_day) & (F.col("ts") <= ts_max)
         )
+    # pin the hive partition-column types LAST (after the partition
+    # filters, so pruning still binds to the raw attributes): directory
+    # inference picks int vs bigint per value range, and the empty-table
+    # branch declares (int, long) — one stable scan schema either way
+    if "entity_bucket" in df.columns:
+        df = df.withColumn(
+            "entity_bucket", F.col("entity_bucket").cast("int")
+        ).withColumn("ts_day", F.col("ts_day").cast("long"))
     return df
 
 

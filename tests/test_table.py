@@ -625,3 +625,73 @@ def test_expire_snapshots_spares_unknown_files(spark, tiny_events, tmp_path):
     assert res["n_deleted_files"] > 0  # merge-replaced history went away
     assert os.path.exists(stray)  # the uncommitted write survived
     os.remove(stray)
+
+
+def test_append_after_expire_stays_visible(spark, tiny_events, tmp_path):
+    """Snapshot ids continue from the last EXISTING manifest after
+    expiration (a count-based id would collide with or sort before the
+    retained snapshot, silently hiding the appended rows)."""
+    path = str(tmp_path / "tbl_exp_append")
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events), path,
+        mode="overwrite", ts_unit_day=10_000,
+    )                                                                  # snap 1
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[:30]), path,
+        mode="append", ts_unit_day=10_000,
+    )                                                                  # snap 2
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[30:50]), path,
+        mode="append", ts_unit_day=10_000,
+    )                                                                  # snap 3
+    TBL.expire_snapshots(spark, path, keep_last=1)                     # keep 3
+    n_now = TBL.scan(spark, path).count()
+    snap = TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[50:75]).withColumn(
+            "image_id", F.concat(F.lit("post_"), F.col("image_id"))
+        ),
+        path, mode="append", ts_unit_day=10_000,
+    )
+    assert snap["snapshot_id"] == 4  # continues past the retained id
+    assert TBL.scan(spark, path).count() == n_now + 25
+    # and one more expire+append cycle keeps working
+    TBL.expire_snapshots(spark, path, keep_last=1)
+    snap5 = TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[75:80]).withColumn(
+            "image_id", F.concat(F.lit("post2_"), F.col("image_id"))
+        ),
+        path, mode="append", ts_unit_day=10_000,
+    )
+    assert snap5["snapshot_id"] == 5
+    assert TBL.scan(spark, path).count() == n_now + 30
+
+
+def test_overwrite_is_logical_not_physical(spark, tiny_events, tmp_path):
+    """mode='overwrite' resets the visible set in METADATA only — the
+    previous files stay on disk (a physical wipe would race concurrent
+    writers) until remove_orphan_files reclaims them."""
+    import os
+
+    path = str(tmp_path / "tbl_logical_ow")
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events), path,
+        mode="overwrite", ts_unit_day=10_000,
+    )
+    n_files_before = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _r, _d, files in os.walk(os.path.join(path, "data"))
+    )
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[:10]), path,
+        mode="overwrite", ts_unit_day=10_000,
+    )
+    assert TBL.scan(spark, path).count() == 10  # visible set reset
+    n_files_after = sum(
+        len([f for f in files if f.endswith(".parquet")])
+        for _r, _d, files in os.walk(os.path.join(path, "data"))
+    )
+    assert n_files_after > n_files_before  # old files still on disk
+    # orphan cleanup reclaims the pre-overwrite (now-untracked) files
+    res = TBL.remove_orphan_files(spark, path)
+    assert res["n_orphans_deleted"] >= n_files_before
+    assert TBL.scan(spark, path).count() == 10
