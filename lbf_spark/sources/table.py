@@ -431,6 +431,7 @@ def merge_upsert(
     changes: DataFrame,
     keys: list[str],
     delete_col: str | None = None,
+    extra: dict | None = None,
 ) -> dict:
     """Apply a changelog to the current snapshot — the write-side of
     q84's CDC latest-state semantics (Iceberg ``MERGE INTO`` with
@@ -516,8 +517,9 @@ def merge_upsert(
         "entity_bucket", "ts_day"
     )
     new_files = _land_data_files(spark, pdf, path)
-    snapshot = {
-        "snapshot_id": snaps[-1]["snapshot_id"] + 1,
+    snapshot = dict(extra or {})
+    snapshot["snapshot_id"] = snaps[-1]["snapshot_id"] + 1
+    snapshot.update({
         "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
         "schema": snaps[-1]["schema"],
         "partition_spec": spec,
@@ -526,7 +528,7 @@ def merge_upsert(
         "removed_files": affected,
         "n_data_files": fsio.count_files_recursive(spark, data_dir, ".parquet"),
         "mode": "merge",
-    }
+    })
     name = f"snap-{snapshot['snapshot_id']:05d}.json"
     _commit_or_cleanup(spark, fsio.join(meta_dir, name), snapshot, path, new_files)
     return snapshot

@@ -326,3 +326,101 @@ def table_batch_commit(
         n_buckets=n_buckets, ts_unit_day=ts_unit_day,
         extra={"batch_id": batch_id},
     )
+
+
+def cdc_batch_apply(
+    batch_df: DataFrame,
+    batch_id: int,
+    path: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    delete_col: str | None = None,
+    n_buckets: int = 16,
+    ts_unit_day: int = 86_400,
+) -> dict | None:
+    """One CDC micro-batch → latest-per-key reduce → MERGE snapshot,
+    idempotent on ``batch_id`` — the streaming composition of q84's
+    latest-state semantics with the table layer's copy-on-write MERGE.
+
+    A raw changelog batch may hold several changes per key; the batch
+    is first reduced to the newest change per key (``row_number`` over
+    the keys ordered by ``ts_col`` desc — callers must keep (keys,
+    ts_col) unique per the as-of dedupe rule), then applied with
+    ``merge_upsert`` (rows flagged in ``delete_col`` delete). The
+    ``batch_id`` rides in the single exclusive manifest commit, so a
+    replayed batch (foreachBatch is at-least-once) is a no-op and the
+    end-to-end result is exactly-once. The FIRST batch bootstraps the
+    table (overwrite mode — merge needs an existing snapshot).
+
+    Returns the committed snapshot, or None if skipped/empty."""
+    from pyspark.sql import Window
+
+    from lbf_spark import fsio
+    from lbf_spark.sources import table as TBL
+
+    if batch_df.isEmpty():
+        return None
+    spark = batch_df.sparkSession
+    meta_dir = fsio.join(path, "metadata")
+    committed = [
+        json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))).get("batch_id")
+        for n in fsio.list_names(spark, meta_dir)
+        if n.endswith(".json")
+    ] if fsio.exists(spark, meta_dir) else []
+    if batch_id in committed:
+        return None  # replayed batch: already durable (idempotence)
+    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+    latest = (
+        batch_df.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+    )
+    if not committed:  # bootstrap: first batch creates the table
+        rows = latest
+        if delete_col is not None:
+            rows = rows.filter(
+                ~F.coalesce(F.col(delete_col), F.lit(False))
+            ).drop(delete_col)
+        return TBL.write_table(
+            rows, path, mode="overwrite",
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+            extra={"batch_id": batch_id},
+        )
+    return TBL.merge_upsert(
+        spark, path, latest, keys=keys, delete_col=delete_col,
+        extra={"batch_id": batch_id},
+    )
+
+
+def stream_cdc_apply(
+    stream_df: DataFrame,
+    path: str,
+    checkpoint_dir: str,
+    keys: list[str],
+    ts_col: str = "ts",
+    delete_col: str | None = None,
+    n_buckets: int = 16,
+    ts_unit_day: int = 86_400,
+    trigger_available_now: bool = True,
+):
+    """Changelog stream → continuously-merged snapshot table: each
+    micro-batch applies as one MERGE snapshot via ``cdc_batch_apply``
+    (exactly-once; replay-idempotent), so readers always see the
+    latest-per-key state with full time travel across batch boundaries.
+    The streaming twin of a warehouse ``MERGE INTO`` pipeline.
+
+    Returns the StreamingQuery (caller awaits termination)."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        cdc_batch_apply(
+            batch_df, batch_id, path, keys,
+            ts_col=ts_col, delete_col=delete_col,
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -326,3 +326,79 @@ def test_stream_image_decode_matches_batch(spark, tmp_path, tiny_events):
     import numpy as np
     np.testing.assert_allclose(got["pixel_mean"], batch["pixel_mean"], rtol=0, atol=0)
     np.testing.assert_allclose(got["pixel_std"], batch["pixel_std"], rtol=0, atol=0)
+
+
+def test_stream_cdc_apply_latest_state(spark, tmp_path, tiny_events):
+    """Changelog stream → continuously-merged table: two micro-batches
+    of updates/inserts/deletes end in exactly the pandas-computed
+    latest-per-key state; a replayed batch is an idempotent no-op."""
+    import pandas as pd
+
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import (
+        cdc_batch_apply, stream_cdc_apply,
+    )
+
+    base = tiny_events[["image_id", "ts", "entity", "phash"]].iloc[:60].copy()
+    base["__del"] = False
+    # batch 2: update 10 keys (newer ts), delete 5, insert 5 new keys,
+    # plus an OLDER duplicate change for one key (must lose the reduce)
+    upd = base.iloc[:10].copy()
+    upd["ts"] = upd["ts"] + 1_000_000
+    upd["phash"] = 777
+    stale = base.iloc[[0]].copy()
+    stale["ts"] = stale["ts"] - 5  # older than batch-1 row: reduce keeps newer
+    stale["phash"] = -1
+    dele = base.iloc[10:15].copy()
+    dele["ts"] = dele["ts"] + 1_000_000
+    dele["__del"] = True
+    ins = base.iloc[15:20].copy()
+    ins["image_id"] = "new_" + ins["image_id"]
+    batch2 = pd.concat([upd, dele, ins, stale], ignore_index=True)
+
+    src_dir = tmp_path / "cdc_src"
+    src_dir.mkdir()
+    pq.write_table(pa.Table.from_pandas(base, preserve_index=False),
+                   str(src_dir / "a.parquet"))
+    pq.write_table(pa.Table.from_pandas(batch2, preserve_index=False),
+                   str(src_dir / "b.parquet"))
+    tbl = str(tmp_path / "cdc_tbl")
+    stream = spark.readStream.schema(
+        "image_id string, ts long, entity string, phash long, __del boolean"
+    ).option("maxFilesPerTrigger", "1").parquet(str(src_dir))
+    q = stream_cdc_apply(
+        stream, tbl, checkpoint_dir=str(tmp_path / "cdc_ckpt"),
+        keys=["image_id"], delete_col="__del", ts_unit_day=10_000,
+    )
+    q.awaitTermination(120)
+
+    got = (
+        TBL.scan(spark, tbl)
+        .select("image_id", "phash")
+        .toPandas()
+        .sort_values("image_id", ignore_index=True)
+    )
+    # pandas twin: latest per key, deletes applied
+    # NOTE: file-source batch order is a.parquet then b.parquet
+    exp = base.drop(columns="__del").set_index("image_id")
+    for _i, r in upd.iterrows():
+        exp.loc[r.image_id, "phash"] = r.phash
+    exp = exp.drop(index=dele.image_id)
+    for _i, r in ins.iterrows():
+        exp.loc[r.image_id] = [r.ts, r.entity, r.phash]
+    exp = exp.reset_index()[["image_id", "phash"]].sort_values(
+        "image_id", ignore_index=True
+    )
+    pd.testing.assert_frame_equal(got.astype({"phash": "int64"}),
+                                  exp.astype({"phash": "int64"}))
+
+    # replay of the last committed batch id: idempotent no-op
+    last = TBL.current_snapshot(tbl, spark)
+    assert last["mode"] == "merge" and last["batch_id"] is not None
+    assert cdc_batch_apply(
+        spark.createDataFrame(batch2), last["batch_id"], tbl,
+        keys=["image_id"], delete_col="__del", ts_unit_day=10_000,
+    ) is None
+    assert TBL.current_snapshot(tbl, spark)["snapshot_id"] == last["snapshot_id"]
+    # time travel across the CDC boundary: pre-merge state = full batch 1
+    assert TBL.scan(spark, tbl, snapshot_id=1).count() == len(base)
