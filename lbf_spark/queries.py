@@ -4786,6 +4786,87 @@ def q115(spark, sf_dir):
     )
 
 
+@q(
+    "q116_cdc_stream_table",
+    f"""
+    with ev as (
+      select event_id, cast(user_id as varchar) as entity, ts_us,
+             event_type, round(value, 4) as value
+      from {_EVENTS_SQL}
+    ),
+    u as (
+      select *, row_number() over (partition by entity, event_type, ts_us
+                                   order by event_id desc) as rd
+      from ev
+    ),
+    u2 as (select event_id, entity, ts_us, event_type, value
+           from u where rd = 1),
+    r as (
+      select *, row_number() over (partition by entity, event_type
+                                   order by ts_us desc) as rk
+      from u2
+    )
+    select entity, event_type, ts_us, event_id,
+           round(value, 4) + 0 as value_r
+    from r where rk = 1
+    """,
+)
+def q116(spark, sf_dir):
+    """Streaming CDC apply, driver-proved in batch mode
+    (streaming/stream_features.py:cdc_batch_apply — the foreachBatch
+    body of ``stream_cdc_apply``): the events changelog is split into
+    two time-ordered micro-batches (older half bootstraps the table,
+    newer half MERGEs on top, batch_ids in the manifests), then the
+    table is SCANNED BACK. The oracle recomputes overall latest-per-key
+    relationally, so a lost upsert, a double-applied replay, or a
+    leaked replaced file all hash-mismatch. Changes are pre-deduped to
+    unique (key, ts) per the as-of tie rule."""
+    from pyspark.sql import Window as W2
+
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import cdc_batch_apply
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    uniq = (
+        ev.withColumn(
+            "__rd",
+            F.row_number().over(
+                W2.partitionBy("entity", "event_type", "ts").orderBy(
+                    F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("__rd") == 1)
+        .drop("__rd")
+    )
+    lo, hi = uniq.agg(F.min("ts"), F.max("ts")).first()
+    t_cut = (int(lo) + int(hi)) // 2
+    path = _table_tmp(sf_dir, "q116")
+    cdc_batch_apply(
+        uniq.filter(F.col("ts") <= t_cut), 0, path,
+        keys=["entity", "event_type"], ts_col="ts",
+        n_buckets=4, ts_unit_day=7 * _DAY_US,
+    )
+    cdc_batch_apply(
+        uniq.filter(F.col("ts") > t_cut), 1, path,
+        keys=["entity", "event_type"], ts_col="ts",
+        n_buckets=4, ts_unit_day=7 * _DAY_US,
+    )
+    return TBL.scan(spark, path).select(
+        "entity",
+        "event_type",
+        F.col("ts").alias("ts_us"),
+        "event_id",
+        F.col("value").alias("value_r"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
