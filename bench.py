@@ -74,6 +74,9 @@ DOCS10X_QUERIES = [
     "q24_minhash_lsh",
     "q55_dup_clusters",
     "q87_curation_pipeline",
+    # round-5: PPJoin prefix-filtered exact jaccard at the production
+    # t=0.8 (identical pairs to the full index, fewer postings indexed)
+    "q117_jaccard_prefix",
 ]
 
 

@@ -339,6 +339,91 @@ def jaccard_pairs(
     return out
 
 
+def jaccard_pairs_prefix(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    cache: bool = True,
+) -> DataFrame:
+    """Exact Jaccard ≥ threshold pairs via PPJoin-style PREFIX
+    filtering — the high-threshold scale path (threshold ≳ 0.5; at
+    t = 0.8 typically 10-100× fewer candidates than the full inverted
+    index).
+
+    Guarantee (pigeonhole): order every document's shingles by a global
+    total order (ascending document frequency, shingle as tiebreak —
+    rare shingles first maximizes pruning) and keep only the PREFIX of
+    length ``|d| − ⌈t·|d|⌉ + 1``. If J(a, b) ≥ t the two prefixes must
+    share at least one shingle, so indexing prefixes alone loses no
+    qualifying pair; everything else is exact verification
+    (array_intersect of the FULL shingle arrays) over the surviving
+    candidates. Re-intersecting full arrays costs more per candidate
+    than the index join's count aggregation — worth it exactly when
+    the prefix filter has already collapsed the candidate set, which
+    is why ``jaccard_pairs`` (full index, count-based) remains the
+    low-threshold path (q23's t = 0.1 prefix would be 0.9·|d| — no
+    pruning).
+
+    Shape at 100 TB: one df aggregation (map-side partial), one
+    per-doc sort of its own shingle list (row-local), a prefix-only
+    inverted-index self-join (the shrunken exchange), and a verify
+    join that shuffles full shingle arrays ONLY for candidate docs.
+    """
+    from pyspark import StorageLevel
+
+    def _maybe_persist(frame):
+        if not cache:
+            return frame
+        frame = frame.persist(StorageLevel.MEMORY_AND_DISK)
+        _SCOPED_CACHES.append(frame)
+        return frame
+
+    shingled = _maybe_persist(shingled)
+    inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
+    dfs = inv.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # per-doc shingles in (df, sh) order; prefix = |d| − ⌈t·|d|⌉ + 1
+    ordered = (
+        inv.join(dfs, "sh")
+        .groupBy(id_col)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("df"), F.col("sh")))
+            ).alias("ord"),
+            F.count(F.lit(1)).alias("n_sh"),
+        )
+    )
+    prefix_len = (
+        F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+    ).cast("int")
+    prefixes = _maybe_persist(
+        ordered.select(
+            id_col,
+            F.explode(
+                F.transform(
+                    F.slice(F.col("ord"), F.lit(1), prefix_len),
+                    lambda x: x["sh"],
+                )
+            ).alias("sh"),
+        )
+    )
+    cands = (
+        prefixes.alias("x")
+        .join(
+            prefixes.alias("y"),
+            (F.col("x.sh") == F.col("y.sh"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("id_a"),
+            F.col(f"y.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    return jaccard_pairs(
+        shingled, threshold, id_col, candidates=cands, cache=cache
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

@@ -4867,6 +4867,38 @@ def q116(spark, sf_dir):
     )
 
 
+@q(
+    "q117_jaccard_prefix",
+    _SHINGLES_SQL
+    + """
+    , sizes as (select doc_id, len(shingles) as n from sh),
+    inv as (select doc_id, unnest(shingles) as s from sh),
+    pairs as (
+      select a.doc_id as id_a, b.doc_id as id_b, count(*) as c
+      from inv a join inv b on a.s = b.s and a.doc_id < b.doc_id
+      group by 1, 2
+    )
+    select id_a, id_b, round(c * 1.0 / (sa.n + sb.n - c), 6) as jaccard
+    from pairs
+    join sizes sa on id_a = sa.doc_id
+    join sizes sb on id_b = sb.doc_id
+    where c * 1.0 / (sa.n + sb.n - c) >= 0.8
+    """,
+)
+def q117(spark, sf_dir):
+    """PPJoin-style prefix-filtered exact Jaccard at the production
+    near-dup threshold (0.8) — dedup.jaccard_pairs_prefix. Only the
+    rarest |d| − ⌈0.8·|d|⌉ + 1 shingles per doc are indexed (pigeonhole:
+    a pair at J ≥ 0.8 must share a prefix shingle), then candidates are
+    verified exactly — the oracle is the UNFILTERED full-index
+    recompute, so a pruned-away true pair or a wrong verify both
+    hash-mismatch. q23 keeps the full-index path for low thresholds
+    (its t = 0.1 prefix would be 0.9·|d| — no pruning)."""
+    sh = dedup.with_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
+    pairs = dedup.jaccard_pairs_prefix(sh, threshold=0.8)
+    return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

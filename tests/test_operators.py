@@ -1093,3 +1093,38 @@ def test_dup_clusters_deep_chain_plan_stays_bounded(spark):
     got = dedup.dup_clusters(pairs, max_iters=n + 2).toPandas()
     assert len(got) == n + 1
     assert (got["cluster_id"] == 0).all()
+
+
+def test_jaccard_prefix_equals_full_index(spark, docs):
+    """PPJoin prefix filtering is EXACT: at t=0.8 the prefix-filtered
+    pairs equal the full-inverted-index pairs bit-for-bit, including
+    planted near-dup clones, while indexing strictly fewer postings."""
+    import pandas as pd
+
+    base = docs.toPandas()
+    clones = base.iloc[:4].copy()
+    clones["doc_id"] = clones["doc_id"] + 900_000
+    clones["text"] = clones["text"] + " tinytail"
+    all_docs = spark.createDataFrame(
+        pd.concat([base, clones], ignore_index=True)
+    )
+    sh = dedup.with_shingles(all_docs, "doc_id", "text", 3)
+    run = lambda frame: sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+        for r in frame.collect()
+    )
+    full = run(dedup.jaccard_pairs(sh, threshold=0.8, cache=False))
+    pref = run(dedup.jaccard_pairs_prefix(sh, threshold=0.8, cache=False))
+    assert pref == full
+    assert len(pref) >= 4  # every clone found
+    # the prefix index is a strict subset of the full posting list
+    from pyspark.sql import functions as F
+
+    inv_n = sh.select(F.explode("shingles")).count()
+    ordered = (
+        sh.select("doc_id", F.size("shingles").alias("n"))
+        .withColumn("plen", (F.col("n") - F.ceil(0.8 * F.col("n")) + 1))
+        .agg(F.sum("plen"))
+        .first()[0]
+    )
+    assert ordered < inv_n * 0.45  # ≥ 55% fewer postings indexed at t=0.8
