@@ -259,3 +259,22 @@ def test_nearest_centroid_broadcasts_k_rows(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     for python_node in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython"):
         assert python_node not in plan, python_node
+
+
+def test_jaccard_prefix_plan_is_hash_joins_no_python(spark):
+    """The prefix-filtered jaccard plan must be JVM joins end-to-end:
+    no cartesian product, no BroadcastNestedLoopJoin, and no Python
+    eval nodes anywhere (shingling, df ranking, prefix slicing,
+    candidate join, and verify are all column expressions)."""
+    from lbf_spark.operators import dedup
+
+    docs = spark.createDataFrame(
+        [(i, f"some shared words plus tail token{i}") for i in range(8)],
+        "doc_id long, text string",
+    )
+    sh = dedup.with_shingles(docs, "doc_id", "text", 3)
+    plan = _explain_str(dedup.jaccard_pairs_prefix(sh, 0.8, cache=False))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Join" in plan
