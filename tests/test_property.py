@@ -255,3 +255,98 @@ def test_ewma_bounded_by_window_extrema(spark, vals, alpha, window):
     for t, g in enumerate(got):
         w = vals[max(0, t - window + 1): t + 1]
         assert min(w) - 1e-6 <= g <= max(w) + 1e-6, (t, g, w)
+
+
+# --------------------------------------------------------------------
+# round-5 additions: prefix-filtered jaccard exactness; seeded
+# probabilistic dyads vs the hashlib twin — over adversarial inputs
+# --------------------------------------------------------------------
+
+docs_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=10_000),     # doc_id (dups dropped)
+        st.lists(
+            st.sampled_from(
+                ["aa", "bb", "cc", "dd", "ee", "ff", "gg", "hh"]
+            ),
+            min_size=0,
+            max_size=12,
+        ),
+    ),
+    min_size=0,
+    max_size=12,
+)
+
+
+@given(docs=docs_strategy, threshold=st.sampled_from([0.5, 0.7, 0.8, 0.95]))
+@settings(max_examples=8, deadline=None)
+def test_prefix_jaccard_equals_full_property(spark, docs, threshold):
+    """For ANY document set and high threshold, the prefix-filtered
+    pairs equal the full-inverted-index pairs exactly (pigeonhole
+    guarantee) — including duplicate token lists, empty docs, and
+    heavy shared-token overlap."""
+    from pyspark.sql import functions as F
+
+    from lbf_spark.operators import dedup
+
+    seen = {}
+    for did, toks in docs:
+        seen[did] = " ".join(toks)
+    pdf = pd.DataFrame(
+        [(k, v) for k, v in seen.items()], columns=["doc_id", "text"]
+    )
+    if pdf.empty:
+        return
+    frame = spark.createDataFrame(pdf)
+    sh = dedup.with_shingles(frame, "doc_id", "text", 2).filter(
+        F.size("shingles") > 0
+    )
+    run = lambda f: sorted(
+        (r["id_a"], r["id_b"], round(r["jaccard"], 9)) for r in f.collect()
+    )
+    assert run(
+        dedup.jaccard_pairs_prefix(sh, threshold, cache=False)
+    ) == run(dedup.jaccard_pairs(sh, threshold, cache=False))
+
+
+dyad_strategy = st.lists(
+    st.tuples(
+        st.sampled_from(["e0", "e1"]),                    # entity
+        st.integers(min_value=0, max_value=10**9),        # ts
+        st.integers(min_value=1, max_value=5_000_000),    # duration
+        st.integers(min_value=0, max_value=10**6),        # event_id
+    ),
+    min_size=1,
+    max_size=25,
+    unique_by=lambda t: t[3],
+)
+
+
+@given(rows=dyad_strategy, spacing=st.sampled_from([1_000, 250_000, 1_000_000]))
+@settings(max_examples=8, deadline=None)
+def test_prob_dyad_matches_twin_property(spark, rows, spacing):
+    """dyad_centers_prob == the hashlib/int twin for arbitrary
+    durations (shorter than, equal to, and many multiples of spacing),
+    arbitrary ts, and duplicate (entity, ts) rows."""
+    import hashlib
+
+    from lbf_spark.operators import windows as W
+
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "ts", "duration", "event_id"])
+    )
+    got = sorted(
+        (r["event_id"], r["center_ts"])
+        for r in W.dyad_centers_prob(
+            df, spacing, by="entity", on="ts", id_col="event_id"
+        ).select("event_id", "center_ts").collect()
+    )
+    exp = []
+    for entity, ts, duration, event_id in rows:
+        blob = f"42:{entity}:{event_id}".encode()
+        u = int(hashlib.md5(blob).hexdigest()[:13], 16) / float(1 << 52)
+        k = max(1, duration // spacing + (1 if u < (duration % spacing) / spacing else 0))
+        est = ts + duration // 2 - (k * spacing) // 2
+        for i in range(k):
+            exp.append((event_id, est + spacing // 2 + i * spacing))
+    assert got == sorted(exp)
