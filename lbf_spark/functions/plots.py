@@ -227,40 +227,98 @@ def heatmap_svg(
     return "\n".join(parts)
 
 
+def _collect_curves(
+    summary: DataFrame,
+    by: list[str],
+    position: str,
+    value: str,
+    extra: list[str] | None = None,
+) -> list:
+    """Collect one (pts: position→value map) row per series. Duplicate
+    (series, position) rows are averaged FIRST — ``map_from_entries``
+    over a raw ``collect_list`` raises DUPLICATED_MAP_KEY at collect
+    time under the default ``spark.sql.mapKeyDedupPolicy`` the moment
+    an upstream summary carries a repeated position (avg, not first:
+    order-independent). Positions outside [0, n_positions) are dropped
+    by the renderer's range indexing — by contract they are overflow
+    bins, never silently shifted."""
+    extra = extra or []
+    grouped = (
+        summary.groupBy(*by, *extra, F.col(position).alias("__pos"))
+        .agg(F.avg(F.col(value)).alias("__val"))
+        .groupBy(*by, *extra)
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct(F.col("__pos"), F.col("__val")))
+            ).alias("pts")
+        )
+    )
+    return grouped.collect()
+
+
+def _smooth_series(
+    series: dict[str, list[float]], window: int, polyorder: int = 3
+) -> dict[str, list[float]]:
+    """Driver-side Savitzky-Golay smoothing of collected curves — the
+    reference's ``plot_signal(..., savgol=)`` option
+    (``plotting_lib/plotting_functions.py:203``), applied where the
+    reference applies it: to the k metadata-sized curves right before
+    rendering, never distributed. None gaps are preserved: the filter
+    runs over the compacted non-None values and results are placed
+    back at their original positions (deterministic: numpy float64,
+    fixed coefficients)."""
+    import numpy as np
+
+    from lbf_spark.functions.peaks import savgol_smooth
+
+    out: dict[str, list[float]] = {}
+    for name, vals in series.items():
+        idx = [i for i, v in enumerate(vals) if v is not None]
+        if len(idx) < 2:
+            out[name] = list(vals)
+            continue
+        dense = np.array([vals[i] for i in idx], dtype=np.float64)
+        sm = savgol_smooth(dense, window=window, polyorder=polyorder)
+        smoothed: list[float | None] = list(vals)
+        for j, i in enumerate(idx):
+            smoothed[i] = float(sm[j])
+        out[name] = smoothed
+    return out
+
+
 def plot_heatmap(
     summary: DataFrame,
     out_path: str,
     n_positions: int,
+    center_n: int,
+    top: int = 32,
+    bottom: int = 32,
     by: list[str] | str = "entity",
     value: str = "signal",
     position: str = "bucket",
     title: str = "signal heatmap",
-    max_series: int = 64,
 ) -> str:
-    """Heatmap of up to ``max_series`` series (deterministic first-k by
-    key order — cap the collect; pre-filter upstream to choose WHICH
-    series). Collect is metadata-sized: k × n_positions cells."""
+    """Heatmap of the amplitude-ranked top-k/bottom-k series — the SAME
+    distributed selection as ``plot_signal`` (``select_amplitude_panel``),
+    so the two renderings of one summary always show the same series
+    (the pre-r6 heatmap took first-k by key order, an
+    arbitrary-but-deterministic choice inconsistent with the signal
+    panel). Collect is metadata-sized: (top+bottom) × n_positions
+    cells. Row labels carry the panel tag; rows sort by name in the
+    rendered SVG (deterministic bytes)."""
     from lbf_spark import fsio
 
     by = [by] if isinstance(by, str) else list(by)
-    keys = (
-        summary.select(*by).distinct()
-        .orderBy(*[F.asc(c) for c in by])
-        .limit(max_series)
+    panel = select_amplitude_panel(
+        summary, n_positions, center_n, top, bottom, by, value, position
     )
-    curves = (
-        summary.join(keys, by, "left_semi")
-        .groupBy(*by)
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col(position), F.col(value)))
-            ).alias("pts")
-        )
-        .collect()
+    curves = _collect_curves(
+        summary.join(panel.select(*by, "panel"), by),
+        by, position, value, extra=["panel"],
     )
     rows: dict[str, list[float]] = {}
     for r in curves:
-        key = "/".join(str(r[c]) for c in by)
+        key = "/".join(str(r[c]) for c in by) + f" [{r['panel']}]"
         pts = r["pts"] or {}
         rows[key] = [pts.get(i) for i in range(n_positions)]
     svg = heatmap_svg(rows, title=title)
@@ -279,32 +337,31 @@ def plot_signal(
     value: str = "signal",
     position: str = "bucket",
     title: str = "signal per interval",
+    smooth_window: int | None = None,
 ) -> str:
     """The reference's ``plot_signal`` hook end-to-end: amplitude-rank
     the series distributed, collect ONLY the selected k+k curves
-    (metadata-sized: (top+bottom) × n_positions points), render SVG,
-    write atomically via fsio (DFS-safe). Returns the SVG string."""
+    (metadata-sized: (top+bottom) × n_positions points), optionally
+    Savitzky-Golay-smooth them (``smooth_window`` — the reference's
+    savgol option, driver-side over the tiny panel), render SVG, write
+    atomically via fsio (DFS-safe). Returns the SVG string."""
     from lbf_spark import fsio
 
     by = [by] if isinstance(by, str) else list(by)
     panel = select_amplitude_panel(
         summary, n_positions, center_n, top, bottom, by, value, position
     )
-    curves = (
-        summary.join(panel.select(*by, "panel"), by)
-        .groupBy(*by, "panel")
-        .agg(
-            F.map_from_entries(
-                F.collect_list(F.struct(F.col(position), F.col(value)))
-            ).alias("pts")
-        )
-        .collect()
+    curves = _collect_curves(
+        summary.join(panel.select(*by, "panel"), by),
+        by, position, value, extra=["panel"],
     )
     series: dict[str, list[float]] = {}
     for r in curves:
         key = "/".join(str(r[c]) for c in by) + f" [{r['panel']}]"
         pts = r["pts"] or {}
         series[key] = [pts.get(i) for i in range(n_positions)]
+    if smooth_window is not None:
+        series = _smooth_series(series, smooth_window)
     svg = signal_plot_svg(series, title=title)
     fsio.write_text_atomic(summary.sparkSession, out_path, svg)
     return svg

@@ -424,6 +424,40 @@ def jaccard_pairs_prefix(
     )
 
 
+#: thresholds at or above this dispatch to the PPJoin prefix path —
+#: below it the prefix `|d| − ⌈t·|d|⌉ + 1` approaches `|d|` and the
+#: filter stops pruning (q23's t = 0.1 prefix would be 0.9·|d|).
+PREFIX_DISPATCH_THRESHOLD = 0.5
+
+
+def jaccard_pairs_auto(
+    shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+    cache: bool = True,
+) -> DataFrame:
+    """Unified exact-Jaccard entry point: callers state the THRESHOLD,
+    the engine picks the physical plan. ``threshold ≥ 0.5`` routes to
+    the PPJoin prefix-filtered path (``jaccard_pairs_prefix`` — the
+    candidate set collapses when prefixes are short), lower thresholds
+    to the full inverted-index path (``jaccard_pairs`` — count-based
+    n_common, optionally df-capped with ``max_df``). Both branches
+    return identical pairs for the same threshold (property-tested);
+    only the plan differs — the Catalyst philosophy applied to a
+    custom operator.
+
+    ``max_df`` only applies on the full-index branch: the prefix path
+    already bounds hot-shingle fan-out structurally (a stopword-like
+    shingle has maximal df, sorts LAST in every document's df-ordered
+    shingle list, and falls outside every prefix)."""
+    if threshold >= PREFIX_DISPATCH_THRESHOLD:
+        return jaccard_pairs_prefix(shingled, threshold, id_col, cache=cache)
+    return jaccard_pairs(
+        shingled, threshold, id_col, max_df=max_df, cache=cache
+    )
+
+
 def minhash_dedup_pairs(
     df: DataFrame,
     id_col: str = "doc_id",

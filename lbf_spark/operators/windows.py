@@ -467,6 +467,17 @@ def dyad_centers_prob(
     hex chars → 52-bit integer / 2^52 ∈ [0, 1). Explode is JVM-side —
     no Python anywhere. ``with_k`` keeps the drawn count (``dyad_k``)
     and the uniform (``dyad_u``) for certificate queries.
+
+    DELIBERATE geometry divergence from the reference: center stepping
+    here is uniform for every k (first center at ``est + spacing//2``,
+    then ``spacing`` apart). The reference special-cases k = 2 (second
+    center at ``3L − L//2`` — which lands OUTSIDE the expanded
+    fragment, ~1 spacing off the uniform grid) and its k = 3 last
+    center differs by 1 for odd spacings — integer-arithmetic quirks
+    of its per-k branches, not part of the sampling law. The k-LAW
+    (``P(k = floor + 1) = rem/spacing``) is reproduced exactly and
+    certified by q114; the uniform grid is the documented, simpler
+    geometry (SURVEY.md §4 parity notes).
     """
     u = (
         F.conv(

@@ -39,12 +39,20 @@ def curate_corpus(
     max_dup_ngram_frac: float = 0.3,
     near_dup: bool = False,
     near_dup_threshold: float = 0.8,
+    near_dup_method: str = "minhash",
     seed: int = 42,
 ) -> dict:
     """Run the curation pipeline; returns ``{"kept": DataFrame,
     "stages": list[(name, DataFrame)]}`` where ``kept`` carries the
     original columns of the surviving documents and ``stages`` the
-    intermediate frames (for metrics/inspection — all lazy)."""
+    intermediate frames (for metrics/inspection — all lazy).
+
+    ``near_dup_method``: ``"minhash"`` (default — LSH candidates then
+    exact verify, the probabilistic-recall production path) or
+    ``"jaccard"`` (exact recall via the unified
+    ``dedup.jaccard_pairs_auto`` entry point, which itself dispatches
+    the physical plan — prefix-filtered at this stage's high default
+    threshold)."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     g = text.gopher_quality(docs, text_col, min_words=min_words)
@@ -64,10 +72,21 @@ def curate_corpus(
     stages.append(("exact_dedup", s3))
 
     if near_dup:
-        pairs = dedup.minhash_dedup_pairs(
-            s3, id_col=id_col, text_col=text_col,
-            threshold=near_dup_threshold,
-        ).select("id_a", "id_b")
+        if near_dup_method == "jaccard":
+            sh = dedup.with_shingles(s3, id_col, text_col, 3)
+            pairs = dedup.jaccard_pairs_auto(
+                sh, threshold=near_dup_threshold, id_col=id_col
+            ).select("id_a", "id_b")
+        elif near_dup_method == "minhash":
+            pairs = dedup.minhash_dedup_pairs(
+                s3, id_col=id_col, text_col=text_col,
+                threshold=near_dup_threshold,
+            ).select("id_a", "id_b")
+        else:
+            raise ValueError(
+                f"near_dup_method must be 'minhash' or 'jaccard', "
+                f"got {near_dup_method!r}"
+            )
         # dup_clusters emits fixed (doc_id, cluster_id) column names
         clusters = dedup.dup_clusters(pairs).withColumnRenamed(
             "doc_id", id_col

@@ -725,7 +725,8 @@ def q23(spark, sf_dir):
     so the uncapped oracle is exactly reproduced, while the plan shape
     is the production one (df-filter → candidates → exact verify)."""
     sh = dedup.with_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
-    pairs = dedup.jaccard_pairs(sh, threshold=0.1, max_df=1000)
+    # unified entry point: t = 0.1 dispatches to the full-index branch
+    pairs = dedup.jaccard_pairs_auto(sh, threshold=0.1, max_df=1000)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -4895,7 +4896,8 @@ def q117(spark, sf_dir):
     hash-mismatch. q23 keeps the full-index path for low thresholds
     (its t = 0.1 prefix would be 0.9·|d| — no pruning)."""
     sh = dedup.with_shingles(t(spark, sf_dir, "documents"), "doc_id", "text", 3)
-    pairs = dedup.jaccard_pairs_prefix(sh, threshold=0.8)
+    # unified entry point: t = 0.8 dispatches to the prefix branch
+    pairs = dedup.jaccard_pairs_auto(sh, threshold=0.8)
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -4916,9 +4918,17 @@ def q117(spark, sf_dir):
 #    p-values / q51 subsample / q103 audio keep their rows-only rows,
 #    but each is now ALSO hash-proved by a certificate twin
 #    (q110-q113) inside the driver window.
-# `_DRIVER_GREEN` = rows proven green in CORRECTNESS_r03 ∪ r04.
+# `_DRIVER_GREEN` = rows proven green in CORRECTNESS_r03 ∪ r04 ∪ r05.
 # ---------------------------------------------------------------------
 _DRIVER_GREEN = {
+    # round 5 (all 50 green, incl. the r4 hash-reds now fixed)
+    "q77_compaction_plan", "q78_zorder_key", "q91_key_skew_profile",
+    "q105_zorder_write_roundtrip", "q106_phash_neardup",
+    "q107_incremental_read", "q108_sequence_packing",
+    "q109_bigram_lm_quality", "q110_decode_fidelity_cert",
+    "q111_audio_feature_cert", "q112_pvalue_bounds_cert",
+    "q113_subsample_cert", "q114_prob_dyad_cert", "q115_amplitude_panel",
+    "q116_cdc_stream_table", "q117_jaccard_prefix",
     # round 3 (all 50 green)
     "q61_flagship_pit", "q87_curation_pipeline", "q01_filter_project",
     "q02_agg_pricing_summary", "q03_topn_orders", "q04_join_enrich",

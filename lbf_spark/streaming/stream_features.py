@@ -287,6 +287,32 @@ def stream_table_sink(
     return writer.start()
 
 
+def _batch_high_water(spark, path: str, prev: dict | None) -> int | None:
+    """Highest batch_id already durable in the table at ``path`` —
+    O(1) in snapshot count: since round 6 every batch commit carries
+    ``batch_hwm`` (max committed batch id so far) forward in its
+    manifest, so only the LATEST manifest is consulted. Tables written
+    by the pre-hwm sink (manifests tagged ``batch_id`` but no
+    ``batch_hwm``) fall back to one full manifest scan — once: the
+    next commit writes the hwm forward. Returns None for a table with
+    no batch-tagged snapshots (or no table)."""
+    from lbf_spark import fsio
+
+    if prev is None:
+        return None
+    if "batch_hwm" in prev:
+        return int(prev["batch_hwm"])
+    # legacy/foreign table: one compatibility scan (upgrades on commit)
+    meta_dir = fsio.join(path, "metadata")
+    ids = [
+        json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))).get("batch_id")
+        for n in fsio.list_names(spark, meta_dir)
+        if n.endswith(".json")
+    ]
+    ids = [i for i in ids if i is not None]
+    return max(ids) if ids else None
+
+
 def table_batch_commit(
     batch_df: DataFrame,
     batch_id: int,
@@ -304,27 +330,28 @@ def table_batch_commit(
     commit (the ``extra`` fields) — never patched in afterwards: a
     two-step commit-then-tag would leave a crash window where the
     snapshot is durable but untagged, and the replayed batch would
-    append its rows a second time."""
-    from lbf_spark import fsio
+    append its rows a second time.
+
+    The replay check is O(1) in snapshot count: foreachBatch batch ids
+    are strictly increasing within a checkpoint, so a ``batch_hwm``
+    high-water mark carried in each manifest decides replay from the
+    latest snapshot alone (the pre-r6 implementation re-read EVERY
+    manifest per micro-batch — O(n²) driver FS reads over a stream's
+    lifetime)."""
     from lbf_spark.sources import table as TBL
 
     if batch_df.isEmpty():
         return None
     spark = batch_df.sparkSession
-    meta_dir = fsio.join(path, "metadata")
-    committed = [
-        json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))).get(
-            "batch_id"
-        )
-        for n in fsio.list_names(spark, meta_dir)
-        if n.endswith(".json")
-    ] if fsio.exists(spark, meta_dir) else []
-    if batch_id in committed:
+    prev = TBL.current_snapshot(path, spark)
+    hwm = _batch_high_water(spark, path, prev)
+    if hwm is not None and batch_id <= hwm:
         return None  # replayed batch: already durable (idempotence)
     return TBL.write_table(
-        batch_df, path, mode="append" if committed else "overwrite",
+        batch_df, path, mode="append" if prev is not None else "overwrite",
         n_buckets=n_buckets, ts_unit_day=ts_unit_day,
-        extra={"batch_id": batch_id},
+        extra={"batch_id": batch_id,
+               "batch_hwm": max(hwm if hwm is not None else -1, batch_id)},
     )
 
 
@@ -335,6 +362,7 @@ def cdc_batch_apply(
     keys: list[str],
     ts_col: str = "ts",
     delete_col: str | None = None,
+    tiebreak_cols: list[str] | None = None,
     n_buckets: int = 16,
     ts_unit_day: int = 86_400,
 ) -> dict | None:
@@ -344,38 +372,70 @@ def cdc_batch_apply(
 
     A raw changelog batch may hold several changes per key; the batch
     is first reduced to the newest change per key (``row_number`` over
-    the keys ordered by ``ts_col`` desc — callers must keep (keys,
-    ts_col) unique per the as-of dedupe rule), then applied with
-    ``merge_upsert`` (rows flagged in ``delete_col`` delete). The
-    ``batch_id`` rides in the single exclusive manifest commit, so a
-    replayed batch (foreachBatch is at-least-once) is a no-op and the
-    end-to-end result is exactly-once. The FIRST batch bootstraps the
-    table (overwrite mode — merge needs an existing snapshot).
+    the keys ordered by ``ts_col`` desc). The total-order rule is
+    ENFORCED, not just documented: pass ``tiebreak_cols`` to break
+    same-timestamp ties deterministically (desc), or — when omitted —
+    the reduce asserts at execution time that the newest timestamp per
+    key is unique in the batch and fails the job on violation
+    (``assert_true`` over the same window spec: zero extra shuffle,
+    the peer count is a current-row range frame on the identical
+    partition/order). The ``batch_id`` rides in the single exclusive
+    manifest commit, so a replayed batch (foreachBatch is
+    at-least-once) is a no-op and the end-to-end result is
+    exactly-once; the replay check is O(1) in snapshot count via the
+    ``batch_hwm`` high-water mark in the latest manifest. The FIRST
+    batch bootstraps the table (overwrite mode — merge needs an
+    existing snapshot).
 
     Returns the committed snapshot, or None if skipped/empty."""
     from pyspark.sql import Window
 
-    from lbf_spark import fsio
     from lbf_spark.sources import table as TBL
 
     if batch_df.isEmpty():
         return None
     spark = batch_df.sparkSession
-    meta_dir = fsio.join(path, "metadata")
-    committed = [
-        json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))).get("batch_id")
-        for n in fsio.list_names(spark, meta_dir)
-        if n.endswith(".json")
-    ] if fsio.exists(spark, meta_dir) else []
-    if batch_id in committed:
+    prev = TBL.current_snapshot(path, spark)
+    hwm = _batch_high_water(spark, path, prev)
+    if hwm is not None and batch_id <= hwm:
         return None  # replayed batch: already durable (idempotence)
-    w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
-    latest = (
-        batch_df.withColumn("__rk", F.row_number().over(w))
-        .filter(F.col("__rk") == 1)
-        .drop("__rk")
-    )
-    if not committed:  # bootstrap: first batch creates the table
+    if tiebreak_cols:
+        order = [F.desc(ts_col)] + [F.desc(c) for c in tiebreak_cols]
+        w = Window.partitionBy(*keys).orderBy(*order)
+        latest = (
+            batch_df.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk")
+        )
+    else:
+        w = Window.partitionBy(*keys).orderBy(F.desc(ts_col))
+        peers = F.count(F.lit(1)).over(
+            w.rangeBetween(Window.currentRow, Window.currentRow)
+        )
+        # guard lives in a Filter predicate (assert_true is NULL on
+        # success, so isNull() is a tautology that Catalyst cannot fold
+        # away) — a standalone projected-then-dropped guard column WOULD
+        # be pruned before it ever evaluated. The `__rk != 1` escape
+        # keeps the assert correct under conjunct reordering: ties are
+        # only an error at the NEWEST timestamp of a key.
+        guard = F.assert_true(
+            (F.col("__rk") != 1) | (F.col("__peers") == 1),
+            F.lit(
+                "cdc_batch_apply: duplicate (keys, ts) at the newest "
+                "timestamp of a key — merged state would be "
+                "nondeterministic; pass tiebreak_cols or dedupe "
+                "the changelog upstream"
+            ),
+        )
+        latest = (
+            batch_df.withColumn("__rk", F.row_number().over(w))
+            .withColumn("__peers", peers)
+            .filter((F.col("__rk") == 1) & guard.isNull())
+            .drop("__rk", "__peers")
+        )
+    extra = {"batch_id": batch_id,
+             "batch_hwm": max(hwm if hwm is not None else -1, batch_id)}
+    if prev is None:  # bootstrap: first batch creates the table
         rows = latest
         if delete_col is not None:
             rows = rows.filter(
@@ -383,12 +443,10 @@ def cdc_batch_apply(
             ).drop(delete_col)
         return TBL.write_table(
             rows, path, mode="overwrite",
-            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
-            extra={"batch_id": batch_id},
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day, extra=extra,
         )
     return TBL.merge_upsert(
-        spark, path, latest, keys=keys, delete_col=delete_col,
-        extra={"batch_id": batch_id},
+        spark, path, latest, keys=keys, delete_col=delete_col, extra=extra,
     )
 
 

@@ -1128,3 +1128,57 @@ def test_jaccard_prefix_equals_full_index(spark, docs):
         .first()[0]
     )
     assert ordered < inv_n * 0.45  # ≥ 55% fewer postings indexed at t=0.8
+
+
+def test_jaccard_auto_dispatch(spark, docs, monkeypatch):
+    """jaccard_pairs_auto routes by threshold — prefix path at t ≥ 0.5,
+    full-index path below — and both routes return identical pairs."""
+    routed = []
+    real_prefix = dedup.jaccard_pairs_prefix
+    real_full = dedup.jaccard_pairs
+
+    def spy_prefix(*a, **k):
+        routed.append("prefix")
+        return real_prefix(*a, **k)
+
+    def spy_full(*a, **k):
+        routed.append("full")
+        return real_full(*a, **k)
+
+    monkeypatch.setattr(dedup, "jaccard_pairs_prefix", spy_prefix)
+    monkeypatch.setattr(dedup, "jaccard_pairs", spy_full)
+    sh = dedup.with_shingles(docs, "doc_id", "text", 3)
+    hi = dedup.jaccard_pairs_auto(sh, threshold=0.5).toPandas()
+    assert routed[0] == "prefix"
+    routed.clear()
+    lo = dedup.jaccard_pairs_auto(sh, threshold=0.1, max_df=100).toPandas()
+    assert routed[0] == "full"
+    monkeypatch.undo()
+
+    # same threshold through both physical plans → identical pairs
+    direct_hi = real_full(sh, threshold=0.5).toPandas()
+    key = lambda d: sorted(  # noqa: E731
+        (int(r.id_a), int(r.id_b), round(float(r.jaccard), 9))
+        for r in d.itertuples()
+    )
+    assert key(hi) == key(direct_hi)
+    assert set(key(hi)) <= set(key(lo))  # hi-threshold pairs ⊂ lo's
+
+
+def test_curation_jaccard_near_dedup(spark, docs):
+    """curate_corpus(near_dup_method='jaccard') drops exact-Jaccard
+    near-dups through the unified dispatcher; an unknown method
+    raises."""
+    from lbf_spark.plans.corpus import curate_corpus
+
+    out = curate_corpus(
+        docs, min_words=1, near_dup=True, near_dup_threshold=0.7,
+        near_dup_method="jaccard",
+    )
+    kept = out["kept"].toPandas()
+    # docs 1/2/3: 1≡3 exact (exact-dedup drops 3), J(1,2)=0.75 ≥ 0.7 →
+    # near-dedup keeps min-id cluster keeper 1, drops 2
+    ids = set(kept.doc_id)
+    assert 1 in ids and 2 not in ids and 3 not in ids
+    with pytest.raises(ValueError, match="near_dup_method"):
+        curate_corpus(docs, near_dup=True, near_dup_method="bogus")

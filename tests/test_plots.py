@@ -95,12 +95,76 @@ def test_heatmap_svg_deterministic_and_shaded():
     assert PL.heatmap_svg({"c": [0.2, None, 0.8]}).count("<rect") == 1 + 2
 
 
-def test_plot_heatmap_end_to_end(spark, summary_df, tmp_path):
+def test_plot_heatmap_end_to_end_amplitude_ranked(spark, summary_df, tmp_path):
+    """plot_heatmap selects the SAME series as the signal panel
+    (amplitude-ranked via select_amplitude_panel), not first-k by key
+    order: with top=2/bottom=1 the rows are s7/s6 (biggest center
+    bumps) and s0 (smallest) — first-k would have shown s0/s1/s2."""
     out = str(tmp_path / "heat.svg")
     svg = PL.plot_heatmap(
-        summary_df, out, n_positions=16, max_series=3, title="heat e2e"
+        summary_df, out, n_positions=16, center_n=4, top=2, bottom=1,
+        title="heat e2e",
     )
     assert open(out).read() == svg
     # 3 series × 16 positions + background
     assert svg.count("<rect") == 1 + 48
-    assert "heat e2e" in svg and "s0" in svg
+    assert "heat e2e" in svg
+    assert "s7 [top]" in svg and "s6 [top]" in svg and "s0 [bottom]" in svg
+    assert "s1" not in svg and "s2" not in svg
+
+
+def test_plot_signal_savgol_smoothing_deterministic(spark, summary_df, tmp_path):
+    """The reference's savgol render option: smoothing changes the
+    curves (the sharp bump edge flattens), is byte-deterministic across
+    runs, and leaves the unsmoothed render untouched."""
+    out1 = str(tmp_path / "sm1.svg")
+    out2 = str(tmp_path / "sm2.svg")
+    raw = PL.plot_signal(
+        summary_df, str(tmp_path / "raw.svg"), n_positions=16, center_n=4,
+        top=2, bottom=2,
+    )
+    sm1 = PL.plot_signal(
+        summary_df, out1, n_positions=16, center_n=4, top=2, bottom=2,
+        smooth_window=5,
+    )
+    sm2 = PL.plot_signal(
+        summary_df, out2, n_positions=16, center_n=4, top=2, bottom=2,
+        smooth_window=5,
+    )
+    assert sm1 == sm2  # deterministic bytes
+    assert sm1 != raw  # smoothing actually applied
+    assert sm1.count("<polyline") == raw.count("<polyline") == 4
+
+    # driver kernel sanity: smoothing a line reproduces the line
+    # (polynomial of degree ≤ polyorder is a savgol fixed point)
+    line = {"a": [float(i) for i in range(12)]}
+    sm = PL._smooth_series(line, window=5)
+    assert sm["a"] == pytest.approx(line["a"], abs=1e-9)
+    # None gaps survive in place
+    gap = {"b": [1.0, None, 3.0, 4.0, None, 6.0]}
+    smg = PL._smooth_series(gap, window=3)
+    assert smg["b"][1] is None and smg["b"][4] is None
+
+
+def test_plot_curves_tolerate_duplicate_positions(spark, tmp_path):
+    """A summary with repeated (series, position) rows renders instead
+    of raising DUPLICATED_MAP_KEY — duplicates are averaged first."""
+    rows = []
+    for k in range(3):
+        for pos in range(8):
+            bump = float(k) if 3 <= pos < 5 else 0.0
+            rows.append((f"e{k}", pos, 1.0 + bump))
+    rows.append(("e2", 3, 9.0))  # duplicate position for one series
+    df = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "bucket", "signal"])
+    )
+    svg = PL.plot_signal(
+        df, str(tmp_path / "dup.svg"), n_positions=8, center_n=2,
+        top=1, bottom=1,
+    )
+    assert svg.count("<polyline") == 2
+    svg_h = PL.plot_heatmap(
+        df, str(tmp_path / "duph.svg"), n_positions=8, center_n=2,
+        top=1, bottom=1,
+    )
+    assert svg_h.count("<rect") == 1 + 16

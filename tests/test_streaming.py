@@ -5,6 +5,7 @@ import pandas as pd
 import pyarrow as pa
 import pyarrow.parquet as pq
 import pytest
+from pyspark.sql import functions as F
 
 from lbf_spark import fixtures
 from lbf_spark.streaming.stream_features import (
@@ -402,3 +403,111 @@ def test_stream_cdc_apply_latest_state(spark, tmp_path, tiny_events):
     assert TBL.current_snapshot(tbl, spark)["snapshot_id"] == last["snapshot_id"]
     # time travel across the CDC boundary: pre-merge state = full batch 1
     assert TBL.scan(spark, tbl, snapshot_id=1).count() == len(base)
+
+
+def test_cdc_replay_check_is_o1_in_snapshots(spark, tmp_path, tiny_events,
+                                             monkeypatch):
+    """The replay check reads ONE manifest regardless of snapshot count
+    (batch_hwm high-water mark in the latest manifest), and a legacy
+    table whose manifests carry batch_id but no batch_hwm upgrades on
+    its first post-upgrade commit."""
+    from lbf_spark import fsio
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import cdc_batch_apply
+
+    base = tiny_events[["image_id", "ts", "entity", "phash"]].iloc[:40].copy()
+    tbl = str(tmp_path / "o1_tbl")
+    n_batches = 8
+    for b in range(n_batches):
+        chunk = base.iloc[b * 5:(b + 1) * 5]
+        assert cdc_batch_apply(
+            spark.createDataFrame(chunk), b, tbl,
+            keys=["image_id"], ts_unit_day=10_000,
+        ) is not None
+    assert TBL.current_snapshot(tbl, spark)["batch_hwm"] == n_batches - 1
+
+    calls = {"n": 0}
+    real_read = fsio.read_text
+
+    def counting_read(spark_, path):
+        calls["n"] += 1
+        return real_read(spark_, path)
+
+    monkeypatch.setattr(fsio, "read_text", counting_read)
+    # replayed batch: exactly ONE manifest read (current_snapshot), a
+    # no-op, with 8 snapshots on disk — the pre-r6 check read all 8
+    for replay_id in (0, 3, n_batches - 1):
+        calls["n"] = 0
+        assert cdc_batch_apply(
+            spark.createDataFrame(base.iloc[:5]), replay_id, tbl,
+            keys=["image_id"], ts_unit_day=10_000,
+        ) is None
+        assert calls["n"] == 1
+    monkeypatch.undo()
+
+    # legacy table: manifests tagged batch_id but NO batch_hwm — the
+    # fallback scans once, decides replay correctly, and the next real
+    # commit writes the hwm forward
+    legacy = str(tmp_path / "legacy_tbl")
+    sdf = spark.createDataFrame(base.iloc[:10])
+    TBL.write_table(sdf, legacy, mode="overwrite", ts_unit_day=10_000,
+                    extra={"batch_id": 0})
+    TBL.write_table(spark.createDataFrame(base.iloc[10:20]), legacy,
+                    mode="append", ts_unit_day=10_000, extra={"batch_id": 1})
+    assert "batch_hwm" not in TBL.current_snapshot(legacy, spark)
+    assert cdc_batch_apply(  # replay decided via the compat scan
+        spark.createDataFrame(base.iloc[:5]), 1, legacy,
+        keys=["image_id"], ts_unit_day=10_000,
+    ) is None
+    assert cdc_batch_apply(
+        spark.createDataFrame(base.iloc[20:25]), 2, legacy,
+        keys=["image_id"], ts_unit_day=10_000,
+    ) is not None
+    assert TBL.current_snapshot(legacy, spark)["batch_hwm"] == 2
+
+
+def test_cdc_duplicate_newest_ts_enforced(spark, tmp_path, tiny_events):
+    """Total-order rule is enforced at execution time: a changelog
+    batch holding two changes for one key at the SAME newest timestamp
+    fails loudly without tiebreak_cols, and resolves deterministically
+    (desc tiebreak) with them."""
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import cdc_batch_apply
+
+    rows = tiny_events[["image_id", "ts", "entity", "phash"]].iloc[:6].copy()
+    dup = rows.iloc[[0]].copy()
+    dup["phash"] = 999  # same (image_id, ts), different payload
+    batch = pd.concat([rows, dup], ignore_index=True)
+
+    tbl = str(tmp_path / "dup_tbl")
+    with pytest.raises(Exception, match="duplicate \\(keys, ts\\)"):
+        cdc_batch_apply(
+            spark.createDataFrame(batch), 0, tbl,
+            keys=["image_id"], ts_unit_day=10_000,
+        )
+
+    # with a tiebreak the SAME batch applies, keeping the max-phash row
+    tbl2 = str(tmp_path / "dup_tbl2")
+    assert cdc_batch_apply(
+        spark.createDataFrame(batch), 0, tbl2,
+        keys=["image_id"], tiebreak_cols=["phash"], ts_unit_day=10_000,
+    ) is not None
+    got = (
+        TBL.scan(spark, tbl2)
+        .filter(F.col("image_id") == rows.iloc[0]["image_id"])
+        .select("phash").collect()
+    )
+    winner = max(int(rows.iloc[0]["phash"]), 999)  # desc tiebreak
+    assert [r["phash"] for r in got] == [winner]
+
+    # a batch with ties only BELOW the newest ts per key passes the
+    # guard (the reduce's outcome is already deterministic there)
+    older = rows.iloc[[1]].copy()
+    older["ts"] = older["ts"] - 7
+    older2 = older.copy()
+    older2["phash"] = -5
+    ok_batch = pd.concat([rows.iloc[[1]], older, older2], ignore_index=True)
+    assert cdc_batch_apply(
+        spark.createDataFrame(ok_batch), 1, tbl2,
+        keys=["image_id"], ts_unit_day=10_000,
+    ) is not None

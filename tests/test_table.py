@@ -695,3 +695,51 @@ def test_overwrite_is_logical_not_physical(spark, tiny_events, tmp_path):
     res = TBL.remove_orphan_files(spark, path)
     assert res["n_orphans_deleted"] >= n_files_before
     assert TBL.scan(spark, path).count() == 10
+
+
+def test_hot_routing_manifest_lower_bounds_are_conservative(spark, tmp_path):
+    """The documented conservative edge of manifest-driven hot routing:
+    an entity just above threshold that is never top-8 in any file is
+    routed COLD by the sketch path (its count is invisible) while the
+    counts-pass path routes it hot — the manifest route must always
+    pick a SUBSET of the counts route (routing-only divergence; the
+    hot/rest branches are value-identical)."""
+    import pandas as pd
+
+    from lbf_spark.plans import pipeline as P
+
+    path = str(tmp_path / "tbl_warm")
+    rows = []
+    n_days = 30
+    for d in range(n_days):
+        ts0 = d * 10_000
+        rows.append(("warm_e", ts0 + 1))  # 1 row/day → never top-8
+        for k in range(8):  # 8 crowd entities, 2 rows/day each
+            rows.append((f"crowd_{k}", ts0 + 10 + k))
+            rows.append((f"crowd_{k}", ts0 + 20 + k))
+    pdf = pd.DataFrame(rows, columns=["entity", "ts"])
+    # one writer task → exactly one file per day, all entities together
+    # (parallel tasks would split days into thin files where warm_e can
+    # sneak into a top-8)
+    df = spark.createDataFrame(pdf).withColumn("v", F.lit(1.0)).repartition(1)
+    TBL.write_table(df, path, mode="overwrite", n_buckets=1,
+                    ts_unit_day=10_000)
+
+    meta = TBL.hot_entity_counts(spark, path)
+    assert meta is not None and meta["total"] == len(rows)
+    assert "warm_e" not in meta["entities"]  # crowded out of every top-8
+    for k in range(8):
+        assert meta["entities"][f"crowd_{k}"] == 2 * n_days  # exact
+
+    got = TBL.scan(spark, path)
+    thr = n_days - 5  # warm_e (30 rows) is above threshold in truth
+    via_manifest = P._hot_entities(
+        got, P.FeatureConfig(table_path=path, hot_entity_threshold=thr)
+    )
+    via_counts = P._hot_entities(
+        got, P.FeatureConfig(hot_entity_threshold=thr)
+    )
+    assert "warm_e" in via_counts  # ground truth: warm_e IS hot
+    assert "warm_e" not in via_manifest  # sketch lower bound: routed cold
+    assert set(via_manifest) == {f"crowd_{k}" for k in range(8)}
+    assert set(via_manifest) <= set(via_counts)  # conservative subset
