@@ -361,15 +361,78 @@ def run_scaling(pairs: tuple[tuple[int, int], ...] = ((2, 8), (8, 32))) -> dict:
     return report
 
 
+def run_ab_staged(reps: int = 3) -> dict:
+    """Interleaved A/B: the q105 (z-order write roundtrip) and q101
+    (MERGE) workloads under the STAGED land protocol (r5 default:
+    stage-then-adopt + exactly-once guarantees) vs the DIRECT r4
+    control (write straight into data/, dir-diff). Runs alternate
+    staged/direct inside ONE JVM and one host window so the ±40 %
+    Firecracker noise hits both arms equally; per-arm component
+    decomposition (land / stats job / manifest commit) comes from the
+    write-path profile. One JSON line."""
+    from lbf_spark.queries import QUERIES
+    from lbf_spark.session import get_spark
+    from lbf_spark.sources import table as TBL
+
+    spark = get_spark("lbf_ab", master=f"local[{CPUS}]",
+                      shuffle_partitions=CPUS)
+    try:
+        out: dict = {"metric": "staged_vs_direct_write_ab", "unit": "sec",
+                     "reps": reps, "sf": SF_DIR.rstrip("/").split("sf")[-1]}
+        workloads = ["q105_zorder_write_roundtrip", "q101_merge_upsert"]
+        # warm-up: one untimed pass per arm (JVM + python worker warmup)
+        for mode in ("staged", "direct"):
+            TBL.LAND_MODE = mode
+            QUERIES[workloads[0]][0](spark, SF_DIR).write.format(
+                "noop"
+            ).mode("overwrite").save()
+        runs: dict = {w: {"staged": [], "direct": []} for w in workloads}
+        comps: dict = {w: {"staged": {}, "direct": {}} for w in workloads}
+        for _rep in range(reps):
+            for mode in ("staged", "direct"):
+                TBL.LAND_MODE = mode
+                for w in workloads:
+                    spark.catalog.clearCache()
+                    TBL.reset_write_profile()
+                    t0 = time.time()
+                    QUERIES[w][0](spark, SF_DIR).write.format(
+                        "noop"
+                    ).mode("overwrite").save()
+                    runs[w][mode].append(round(time.time() - t0, 3))
+                    for k, v in TBL.WRITE_PROFILE_TOTALS.items():
+                        arm = comps[w][mode]
+                        arm[k] = min(arm.get(k, 9e9), v)
+        TBL.LAND_MODE = "staged"  # restore the safe default
+        for w in workloads:
+            st, dr = min(runs[w]["staged"]), min(runs[w]["direct"])
+            out[w] = {
+                "staged_best": st, "direct_best": dr,
+                "staged_runs": runs[w]["staged"],
+                "direct_runs": runs[w]["direct"],
+                "staged_overhead_pct": round(100.0 * (st - dr) / dr, 1),
+                "components_best": comps[w],
+            }
+        out["value"] = max(
+            out[w]["staged_overhead_pct"] for w in workloads
+        )
+        return out
+    finally:
+        spark.stop()
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--scaling", action="store_true")
+    ap.add_argument("--ab-staged", action="store_true")
+    ap.add_argument("--reps", type=int, default=3)
     ap.add_argument("--flagship-only", action="store_true")
     ap.add_argument("--master", default=f"local[{CPUS}]")
     ap.add_argument("--json-only", action="store_true")
     args = ap.parse_args()
     if args.scaling:
         print(json.dumps(run_scaling()))
+    elif args.ab_staged:
+        print(json.dumps(run_ab_staged(args.reps)))
     else:
         print(json.dumps(run_bench(args.master, args.flagship_only)))
 

@@ -4901,6 +4901,160 @@ def q117(spark, sf_dir):
     return pairs.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@q("q118_cdc_replay_cert", _EMPTY_CERT3)
+def q118(spark, sf_dir):
+    """Streaming CDC replay/delete CERTIFICATE (q104 pattern closure
+    over streaming/stream_features.py:cdc_batch_apply — q116 proves the
+    happy path; this proves the at-least-once + delete + late-data
+    contract). A 4-batch changelog (bootstrap → merge → merge with
+    md5-flagged DELETES → a LATE batch re-delivering old-timestamp
+    changes with new values) is applied through cdc_batch_apply, then
+    batches 1-3 are RE-DELIVERED (foreachBatch redelivery); one row per
+    violation of:
+
+    (a) replay idempotence — every re-delivery returns None, the
+        snapshot chain's head id is unchanged, and the re-scanned state
+        is untouched;
+    (b) final state == the relational LAST-BATCH-WINS twin (per key:
+        the newest-ts change of the highest batch touching it — MERGE
+        applies batches in delivery order, so the late batch's OLD
+        timestamps legitimately clobber newer state; that documented
+        semantics is exactly what the twin encodes);
+    (c) delete semantics — no key whose last change is delete-flagged
+        survives the scan.
+
+    Violations are computed distributed (full-outer join state × twin);
+    oracle = empty set, so the driver hash-verifies the whole
+    contract."""
+    from pyspark.sql import Window as W2
+
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import cdc_batch_apply
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+        "event_id",
+    )
+    # unique (keys, ts) per the total-order contract (enforced by the
+    # operator's assert guard — this cert also exercises that the
+    # dedupe + guard compose)
+    uniq = (
+        ev.withColumn(
+            "__rd",
+            F.row_number().over(
+                W2.partitionBy("entity", "event_type", "ts").orderBy(
+                    F.desc("event_id")
+                )
+            ),
+        )
+        .filter(F.col("__rd") == 1)
+        .drop("__rd", "event_id")
+    )
+    lo, hi = uniq.agg(F.min("ts"), F.max("ts")).first()
+    lo, hi = int(lo), int(hi)
+    t1 = lo + (hi - lo) // 3
+    t2 = lo + 2 * (hi - lo) // 3
+    # delete flag: keys whose md5 starts 0/1 (≈1/8) — flag rides on
+    # every batch-2 row of the key, so the newest survives the reduce
+    del_key = F.substring(
+        F.md5(F.concat_ws("#", "entity", "event_type")), 1, 1
+    ).isin("0", "1")
+    b0 = uniq.filter(F.col("ts") <= t1).withColumn("__del", F.lit(False))
+    b1 = (
+        uniq.filter((F.col("ts") > t1) & (F.col("ts") <= t2))
+        .withColumn("__del", F.lit(False))
+    )
+    b2 = uniq.filter(F.col("ts") > t2).withColumn("__del", del_key)
+    # late batch: re-deliver keys md5-starting 'f' with their OLDEST
+    # change's timestamp and a shifted value — old ts, new delivery
+    late_key = F.substring(
+        F.md5(F.concat_ws("#", "entity", "event_type")), 1, 1
+    ) == "f"
+    b3 = (
+        uniq.filter(late_key)
+        .withColumn(
+            "__rk",
+            F.row_number().over(
+                W2.partitionBy("entity", "event_type").orderBy(F.asc("ts"))
+            ),
+        )
+        .filter(F.col("__rk") == 1)
+        .drop("__rk")
+        .withColumn("value", F.round(F.col("value") + 1000, 4))
+        .withColumn("__del", F.lit(False))
+    )
+    path = _table_tmp(sf_dir, "q118")
+    kw = dict(keys=["entity", "event_type"], ts_col="ts",
+              delete_col="__del", n_buckets=4, ts_unit_day=7 * _DAY_US)
+    batches = [b0, b1, b2, b3]
+    for i, b in enumerate(batches):
+        cdc_batch_apply(b, i, path, **kw)
+    head = TBL.current_snapshot(path, spark)
+    # at-least-once redelivery of batches 1-3: all must be no-ops
+    replay_ok = all(
+        cdc_batch_apply(batches[i], i, path, **kw) is None
+        for i in (1, 2, 3)
+    )
+    head2 = TBL.current_snapshot(path, spark)
+    idem_rows = []
+    if not replay_ok:
+        idem_rows.append(("replay_committed", "batches_1_2_3", 1.0))
+    if head["snapshot_id"] != head2["snapshot_id"] or (
+        head2.get("batch_hwm") != head.get("batch_hwm")
+    ):
+        idem_rows.append(
+            ("snapshot_advanced", str(head2["snapshot_id"]), 1.0)
+        )
+    idem = spark.createDataFrame(
+        idem_rows, "family string, key string, err double"
+    ) if idem_rows else spark.createDataFrame(
+        [], "family string, key string, err double"
+    )
+
+    # relational last-batch-wins twin (delivery order, then ts desc)
+    tagged = (
+        b0.withColumn("__b", F.lit(0))
+        .unionByName(b1.withColumn("__b", F.lit(1)))
+        .unionByName(b2.withColumn("__b", F.lit(2)))
+        .unionByName(b3.withColumn("__b", F.lit(3)))
+    )
+    wlast = W2.partitionBy("entity", "event_type").orderBy(
+        F.desc("__b"), F.desc("ts")
+    )
+    twin = (
+        tagged.withColumn("__rk", F.row_number().over(wlast))
+        .filter((F.col("__rk") == 1) & ~F.col("__del"))
+        .select("entity", "event_type", "ts", "value")
+    )
+    state = TBL.scan(spark, path).select(
+        "entity", "event_type", "ts", "value"
+    )
+    st, tw = state.alias("st"), twin.alias("tw")
+    keys_eq = ["entity", "event_type"]
+    mismatch = (
+        st.join(tw, keys_eq, "full_outer")
+        .filter(
+            F.col("st.ts").isNull()
+            | F.col("tw.ts").isNull()
+            | (F.col("st.ts") != F.col("tw.ts"))
+            | (F.col("st.value") != F.col("tw.value"))
+        )
+        .select(
+            F.when(F.col("tw.ts").isNull(), F.lit("deleted_key_survives"))
+            .when(F.col("st.ts").isNull(), F.lit("key_missing"))
+            .otherwise(F.lit("state_mismatch"))
+            .alias("family"),
+            F.concat_ws("#", "entity", "event_type").alias("key"),
+            F.coalesce(F.col("st.value"), F.lit(-1.0)).cast("double")
+            .alias("err"),
+        )
+    )
+    return idem.unionByName(mismatch)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

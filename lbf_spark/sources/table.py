@@ -134,7 +134,7 @@ def write_table(
         )
     added = _land_data_files(spark, pdf, path)
     fsio.mkdirs(spark, meta_dir)
-    existing = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
+    existing = [f for f in fsio.list_names(spark, meta_dir) if f.startswith("snap-") and f.endswith(".json")]
     parent = existing[-1] if existing else None
     # next id = last EXISTING id + 1, never len(existing)+1: snapshot
     # expiration deletes prefix manifests, so after expire(keep_last=1)
@@ -167,7 +167,71 @@ def write_table(
     return snapshot
 
 
+#: write-path physical mode: "staged" (stage-then-adopt — the safe
+#: default: exactly-once under retry/concurrency) or "direct" (the
+#: pre-r5 semantics: write straight into data/ and dir-diff for the
+#: added list — UNSAFE under concurrent writers/retries; retained ONLY
+#: as the control arm of the staged-write A/B benchmark).
+LAND_MODE = "staged"
+
+#: component timings (seconds) of the most recent write_table /
+#: merge_upsert on this driver: {"land": …, "stats": …, "commit": …}.
+#: Observability for the bench decomposition; not a public API.
+LAST_WRITE_PROFILE: dict = {}
+
+#: running totals of the same components since the last reset — the
+#: staged-write A/B sums a whole multi-write workload with these.
+WRITE_PROFILE_TOTALS: dict = {}
+
+
+def reset_write_profile() -> None:
+    LAST_WRITE_PROFILE.clear()
+    WRITE_PROFILE_TOTALS.clear()
+
+
+def _prof(key: str, dt: float) -> None:
+    LAST_WRITE_PROFILE[key] = round(dt, 4)
+    WRITE_PROFILE_TOTALS[key] = round(
+        WRITE_PROFILE_TOTALS.get(key, 0.0) + dt, 4
+    )
+
+
 def _land_data_files(spark, pdf: DataFrame, path: str) -> list[str]:
+    import time as _time
+
+    t0 = _time.time()
+    try:
+        if LAND_MODE == "direct":
+            return _land_data_files_direct(spark, pdf, path)
+        return _land_data_files_staged(spark, pdf, path)
+    finally:
+        _prof("land", _time.time() - t0)
+        LAST_WRITE_PROFILE["mode"] = LAND_MODE
+
+
+def _land_data_files_direct(spark, pdf: DataFrame, path: str) -> list[str]:
+    """Control arm of the staged-write A/B: append parquet directly
+    into ``data/`` and compute the added list as a before/after dir
+    diff (round-4 behavior). Measures the pure land cost without the
+    adopt moves; NOT safe under concurrent writers or retried jobs —
+    benchmark use only (see LAND_MODE)."""
+    from lbf_spark import fsio
+
+    data_dir = fsio.join(path, "data")
+    before = {
+        f["path"]
+        for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+    } if fsio.exists(spark, data_dir) else set()
+    pdf.write.mode("append").partitionBy("entity_bucket", "ts_day").parquet(
+        data_dir
+    )
+    after = [
+        f["path"] for f in fsio.list_files_recursive(spark, data_dir, ".parquet")
+    ]
+    return sorted(p for p in after if p not in before)
+
+
+def _land_data_files_staged(spark, pdf: DataFrame, path: str) -> list[str]:
     """Stage-then-adopt data write: land the partitioned parquet under a
     unique ``.staging/<token>`` dir, move exactly those part files into
     ``data/`` (same partition-relative path — Spark's per-job UUID in
@@ -210,6 +274,18 @@ def _land_data_files(spark, pdf: DataFrame, path: str) -> list[str]:
 def _commit_or_cleanup(
     spark, manifest_path: str, snapshot: dict, path: str, added: list[str]
 ) -> None:
+    import time as _time
+
+    t0 = _time.time()
+    try:
+        _commit_or_cleanup_inner(spark, manifest_path, snapshot, path, added)
+    finally:
+        _prof("commit", _time.time() - t0)
+
+
+def _commit_or_cleanup_inner(
+    spark, manifest_path: str, snapshot: dict, path: str, added: list[str]
+) -> None:
     """Exclusive manifest commit; on losing the snapshot-id race,
     best-effort delete the data files this attempt already moved into
     ``data/`` so a retry starts clean, then raise ConcurrentWriteError."""
@@ -233,6 +309,16 @@ _HOT_STATS_K = 8  # per-file hot-entity entries kept in the manifest
 
 
 def _file_ts_stats(spark, data_dir: str, files: list[str]) -> dict:
+    import time as _time
+
+    t0 = _time.time()
+    try:
+        return _file_ts_stats_inner(spark, data_dir, files)
+    finally:
+        _prof("stats", _time.time() - t0)
+
+
+def _file_ts_stats_inner(spark, data_dir: str, files: list[str]) -> dict:
     """Per-added-file column stats — the Iceberg per-file stats that
     make FILE skipping (not just partition pruning) work, plus row
     counts and a top-K per-entity count sketch for skew planning. One
@@ -309,7 +395,7 @@ def _read_snaps(spark, meta_dir: str) -> list[dict]:
     deletes the oldest manifests)."""
     from lbf_spark import fsio
 
-    names = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
+    names = [f for f in fsio.list_names(spark, meta_dir) if f.startswith("snap-") and f.endswith(".json")]
     snaps = [
         json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))) for n in names
     ]
@@ -380,7 +466,7 @@ def current_snapshot(path: str, spark: SparkSession | None = None) -> dict | Non
 
     spark = spark or SparkSession.getActiveSession()
     meta_dir = fsio.join(path, "metadata")
-    snaps = [f for f in fsio.list_names(spark, meta_dir) if f.endswith(".json")]
+    snaps = [f for f in fsio.list_names(spark, meta_dir) if f.startswith("snap-") and f.endswith(".json")]
     if not snaps:
         return None
     return json.loads(fsio.read_text(spark, fsio.join(meta_dir, snaps[-1])))

@@ -307,7 +307,7 @@ def _batch_high_water(spark, path: str, prev: dict | None) -> int | None:
     ids = [
         json.loads(fsio.read_text(spark, fsio.join(meta_dir, n))).get("batch_id")
         for n in fsio.list_names(spark, meta_dir)
-        if n.endswith(".json")
+        if n.startswith("snap-") and n.endswith(".json")
     ]
     ids = [i for i in ids if i is not None]
     return max(ids) if ids else None

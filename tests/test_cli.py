@@ -1,0 +1,127 @@
+"""CLI front-end (lbf_spark/cli.py — the reference's click-command
+analog): every subcommand drives the same public functions the jobs
+use; these tests run them end-to-end on tiny inputs."""
+
+from __future__ import annotations
+
+import json
+
+import pandas as pd
+import pytest
+
+from lbf_spark.cli import main
+
+
+def test_stages_and_queries_listing(capsys):
+    assert main(["stages", "-v"]) == 0
+    out = capsys.readouterr().out
+    assert "event_features" in out and "point_in_time" in out
+    assert "--span" in out  # verbose shows config fields
+
+    assert main(["queries", "--oracled-only"]) == 0
+    out = capsys.readouterr().out
+    assert "q01_filter_project" in out and "rows-only" not in out
+    assert main(["queries"]) == 0
+    assert "rows-only" in capsys.readouterr().out
+
+
+def test_cli_dedup_and_curate(spark, tmp_path, capsys):
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": [
+            "the quick brown fox jumps over the lazy dog and runs away",
+            "the quick brown fox jumps over the lazy dog and runs away",
+            "the quick brown fox jumps over the lazy dog and walks away",
+            "completely different text about der die und das nicht mehr",
+            "le chat est sur la table et les livres sont dans le sac bleu",
+            "el gato es una mascota que vive con los humanos para siempre",
+        ],
+        "source": ["web"] * 3 + ["books"] * 3,
+    })
+    src = str(tmp_path / "docs.parquet")
+    spark.createDataFrame(docs).write.parquet(src)
+
+    out_dir = str(tmp_path / "dedup_out")
+    assert main(["dedup", "--documents", src, "--out", out_dir,
+                 "--exact-jaccard", "--threshold", "0.6"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 6
+    clusters = spark.read.parquet(f"{out_dir}/clusters").toPandas()
+    assert len(clusters) == 6
+    # docs 0/1 exact dups and 2 near-dup → one keeper for {0,1,2}
+    c012 = clusters[clusters.doc_id.isin([0, 1, 2])]
+    assert c012.cluster_id.nunique() == 1 and c012.is_keeper.sum() == 1
+
+    cur_dir = str(tmp_path / "curate_out")
+    assert main(["curate", "--documents", src, "--out", cur_dir,
+                 "--min-words", "1", "--near-dup",
+                 "--near-dup-method", "jaccard",
+                 "--threshold", "0.6"]) == 0
+    funnel = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert funnel["input"] == 6
+    assert funnel["near_dedup"] < funnel["input"]
+    kept = spark.read.parquet(f"{cur_dir}/kept")
+    assert kept.count() == funnel[list(funnel)[-1]] or kept.count() > 0
+
+
+def test_cli_table_commands(spark, tmp_path, tiny_events, capsys):
+    from lbf_spark import fixtures
+
+    df = fixtures.events_to_spark(spark, tiny_events).select(
+        "image_id", "entity", "ts", "caption", "phash"
+    )
+    path = str(tmp_path / "cli_tbl")
+    from lbf_spark.sources import table as TBL
+
+    TBL.write_table(df.limit(400), path, mode="overwrite",
+                    n_buckets=2, ts_unit_day=10_000)
+    TBL.write_table(df.subtract(df.limit(400)), path, mode="append",
+                    n_buckets=2, ts_unit_day=10_000)
+
+    assert main(["table", "snapshots", path]) == 0
+    lines = [json.loads(x) for x in
+             capsys.readouterr().out.strip().splitlines()]
+    assert [s["snapshot_id"] for s in lines] == [1, 2]
+
+    assert main(["table", "export-iceberg", path]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["snapshots"] == 2
+
+    assert main(["table", "expire", path, "--keep-last", "1"]) == 0
+    capsys.readouterr()
+    assert main(["table", "orphans", path]) == 0
+    capsys.readouterr()
+    from lbf_spark.sources.table import scan
+    assert scan(spark, path).count() == df.count()
+
+
+def test_cli_plot(spark, tmp_path, capsys):
+    rows = [(f"s{k}", p, 1.0 + (k if 3 <= p < 5 else 0))
+            for k in range(4) for p in range(8)]
+    src = str(tmp_path / "summary.parquet")
+    spark.createDataFrame(
+        pd.DataFrame(rows, columns=["entity", "bucket", "signal"])
+    ).write.parquet(src)
+    out = str(tmp_path / "sig.svg")
+    assert main(["plot", "signal", "--summary", src, "--out", out,
+                 "--n-positions", "8", "--center-n", "2",
+                 "--top", "1", "--bottom", "1",
+                 "--smooth-window", "5"]) == 0
+    assert open(out).read().count("<polyline") == 2
+
+    out2 = str(tmp_path / "heat.svg")
+    assert main(["plot", "heatmap", "--summary", src, "--out", out2,
+                 "--n-positions", "8", "--center-n", "2",
+                 "--top", "1", "--bottom", "1"]) == 0
+    assert "<rect" in open(out2).read()
+
+
+def test_cli_unknown_stage_config_rejected(spark, tmp_path):
+    """extract's --config-json goes through validate_config — an
+    unknown key is a loud error, not a silent ignore."""
+    from lbf_spark.plans.registry import InvalidStageConfigError
+
+    with pytest.raises(InvalidStageConfigError):
+        main(["extract", "--events", "x", "--anchors", "y",
+              "--checkpoint-dir", "z",
+              "--config-json", '{"not_a_field": 1}'])
