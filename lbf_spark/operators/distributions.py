@@ -305,3 +305,95 @@ def multinomial_subsample(
         return out[out_cols]
 
     return df.groupBy(*by).applyInPandas(fn, schema)
+
+
+def shuffle_shards(
+    df: DataFrame,
+    n_shards: int,
+    id_col: str,
+    seed: int = 42,
+    out_shard: str = "shard",
+    out_pos: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global shuffle + sharding — the training-data
+    export step (a data-loader wants K equal-ish shards in a
+    reproducible pseudo-random order, never the storage order). Each
+    row draws ``md5(seed:id)``; the first 52 bits pick the shard
+    (uniform), the full digest orders rows WITHIN the shard
+    (``out_pos`` = 1-based position, id tie-broken — a total order, so
+    bit-reproducible on any engine with md5, unlike
+    ``df.orderBy(rand())``).
+
+    Shape at 100 TB: shard assignment is row-local; the within-shard
+    order needs one hash exchange on ``shard`` + a per-shard sort —
+    exactly the one shuffle a real exporter pays
+    (``repartition(shard).sortWithinPartitions(key)``), never a global
+    single-reducer sort. ``n_shards`` should be ≥ cluster parallelism
+    so no shard serializes an executor."""
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    shard = (
+        F.conv(F.substring(key, 1, 13), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    w = Window.partitionBy(out_shard).orderBy(F.col("__key"), F.col(id_col))
+    return (
+        df.withColumn("__key", key)
+        .withColumn(out_shard, shard)
+        .withColumn(out_pos, F.row_number().over(w))
+        .drop("__key")
+    )
+
+
+def token_budget_sample(
+    df: DataFrame,
+    budgets: dict,
+    by: str,
+    id_col: str,
+    token_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Token-BUDGET mixture sampling — ``mixture_sample``'s quota is a
+    row count; training mixtures are specified in TOKENS ("20 B web
+    tokens, 5 B books tokens"). Rows order within each group by
+    ``md5(seed:group:id)`` (deterministic shuffle) and the maximal
+    PREFIX whose inclusive token sum fits ``budgets[group]`` is kept:
+    token counts are non-negative, so the running sum is monotone and
+    `cum ≤ budget` selects exactly the greedy prefix fill — pure
+    window arithmetic, engine-portable, no sequential scan. Groups
+    absent from ``budgets`` are dropped; a budget larger than the
+    group's total keeps the whole group.
+
+    One hash exchange on ``by`` (window partition); the budget map
+    broadcasts. Skew bound = largest stratum, like mixture_sample."""
+    spark = df.sparkSession
+    bdf = spark.createDataFrame(
+        [(k, int(v)) for k, v in budgets.items()],
+        T.StructType(
+            [
+                df.schema[by],
+                T.StructField("__budget", T.LongType(), False),
+            ]
+        ),
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(by).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = (
+        Window.partitionBy(by)
+        .orderBy(F.col("__key"), F.col(id_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        df.join(F.broadcast(bdf), by)
+        .withColumn("__key", key)
+        .withColumn(
+            "__cum", F.sum(F.col(token_col).cast("long")).over(w)
+        )
+        .filter(F.col("__cum") <= F.col("__budget"))
+        .drop("__key", "__cum", "__budget")
+    )

@@ -5055,6 +5055,92 @@ def q118(spark, sf_dir):
     return idem.unionByName(mismatch)
 
 
+@q(
+    "q119_shuffle_shards",
+    """
+    with k as (
+      select doc_id, md5('42:' || cast(doc_id as varchar)) as key
+      from documents
+    ),
+    s as (
+      select doc_id, key,
+             cast(('0x' || substr(key, 1, 13))::bigint % 8 as int) as shard
+      from k
+    )
+    select doc_id, shard,
+           row_number() over (partition by shard order by key, doc_id)
+             as shard_pos
+    from s
+    """,
+)
+def q119(spark, sf_dir):
+    """Deterministic global shuffle + sharding for training-data export
+    (operators/distributions.py:shuffle_shards): md5(seed:id) picks the
+    shard (first 52 bits) and totally orders rows within it — the
+    reproducible replacement for ``orderBy(rand())`` a data loader
+    needs. The oracle recomputes shard AND within-shard position
+    relationally, so a hash mismatch, an unstable order, or a lost row
+    all fail the driver hash. One hash exchange on shard + per-shard
+    sort — the exact physical shape of a sharded exporter at any
+    scale."""
+    docs = t(spark, sf_dir, "documents").select("doc_id")
+    return D.shuffle_shards(docs, n_shards=8, id_col="doc_id").select(
+        "doc_id", "shard", "shard_pos"
+    )
+
+
+@q(
+    "q120_token_budget_mixture",
+    """
+    with b as (
+      select source,
+             100 + 37 * ((row_number() over (order by source) - 1) % 5)
+               as budget
+      from (select distinct source from documents)
+    ),
+    t as (
+      select d.doc_id, d.source,
+             len(list_filter(string_split_regex(d.text, '\\s+'),
+                 x -> x <> '')) as n_tok,
+             md5('42:' || d.source || ':' || cast(d.doc_id as varchar))
+               as key
+      from documents d
+    ),
+    c as (
+      select t.doc_id, t.source, t.n_tok, b.budget,
+             sum(t.n_tok) over (partition by t.source
+                                order by t.key, t.doc_id
+                                rows between unbounded preceding
+                                and current row) as cum
+      from t join b using (source)
+    )
+    select doc_id, source, cast(n_tok as bigint) as n_tok
+    from c where cum <= budget
+    """,
+)
+def q120(spark, sf_dir):
+    """Token-BUDGET mixture sampling (operators/distributions.py:
+    token_budget_sample) — training mixtures are specified in tokens,
+    not documents: per source, rows order by the md5 shuffle key and
+    the maximal prefix whose inclusive whitespace-token sum fits that
+    source's budget is kept (monotone running sum ⇒ `cum ≤ budget` IS
+    the greedy fill; pure window arithmetic). Budgets here derive
+    deterministically from the sorted source list (100 + 37·(i mod 5))
+    so the oracle reconstructs the same map relationally."""
+    docs = text.token_count(t(spark, sf_dir, "documents"), "text")
+    sources = sorted(
+        r["source"] for r in docs.select("source").distinct().collect()
+    )
+    budgets = {s: 100 + 37 * (i % 5) for i, s in enumerate(sources)}
+    kept = D.token_budget_sample(
+        docs, budgets, by="source", id_col="doc_id",
+        token_col="n_tokens_ws",
+    )
+    return kept.select(
+        "doc_id", "source", F.col("n_tokens_ws").cast("long").alias("n_tok")
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1182,3 +1182,76 @@ def test_curation_jaccard_near_dedup(spark, docs):
     assert 1 in ids and 2 not in ids and 3 not in ids
     with pytest.raises(ValueError, match="near_dup_method"):
         curate_corpus(docs, near_dup=True, near_dup_method="bogus")
+
+
+def test_shuffle_shards_deterministic_and_total(spark):
+    """shuffle_shards: hashlib twin reproduces shard + position, shards
+    are non-trivially balanced, positions are contiguous 1..n."""
+    import hashlib
+
+    n = 400
+    df = spark.range(n).withColumnRenamed("id", "doc_id")
+    got = D.shuffle_shards(df, n_shards=8, id_col="doc_id").toPandas()
+    assert len(got) == n
+
+    def twin(i: int):
+        k = hashlib.md5(f"42:{i}".encode()).hexdigest()
+        return int(k[:13], 16) % 8, k
+
+    exp_shard = {i: twin(i)[0] for i in range(n)}
+    for r in got.itertuples():
+        assert r.shard == exp_shard[r.doc_id]
+    for s, grp in got.groupby("shard"):
+        # contiguous 1..n positions, ordered by (md5, id)
+        assert sorted(grp.shard_pos) == list(range(1, len(grp) + 1))
+        order = grp.sort_values("shard_pos")
+        keys = [twin(i)[1] for i in order.doc_id]
+        assert keys == sorted(keys)
+        assert len(grp) > n // 8 // 4  # no pathological emptiness
+    got2 = D.shuffle_shards(df, n_shards=8, id_col="doc_id").toPandas()
+    pd.testing.assert_frame_equal(
+        got.sort_values("doc_id", ignore_index=True),
+        got2.sort_values("doc_id", ignore_index=True),
+    )
+    # a different seed is a different permutation
+    got3 = D.shuffle_shards(df, n_shards=8, id_col="doc_id", seed=7).toPandas()
+    assert not got.sort_values("doc_id", ignore_index=True).equals(
+        got3.sort_values("doc_id", ignore_index=True)
+    )
+
+
+def test_token_budget_sample_greedy_prefix(spark):
+    """token_budget_sample == the plain-python greedy prefix fill per
+    group; absent groups drop; oversized budgets keep whole groups."""
+    import hashlib
+
+    rows = [(i, "a" if i < 12 else "b", 5 + (i * 7) % 20)
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "doc_id long, src string, n_tok long")
+    budgets = {"a": 60, "b": 10_000}
+    got = D.token_budget_sample(
+        df, budgets, by="src", id_col="doc_id", token_col="n_tok"
+    ).toPandas()
+
+    def key(src, i):
+        return hashlib.md5(f"42:{src}:{i}".encode()).hexdigest()
+
+    for src, budget in budgets.items():
+        grp = sorted(
+            [r for r in rows if r[1] == src],
+            key=lambda r: (key(src, r[0]), r[0]),
+        )
+        exp, cum = [], 0
+        for i, _s, tok in grp:
+            cum += tok
+            if cum > budget:
+                break
+            exp.append(i)
+        assert sorted(got[got.src == src].doc_id) == sorted(exp)
+    assert set(got[got.src == "b"].doc_id) == {r[0] for r in rows if r[1] == "b"}
+
+    # a group absent from the budget map is dropped entirely
+    got2 = D.token_budget_sample(
+        df, {"a": 60}, by="src", id_col="doc_id", token_col="n_tok"
+    ).toPandas()
+    assert set(got2.src) == {"a"}
