@@ -278,3 +278,40 @@ def test_jaccard_prefix_plan_is_hash_joins_no_python(spark):
     assert "BroadcastNestedLoop" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Join" in plan
+
+
+def test_shuffle_shards_plan_single_exchange_no_python(spark):
+    """shuffle_shards: exactly one hashpartitioning(shard) exchange
+    (the exporter's one legitimate shuffle) + a per-shard sort; pure
+    JVM (md5/conv/row_number are column expressions)."""
+    from lbf_spark.operators import distributions as D
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    plan = _explain_str(D.shuffle_shards(df, n_shards=8, id_col="doc_id"))
+    tree = plan.split("\n\n")[0]  # operator tree (details repeat names)
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(shard" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Window" in plan
+
+
+def test_token_budget_plan_broadcasts_budgets_one_window_exchange(spark):
+    """token_budget_sample: the budget map joins as a broadcast (never
+    a shuffle of the corpus onto a 20-row map) and the prefix-sum
+    window adds exactly one hashpartitioning(by) exchange; pure JVM."""
+    from lbf_spark.operators import distributions as D
+
+    df = spark.createDataFrame(
+        [(i, f"s{i % 4}", 10 + i) for i in range(64)],
+        "doc_id long, src string, n_tok long",
+    )
+    budgets = {f"s{k}": 100 for k in range(4)}
+    plan = _explain_str(D.token_budget_sample(
+        df, budgets, by="src", id_col="doc_id", token_col="n_tok"
+    ))
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(src" in plan
+    # one data exchange (the window) + the broadcast exchange only
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
