@@ -5147,17 +5147,16 @@ def q120(spark, sf_dir):
 # driver-checked slot carries a full rows+schema+hash oracle AND so the
 # window rotates across rounds to cover the whole catalog:
 # 1. every oracled entry that has NOT yet earned a GREEN driver
-#    CORRECTNESS row, in catalog order — for round 5 that is
-#    q77/q78/q91 (r4 hash-red: DuckDB HUGEINT in the oracle SQL, cast
-#    to bigint this round), q105-q109 (registered past r4's cutoff),
-#    and the new certificate entries q110-q114; new entries in later
-#    rounds land here automatically;
+#    CORRECTNESS row, in catalog order — for round 6 that is the new
+#    q118 (CDC replay/delete certificate), q119 (shuffle shards) and
+#    q120 (token-budget mixture); new entries in later rounds land
+#    here automatically;
 # 2. the already-driver-green oracled entries (relative order
-#    preserved) — rounds 3+4 proved these 97; re-checks are harmless;
+#    preserved) — rounds 3-5 proved all 113; re-checks are harmless;
 # 3. the remaining rows-only entries last — q33 image pipeline / q50
 #    p-values / q51 subsample / q103 audio keep their rows-only rows,
-#    but each is now ALSO hash-proved by a certificate twin
-#    (q110-q113) inside the driver window.
+#    but each is ALSO hash-proved by a certificate twin (q110-q113)
+#    that went driver-green in round 5.
 # `_DRIVER_GREEN` = rows proven green in CORRECTNESS_r03 ∪ r04 ∪ r05.
 # ---------------------------------------------------------------------
 _DRIVER_GREEN = {
