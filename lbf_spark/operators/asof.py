@@ -347,3 +347,48 @@ def interval_join(
     for k in by:
         joined = joined.drop(ev[k])
     return joined.drop(a["_slice"]).drop(ev["_slice"])
+
+
+def pit_feature_matrix(
+    labels: DataFrame,
+    groups: list[tuple[DataFrame, list[str] | None]],
+    *,
+    by: str | list[str] = "entity",
+    on: str = "ts",
+    label_on: str = "anchor_ts",
+    tolerance: int | None = None,
+    strategy: str = "union",
+) -> DataFrame:
+    """Point-in-time training matrix: one backward as-of join per
+    feature group, chained (the feature-store "PIT join" — each label
+    row is enriched with the latest value each group had published at
+    or before the label timestamp; no future leakage by construction).
+
+    The reference builds its training matrices by re-fetching every
+    interval per signal (one ``extract-coverage`` run per feature
+    family, then a pandas merge in ``post_extraction_analysis``); here
+    K groups are K chained ``asof_join`` passes over ONE accumulating
+    matrix — each pass is a single per-entity shuffle+window (union
+    strategy, all-JVM), so the whole matrix costs K shuffles of the
+    label frame + one of each group, never a replay of the raw table.
+
+    ``groups`` is a list of ``(events_df, select_cols)``; each events
+    frame must carry the ``by`` and ``on`` columns, be unique on
+    ``(by, on)`` (enforce upstream — ties make as-of matches
+    engine-unspecified), and its selected feature columns must not
+    collide with the label frame or earlier groups (alias per group:
+    ``a_val``, ``b_mean`` …).
+    """
+    out = labels
+    for ev, select in groups:
+        out = asof_join(
+            ev,
+            out,
+            on=on,
+            anchor_on=label_on,
+            by=by,
+            tolerance=tolerance,
+            select=select,
+            strategy=strategy,
+        )
+    return out

@@ -1,0 +1,135 @@
+"""Incremental (batch-delta) maintenance of per-entity window features.
+
+The reference recomputes every feature from scratch per run (each
+``extract-coverage`` invocation replays the whole BAM over the BED —
+``fextract/lib.py:71-77`` fetches every interval every time). At
+10^12-row scale a full recompute per arriving delta is the dominant
+cost, so this module gives the engine *exact* incremental refresh: when
+a new batch of events lands (late data included), recompute window
+features ONLY for the affected per-entity suffixes and stitch them onto
+the previously-materialized feature rows. The result is bit-identical
+to a full recompute (proved by the q121 driver oracle and
+tests/test_incremental.py).
+
+Two refresh granularities:
+
+* ``incremental_entity_refresh`` — recompute the full history of the
+  entities the batch touches; exact for ANY deterministic per-entity
+  ``feature_fn`` (ffill, cumulative counts, sessionize — unbounded
+  lookback is fine). Cost: O(touched entities' history).
+* ``incremental_range_refresh`` — for features with a bounded backward
+  horizon (``rangeBetween(-lookback, 0)`` et al.): recompute only each
+  touched entity's suffix from ``min(batch ts) - lookback`` on, reading
+  one extra ``lookback`` of context rows so every recomputed row sees
+  its full window. Rows before the suffix are provably unchanged (the
+  window is backward-looking and every batch row has
+  ``ts >= min(batch ts)``), so their old features are kept verbatim.
+  Cost: O(touched suffixes), independent of history length.
+
+Scale notes (100 TB): the touched-entity/start frame is tiny (one row
+per touched entity) and is broadcast — no shuffle of the big side
+beyond what ``feature_fn`` itself needs, and that shuffle now carries
+only the refresh region. ``refresh_lower_bound`` exposes the global
+``min(refresh_from) - lookback`` scalar so callers reading from the
+table layer can push a ``ts >= lo`` predicate into the scan and let the
+per-file ``[ts_min, ts_max]`` stats skip every file that predates the
+delta (sources/table.py file stats).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, functions as F
+
+_REFRESH_COL = "__refresh_from"
+
+
+def _starts(batch: DataFrame, by: list[str], order: str) -> DataFrame:
+    return batch.groupBy(*by).agg(F.min(order).alias(_REFRESH_COL))
+
+
+def refresh_lower_bound(batch: DataFrame, *, lookback: int, order: str = "ts") -> int | None:
+    """Global scan lower bound for a delta: ``min(batch.order) - lookback``.
+
+    One-row collect (metadata-bounded). Push ``order >= lo`` into the
+    base-table scan so file-level ``ts_min/ts_max`` stats prune history
+    files untouched by the delta. ``None`` on an empty batch.
+    """
+    row = batch.agg(F.min(order).alias("lo")).first()
+    return None if row is None or row["lo"] is None else row["lo"] - lookback
+
+
+def incremental_entity_refresh(
+    base: DataFrame,
+    batch: DataFrame,
+    feature_fn: Callable[[DataFrame], DataFrame],
+    *,
+    by: str | list[str] = "entity",
+    old_features: DataFrame | None = None,
+) -> DataFrame:
+    """Exact refresh at entity granularity: untouched entities keep
+    their old feature rows, touched entities are recomputed over their
+    full (base ∪ batch) history.
+
+    ``feature_fn`` must be deterministic and per-entity (a row's
+    features may depend on any rows of the SAME ``by`` group, nothing
+    else) and must retain the ``by`` column(s) in its output. Unbounded
+    lookback (ffill, cumulative sums, sessionize) is allowed.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    old = feature_fn(base) if old_features is None else old_features
+    touched = batch.select(*by).distinct()
+    region = base.unionByName(batch).join(F.broadcast(touched), by, "inner")
+    kept = old.join(F.broadcast(touched), by, "left_anti")
+    return kept.unionByName(feature_fn(region))
+
+
+def incremental_range_refresh(
+    base: DataFrame,
+    batch: DataFrame,
+    feature_fn: Callable[[DataFrame], DataFrame],
+    *,
+    lookback: int,
+    by: str | list[str] = "entity",
+    order: str = "ts",
+    old_features: DataFrame | None = None,
+) -> DataFrame:
+    """Exact refresh at suffix granularity for bounded-lookback features.
+
+    Contract on ``feature_fn``: appends feature columns where each
+    row's features depend only on same-``by`` rows with
+    ``order`` in ``[row.order - lookback, row.order]`` (e.g. any
+    ``Window.rangeBetween(-lookback, 0)`` aggregate), and its output
+    retains the ``by`` and ``order`` columns.
+
+    Correctness: for a touched entity let ``s = min(batch.order)``.
+    Rows with ``order < s`` see no batch row in their backward window
+    (every batch row is ≥ s), so their old features stand. Rows with
+    ``order >= s`` are recomputed over the region
+    ``order >= s - lookback``, which contains every row their window
+    can reach (``row.order - lookback >= s - lookback``). The stitch of
+    the two is therefore bit-identical to a full recompute — the q121
+    oracle hash-checks exactly that.
+    """
+    by = [by] if isinstance(by, str) else list(by)
+    old = feature_fn(base) if old_features is None else old_features
+    starts = _starts(batch, by, order)
+    region = (
+        base.unionByName(batch)
+        .join(F.broadcast(starts), by, "inner")
+        .filter(F.col(order) >= F.col(_REFRESH_COL) - F.lit(lookback))
+        .drop(_REFRESH_COL)
+    )
+    refreshed = (
+        feature_fn(region)
+        .join(F.broadcast(starts), by, "inner")
+        .filter(F.col(order) >= F.col(_REFRESH_COL))
+        .drop(_REFRESH_COL)
+    )
+    kept = (
+        old.join(F.broadcast(starts), by, "left")
+        .filter(F.col(_REFRESH_COL).isNull() | (F.col(order) < F.col(_REFRESH_COL)))
+        .drop(_REFRESH_COL)
+    )
+    return kept.unionByName(refreshed)

@@ -23,7 +23,13 @@ from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from lbf_spark.operators import dedup, distributions as D, similarity as S, stats, text
 from lbf_spark.operators import windows as W
-from lbf_spark.operators.asof import asof_join, asof_join_sliced, interval_join
+from lbf_spark.operators.asof import (
+    asof_join,
+    asof_join_sliced,
+    interval_join,
+    pit_feature_matrix,
+)
+from lbf_spark.operators.incremental import incremental_range_refresh
 from lbf_spark.operators.normalize import flanking_normalize
 
 QUERIES: dict = {}
@@ -5138,6 +5144,199 @@ def q120(spark, sf_dir):
     )
     return kept.select(
         "doc_id", "source", F.col("n_tokens_ws").cast("long").alias("n_tok")
+    )
+
+
+# =====================================================================
+# incremental feature maintenance + point-in-time training matrix
+# =====================================================================
+
+_W6H_US = 21_600_000_000  # 6 h bounded feature horizon (micros)
+
+
+def _feat_mean6h(df: DataFrame) -> DataFrame:
+    """Bounded-lookback window features: decimal-stable 6 h mean +
+    count (the q93/q115 decimal-sum/count pattern — partial-agg order
+    can't flip a bit)."""
+    w = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_W6H_US, 0)
+    return df.select(
+        "event_id",
+        "user_id",
+        "ts_us",
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+            / F.count(F.lit(1)).over(w),
+            6,
+        ).alias("f_mean"),
+        F.count(F.lit(1)).over(w).alias("f_cnt"),
+    )
+
+
+@q(
+    "q121_incremental_refresh",
+    f"""
+    with ev as (select * from {_EVENTS_UNIQ_SQL})
+    select event_id, user_id, ts_us,
+           round(cast(sum(cast(value as decimal(18,6))) over w as double)
+                 / (count(*) over w), 6) + 0 as f_mean,
+           count(*) over w as f_cnt
+    from ev
+    window w as (partition by user_id order by ts_us
+                 range between {_W6H_US} preceding and current row)
+    """,
+)
+def q121(spark, sf_dir):
+    """Exact incremental maintenance of bounded-window features
+    (operators/incremental.py): 1/37th of the events arrive as a LATE
+    delta batch; features are recomputed only for the touched
+    per-entity suffixes (one lookback of extra context rows) and
+    stitched onto the pre-delta feature rows. The oracle is the FULL
+    recompute over all events — the driver hash proves the incremental
+    stitch is bit-identical to recomputing from scratch. (The reference
+    replays every interval per run, fextract/lib.py:71-77; at 10^12
+    rows only the delta path survives.)"""
+    ev = _events_uniq(spark, sf_dir).select("event_id", "user_id", "ts_us", "value")
+    batch = ev.filter(F.col("event_id") % 37 == 0)
+    base = ev.filter(F.col("event_id") % 37 != 0)
+    return incremental_range_refresh(
+        base, batch, _feat_mean6h, lookback=_W6H_US, by="user_id", order="ts_us"
+    )
+
+
+def _pit_matrix(spark, sf_dir):
+    """Shared builder for q122/q123: labels + two feature groups at
+    different frequencies, chained backward as-of joins (zero leakage
+    by construction). Returns (matrix-with-anchor_ts, labels, ga, gb)."""
+    ev = _events_uniq(spark, sf_dir)
+    labels = ev.filter(F.col("event_id") % 50 == 7).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("anchor_ts"),
+        F.col("event_id").alias("label_id"),
+        F.round("value", 6).alias("label"),
+    )
+    wcum = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_us")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ga = ev.filter(F.col("event_id") % 3 == 0).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        F.col("ts_us").alias("a_ts"),
+        F.round("value", 6).alias("a_val"),
+        F.count(F.lit(1)).over(wcum).alias("a_cnt"),
+    )
+    w6 = Window.partitionBy("user_id").orderBy("ts_us").rangeBetween(-_W6H_US, 0)
+    gb = ev.filter(F.col("event_id") % 3 == 1).select(
+        F.col("user_id").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        F.col("ts_us").alias("b_ts"),
+        F.round(
+            F.sum(F.col("value").cast("decimal(18,6)")).over(w6).cast("double")
+            / F.count(F.lit(1)).over(w6),
+            6,
+        ).alias("b_mean"),
+    )
+    m = pit_feature_matrix(
+        labels,
+        [(ga, ["a_ts", "a_val", "a_cnt"]), (gb, ["b_ts", "b_mean"])],
+        by="entity",
+        on="ts",
+        label_on="anchor_ts",
+    )
+    return m, labels, ga, gb
+
+
+@q(
+    "q122_pit_training_matrix",
+    f"""
+    with ev as (select * from {_EVENTS_UNIQ_SQL}),
+    labels as (
+        select user_id, ts_us, event_id as label_id,
+               round(value, 6) + 0 as label
+        from ev where event_id % 50 = 7),
+    a as (
+        select user_id, ts_us, round(value, 6) + 0 as a_val,
+               count(*) over (partition by user_id order by ts_us) as a_cnt
+        from ev where event_id % 3 = 0),
+    b as (
+        select user_id, ts_us,
+               round(cast(sum(cast(value as decimal(18,6))) over w as double)
+                     / (count(*) over w), 6) + 0 as b_mean
+        from ev where event_id % 3 = 1
+        window w as (partition by user_id order by ts_us
+                     range between {_W6H_US} preceding and current row))
+    select l.label_id, l.label,
+           a.ts_us as a_ts, a.a_val, a.a_cnt,
+           b.ts_us as b_ts, b.b_mean
+    from labels l
+    asof left join a on l.user_id = a.user_id and a.ts_us <= l.ts_us
+    asof left join b on l.user_id = b.user_id and b.ts_us <= l.ts_us
+    """,
+)
+def q122(spark, sf_dir):
+    """Feature-store PIT join (asof.pit_feature_matrix): every label
+    row enriched with the latest published value of K=2 feature groups
+    at different cadences — group A's last value + lifetime count,
+    group B's 6 h rolling mean — each via one all-JVM backward as-of
+    pass; labels with no prior publication get nulls (LEFT semantics,
+    both engines). The training-matrix generator of the north_star,
+    K shuffles total, never a raw-table replay per group."""
+    m, *_ = _pit_matrix(spark, sf_dir)
+    return m.select("label_id", "label", "a_ts", "a_val", "a_cnt", "b_ts", "b_mean")
+
+
+@q(
+    "q123_pit_leakage_cert",
+    """
+    select cast(null as varchar) as family,
+           cast(null as bigint) as label_id,
+           cast(null as bigint) as got,
+           cast(null as bigint) as want
+    where 1 = 0
+    """,
+)
+def q123(spark, sf_dir):
+    """Zero-temporal-leakage + exactness CERTIFICATE for the PIT
+    training matrix (q104 pattern; north_rule demands 'zero temporal
+    leakage'). An INDEPENDENT relational twin — inner join + groupBy
+    max, no merge_asof, no window-carry — recomputes each label's true
+    latest at-or-before timestamp per feature group; emitted rows are
+    (1) any engine match that disagrees with the twin (null-safe) and
+    (2) any match sitting in the label's future. Oracle = empty set:
+    the driver hash passes iff the matrix has zero leakage and every
+    match is THE latest. Verification workload: the twin join is
+    O(labels × group rows) per entity — run at audit time, not in the
+    serving path."""
+    m, labels, ga, gb = _pit_matrix(spark, sf_dir)
+
+    def expected(grp, out):
+        return (
+            labels.select("entity", "anchor_ts", "label_id")
+            .join(grp.select("entity", "ts"), "entity")
+            .filter(F.col("ts") <= F.col("anchor_ts"))
+            .groupBy("label_id")
+            .agg(F.max("ts").alias(out))
+        )
+
+    def disagree(ts_col, grp, family):
+        return (
+            m.select("label_id", F.col(ts_col).alias("got"))
+            .join(expected(grp, "want"), "label_id", "left")
+            .filter(~F.col("got").eqNullSafe(F.col("want")))
+            .select(F.lit(family).alias("family"), "label_id", "got", "want")
+        )
+
+    leak = m.filter(
+        (F.col("a_ts") > F.col("anchor_ts")) | (F.col("b_ts") > F.col("anchor_ts"))
+    ).select(
+        F.lit("leak").alias("family"),
+        "label_id",
+        F.greatest("a_ts", "b_ts").alias("got"),
+        F.col("anchor_ts").alias("want"),
+    )
+    return leak.unionByName(disagree("a_ts", ga, "a_latest")).unionByName(
+        disagree("b_ts", gb, "b_latest")
     )
 
 

@@ -106,3 +106,38 @@ def test_interval_join_counts(spark, tiny_events, tiny_anchors):
         exp = int(((e.ts > a.anchor_ts - span) & (e.ts <= a.anchor_ts)).sum())
         key = (a.entity, a.anchor_ts, a.name)
         assert got.get(key, 0) == exp or (exp == 0 and key not in got.index)
+
+
+def test_pit_feature_matrix_nulls_and_no_leakage(spark):
+    from lbf_spark.operators.asof import pit_feature_matrix
+
+    labels = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity": ["a", "a", "b"], "anchor_ts": [5, 20, 3], "label_id": [1, 2, 3]}
+        )
+    )
+    ga = spark.createDataFrame(
+        pd.DataFrame(
+            {"entity": ["a", "a"], "ts": [4, 10], "a_ts": [4, 10], "a_val": [1.0, 2.0]}
+        )
+    )
+    gb = spark.createDataFrame(
+        pd.DataFrame({"entity": ["b"], "ts": [2], "b_ts": [2], "b_val": [9.0]})
+    )
+    m = (
+        pit_feature_matrix(
+            labels, [(ga, ["a_ts", "a_val"]), (gb, ["b_ts", "b_val"])]
+        )
+        .toPandas()
+        .sort_values("label_id", ignore_index=True)
+    )
+    # label 1: a@4 matches, no b group rows for entity a ⇒ null
+    assert m.loc[0, "a_ts"] == 4 and pd.isna(m.loc[0, "b_ts"])
+    # label 2: latest a is 10 (not the future-free 4 only) — still ≤ anchor
+    assert m.loc[1, "a_ts"] == 10
+    # label 3 (entity b): only b group matches; a side null
+    assert pd.isna(m.loc[2, "a_ts"]) and m.loc[2, "b_ts"] == 2
+    # zero leakage: every matched ts ≤ its anchor
+    for c in ("a_ts", "b_ts"):
+        ok = m[c].isna() | (m[c] <= m["anchor_ts"])
+        assert ok.all()
