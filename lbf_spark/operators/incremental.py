@@ -85,6 +85,39 @@ def incremental_entity_refresh(
     return kept.unionByName(feature_fn(region))
 
 
+def refresh_region_rows(
+    base: DataFrame,
+    batch: DataFrame,
+    feature_fn: Callable[[DataFrame], DataFrame],
+    *,
+    lookback: int,
+    by: str | list[str] = "entity",
+    order: str = "ts",
+) -> DataFrame:
+    """The refreshed suffix rows ONLY (no stitch): every (base ∪ batch)
+    row of a touched entity with ``order >= min(batch.order)`` for that
+    entity, re-featured over a region that includes one extra
+    ``lookback`` of context. Callers that persist features in a table
+    replace exactly these keys (``merge_upsert``) and never touch the
+    kept rows — the streaming maintenance path
+    (streaming/stream_features.py). ``incremental_range_refresh`` is
+    this plus the kept-row stitch."""
+    by = [by] if isinstance(by, str) else list(by)
+    starts = _starts(batch, by, order)
+    region = (
+        base.unionByName(batch)
+        .join(F.broadcast(starts), by, "inner")
+        .filter(F.col(order) >= F.col(_REFRESH_COL) - F.lit(lookback))
+        .drop(_REFRESH_COL)
+    )
+    return (
+        feature_fn(region)
+        .join(F.broadcast(starts), by, "inner")
+        .filter(F.col(order) >= F.col(_REFRESH_COL))
+        .drop(_REFRESH_COL)
+    )
+
+
 def incremental_range_refresh(
     base: DataFrame,
     batch: DataFrame,
@@ -115,17 +148,8 @@ def incremental_range_refresh(
     by = [by] if isinstance(by, str) else list(by)
     old = feature_fn(base) if old_features is None else old_features
     starts = _starts(batch, by, order)
-    region = (
-        base.unionByName(batch)
-        .join(F.broadcast(starts), by, "inner")
-        .filter(F.col(order) >= F.col(_REFRESH_COL) - F.lit(lookback))
-        .drop(_REFRESH_COL)
-    )
-    refreshed = (
-        feature_fn(region)
-        .join(F.broadcast(starts), by, "inner")
-        .filter(F.col(order) >= F.col(_REFRESH_COL))
-        .drop(_REFRESH_COL)
+    refreshed = refresh_region_rows(
+        base, batch, feature_fn, lookback=lookback, by=by, order=order
     )
     kept = (
         old.join(F.broadcast(starts), by, "left")

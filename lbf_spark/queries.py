@@ -5340,6 +5340,126 @@ def q123(spark, sf_dir):
     )
 
 
+@q(
+    "q124_incremental_maintenance_cert",
+    """
+    select cast(null as varchar) as family,
+           cast(null as varchar) as entity,
+           cast(null as bigint) as ts,
+           cast(null as double) as got,
+           cast(null as double) as want
+    where 1 = 0
+    """,
+)
+def q124(spark, sf_dir):
+    """Streaming incremental-maintenance CERTIFICATE (q104 pattern
+    closure over streaming/stream_features.py:incremental_feature_batch
+    — the materialized-feature-table twin of q121's stitch proof). A
+    3-batch event stream (event_id%3 slices, so every batch delivers
+    data EARLIER than the previous batch's max ts — standing late-data
+    replay) maintains a raw table + feature table pair; batch 1 is then
+    RE-DELIVERED after batch 2 (foreachBatch at-least-once). One row
+    per violation of:
+
+    (a) replay idempotence — the re-delivery returns None and neither
+        table's snapshot head moves;
+    (b) feature-table state == the from-scratch recompute twin over ALL
+        events (full-outer joined, null-safe on mean and count — a
+        wrong suffix bound, a lost merge, or a double-applied batch all
+        surface here);
+    (c) raw-table completeness — raw state == the event set itself.
+
+    Oracle = empty set: the driver hash proves the delta-cost
+    maintenance path is bit-identical to recomputing from scratch,
+    under redelivery."""
+    from lbf_spark.sources import table as TBL
+    from lbf_spark.streaming.stream_features import incremental_feature_batch
+
+    ev = _events_uniq(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        F.round("value", 6).alias("value"),
+        "event_id",
+    )
+
+    def feat(df):
+        w = Window.partitionBy("entity").orderBy("ts").rangeBetween(-_W6H_US, 0)
+        return df.select(
+            "entity",
+            "ts",
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+                / F.count(F.lit(1)).over(w),
+                6,
+            ).alias("f_mean"),
+            F.count(F.lit(1)).over(w).alias("f_cnt"),
+        )
+
+    raw_path = _table_tmp(sf_dir, "q124_raw")
+    feat_path = _table_tmp(sf_dir, "q124_feat")
+    kw = dict(lookback=_W6H_US, n_buckets=4, ts_unit_day=7 * _DAY_US)
+    batches = [
+        ev.filter(F.col("event_id") % 3 == k).drop("event_id") for k in range(3)
+    ]
+    for i, b in enumerate(batches):
+        incremental_feature_batch(b, i, raw_path, feat_path, feat, **kw)
+    head_raw = TBL.current_snapshot(raw_path, spark)["snapshot_id"]
+    head_feat = TBL.current_snapshot(feat_path, spark)["snapshot_id"]
+    replayed = incremental_feature_batch(
+        batches[1], 1, raw_path, feat_path, feat, **kw
+    )
+    replay_ok = (
+        replayed is None
+        and TBL.current_snapshot(raw_path, spark)["snapshot_id"] == head_raw
+        and TBL.current_snapshot(feat_path, spark)["snapshot_id"] == head_feat
+    )
+    v_replay = (
+        spark.range(1)
+        .filter(F.lit(not replay_ok))
+        .select(
+            F.lit("replay").alias("family"),
+            F.lit(None).cast("string").alias("entity"),
+            F.lit(None).cast("bigint").alias("ts"),
+            F.lit(None).cast("double").alias("got"),
+            F.lit(None).cast("double").alias("want"),
+        )
+    )
+    got = TBL.scan(spark, feat_path).select(
+        "entity", "ts",
+        F.col("f_mean").alias("got_mean"), F.col("f_cnt").alias("got_cnt"),
+    )
+    want = feat(ev.drop("event_id")).select(
+        "entity", "ts",
+        F.col("f_mean").alias("want_mean"), F.col("f_cnt").alias("want_cnt"),
+    )
+    v_state = (
+        got.join(want, ["entity", "ts"], "full_outer")
+        .filter(
+            ~F.col("got_mean").eqNullSafe(F.col("want_mean"))
+            | ~F.col("got_cnt").eqNullSafe(F.col("want_cnt"))
+        )
+        .select(
+            F.lit("state").alias("family"), "entity", "ts",
+            F.col("got_mean").alias("got"), F.col("want_mean").alias("want"),
+        )
+    )
+    v_raw = (
+        TBL.scan(spark, raw_path)
+        .select("entity", "ts", F.col("value").alias("got_v"))
+        .join(
+            ev.select("entity", "ts", F.col("value").alias("want_v")),
+            ["entity", "ts"],
+            "full_outer",
+        )
+        .filter(~F.col("got_v").eqNullSafe(F.col("want_v")))
+        .select(
+            F.lit("raw").alias("family"), "entity", "ts",
+            F.col("got_v").alias("got"), F.col("want_v").alias("want"),
+        )
+    )
+    return v_replay.unionByName(v_state).unionByName(v_raw)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -482,3 +482,149 @@ def stream_cdc_apply(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def incremental_feature_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    raw_path: str,
+    feat_path: str,
+    feature_fn,
+    *,
+    lookback: int,
+    keys: list[str] | None = None,
+    n_buckets: int = 16,
+    ts_unit_day: int = 86_400,
+) -> dict | None:
+    """One micro-batch of raw events → exactly-once maintenance of a
+    MATERIALIZED feature table, recomputing only the touched per-entity
+    suffixes (``operators/incremental.py`` math; the reference replays
+    every interval per run, fextract/lib.py:71-77).
+
+    Two tables, one delta: ``raw_path`` accumulates the event history
+    (append-only snapshots), ``feat_path`` holds one feature row per
+    (entity, ts). Per batch:
+
+    1. refresh region = raw table scanned with
+       ``ts >= min(batch ts) - lookback`` — the global bound feeds
+       ``scan``'s manifest ``[ts_min, ts_max]`` file skipping, so
+       history files that predate the delta are never opened — then
+       narrowed to each touched entity's own suffix;
+    2. ``refresh_region_rows`` re-features the region; the result is
+       MERGEd into the feature table (file-level copy-on-write), so
+       kept feature rows are never rewritten OR re-read;
+    3. the batch appends to the raw table.
+
+    Exactly-once under foreachBatch's at-least-once replay: the raw
+    append (LAST step) carries the ``batch_hwm`` high-water mark, so a
+    fully-committed batch is a no-op on replay; a crash BETWEEN the
+    merge and the raw append replays into "merge already durable →
+    skip merge (its own hwm), re-do raw append". The merge itself is
+    deterministic given (raw table, batch), so even a re-run merge
+    replaces rows with identical values.
+
+    Raw history must be unique on (entity, ts) — duplicated instants
+    make window features ill-defined. Enforced, not just documented:
+    the refresh region (which contains every base row a batch row can
+    collide with inside the lookback) is checked and the batch FAILS
+    on a duplicate, before anything lands.
+
+    Returns the raw-table snapshot, or None when the batch is empty or
+    fully replayed.
+    """
+    from lbf_spark.operators.incremental import (
+        refresh_lower_bound,
+        refresh_region_rows,
+    )
+    from lbf_spark.sources import table as TBL
+
+    if batch_df.isEmpty():
+        return None
+    keys = list(keys) if keys is not None else ["entity", "ts"]
+    spark = batch_df.sparkSession
+    raw_prev = TBL.current_snapshot(raw_path, spark)
+    raw_hwm = _batch_high_water(spark, raw_path, raw_prev)
+    if raw_hwm is not None and batch_id <= raw_hwm:
+        return None  # fully committed: replay no-op
+
+    def guard_unique(df: DataFrame) -> None:
+        dup = (
+            df.groupBy("entity", "ts").count().filter(F.col("count") > 1).limit(1)
+        ).collect()
+        if dup:
+            r = dup[0]
+            raise ValueError(
+                f"duplicate (entity, ts) in refresh region: "
+                f"({r['entity']}, {r['ts']}) ×{r['count']} — dedupe the "
+                f"stream to unique instants upstream"
+            )
+
+    if raw_prev is None:  # bootstrap: both tables from batch alone
+        guard_unique(batch_df)
+        TBL.write_table(
+            feature_fn(batch_df), feat_path, mode="overwrite",
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+            extra={"batch_id": batch_id, "batch_hwm": batch_id},
+        )
+        return table_batch_commit(
+            batch_df, batch_id, raw_path,
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+        )
+
+    lb = refresh_lower_bound(batch_df, lookback=lookback, order="ts")
+    base = TBL.scan(
+        spark, raw_path, ts_min=lb,
+        n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+    ).select(*batch_df.columns)
+    guard_unique(base.unionByName(batch_df))
+    refreshed = refresh_region_rows(
+        base, batch_df, feature_fn, lookback=lookback, by="entity", order="ts"
+    )
+    feat_prev = TBL.current_snapshot(feat_path, spark)
+    feat_hwm = _batch_high_water(spark, feat_path, feat_prev)
+    if feat_hwm is None or batch_id > feat_hwm:
+        TBL.merge_upsert(
+            spark, feat_path, refreshed, keys=keys,
+            extra={
+                "batch_id": batch_id,
+                "batch_hwm": max(feat_hwm if feat_hwm is not None else -1, batch_id),
+            },
+        )
+    return table_batch_commit(
+        batch_df, batch_id, raw_path,
+        n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+    )
+
+
+def stream_incremental_features(
+    stream_df: DataFrame,
+    raw_path: str,
+    feat_path: str,
+    checkpoint_dir: str,
+    feature_fn,
+    *,
+    lookback: int,
+    keys: list[str] | None = None,
+    n_buckets: int = 16,
+    ts_unit_day: int = 86_400,
+    trigger_available_now: bool = True,
+):
+    """Event stream → continuously-maintained feature table: each
+    micro-batch lands via ``incremental_feature_batch`` (exact suffix
+    refresh + exactly-once dual-table commit), so readers always see
+    features bit-identical to a from-scratch recompute over the raw
+    history, at delta cost per batch. Returns the StreamingQuery."""
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        incremental_feature_batch(
+            batch_df, batch_id, raw_path, feat_path, feature_fn,
+            lookback=lookback, keys=keys,
+            n_buckets=n_buckets, ts_unit_day=ts_unit_day,
+        )
+
+    writer = stream_df.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
