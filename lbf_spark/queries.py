@@ -5460,6 +5460,154 @@ def q124(spark, sf_dir):
     return v_replay.unionByName(v_state).unionByName(v_raw)
 
 
+@q(
+    "q125_data_expectations",
+    """
+    with a as (
+      select cast(count(*) as bigint) as n,
+             cast(count(text) as bigint) as c_text,
+             cast(count(lang) as bigint) as c_lang,
+             cast(count(distinct doc_id) as bigint) as d_doc,
+             cast(count(distinct source) as bigint) as d_src,
+             cast(min(n_chars) as double) as mn_nc,
+             cast(max(n_chars) as double) as mx_nc,
+             cast(sum(cast(n_chars as decimal(18,6))) as double) as s_nc,
+             cast(count(n_chars) as bigint) as c_nc,
+             cast(sum(case when lang in ('en','de','fr','es') then 1 else 0 end) as bigint) as in_lang,
+             cast(sum(case when regexp_matches(source, '^src[0-9]+$') then 1 else 0 end) as bigint) as m_src,
+             cast(count(source) as bigint) as c_src
+      from documents
+    ),
+    r as (
+      select 1 as check_id, 'completeness' as kind, 'text' as col_name,
+             round(c_text / n, 6) as metric, 0.99 as lo, cast(null as double) as hi from a
+      union all select 2, 'completeness', 'lang', round(c_lang / n, 6), 0.95, null from a
+      union all select 3, 'uniqueness', 'doc_id', round(d_doc / n, 6), 1.0, null from a
+      union all select 4, 'uniqueness', 'source', round(d_src / n, 6), 0.5, null from a
+      union all select 5, 'min_value', 'n_chars', round(mn_nc, 6), 0.0, null from a
+      union all select 6, 'max_value', 'n_chars', round(mx_nc, 6), null, 500.0 from a
+      union all select 7, 'mean_between', 'n_chars', round(s_nc / c_nc, 6), 100.0, 400.0 from a
+      union all select 8, 'values_in', 'lang', round(in_lang / c_lang, 6), 0.95, null from a
+      union all select 9, 'matches', 'source', round(m_src / c_src, 6), 1.0, null from a
+    )
+    select cast(check_id as bigint) as check_id, kind, col_name, metric, lo, hi,
+           (lo is null or metric >= lo) and (hi is null or metric <= hi) as passed
+    from r
+    """,
+)
+def q125(spark, sf_dir):
+    """Declarative data-quality gate (`profile.expectations` — the
+    verification half of the deequ analog; `table_profile`/q92 is the
+    observation half): nine constraints over `documents` — null
+    fractions, exact uniqueness, numeric bounds, DECIMAL-stable mean,
+    value-set and regex compliance — ALL evaluated in one aggregation
+    pass, metrics round(6)ed before the verdict so Spark and the
+    oracle agree bit-for-bit on pass/fail. The mix includes checks
+    that FAIL on this corpus (source uniqueness, n_chars max, lang
+    whitelist) — the gate's job is to say no."""
+    from lbf_spark.operators.profile import expectations
+
+    return expectations(
+        t(spark, sf_dir, "documents"),
+        [
+            {"kind": "completeness", "column": "text", "lo": 0.99},
+            {"kind": "completeness", "column": "lang", "lo": 0.95},
+            {"kind": "uniqueness", "column": "doc_id", "lo": 1.0},
+            {"kind": "uniqueness", "column": "source", "lo": 0.5},
+            {"kind": "min_value", "column": "n_chars", "lo": 0},
+            {"kind": "max_value", "column": "n_chars", "hi": 500},
+            {"kind": "mean_between", "column": "n_chars", "lo": 100, "hi": 400},
+            {
+                "kind": "values_in",
+                "column": "lang",
+                "allowed": ["en", "de", "fr", "es"],
+                "lo": 0.95,
+            },
+            {
+                "kind": "matches",
+                "column": "source",
+                "pattern": "^src[0-9]+$",
+                "lo": 1.0,
+            },
+        ],
+    )
+
+
+@q(
+    "q126_psi_feature_drift",
+    f"""
+    with ev as (select event_id, value, epoch_us(ts) as ts_us from events),
+    s as (select min(ts_us) as mn, max(ts_us) as mx from ev),
+    base as (
+      select value,
+             cast((event_id % 180) + 60 as double) as duration,
+             cast((ts_us // 3600000000) % 24 as double) as hour_of_day,
+             ts_us < ((s.mn + s.mx) // 2) as is_ref
+      from ev, s
+    ),
+    m as (
+      select 'value' as feature, value as x, is_ref from base
+      union all select 'duration', duration, is_ref from base
+      union all select 'hour_of_day', hour_of_day, is_ref from base
+    ),
+    st as (select feature, min(x) as mn, max(x) as mx from m group by 1),
+    b as (
+      select m.feature,
+             case when st.mx = st.mn then 0
+                  else least(cast(floor((m.x - st.mn) / ((st.mx - st.mn) / 10.0)) as bigint), 9)
+             end as bucket,
+             m.is_ref
+      from m join st on m.feature = st.feature
+      where m.x is not null
+    ),
+    c as (
+      select feature, bucket,
+             cast(sum(case when is_ref then 1 else 0 end) as bigint) as n_ref,
+             cast(sum(case when is_ref then 0 else 1 end) as bigint) as n_cur
+      from b group by 1, 2
+    ),
+    tt as (
+      select feature, cast(sum(n_ref) as bigint) as t_ref,
+             cast(sum(n_cur) as bigint) as t_cur
+      from c group by 1
+    ),
+    f as (
+      select c.feature,
+             greatest(c.n_ref / tt.t_ref, 1e-6) as p,
+             greatest(c.n_cur / tt.t_cur, 1e-6) as q
+      from c join tt on c.feature = tt.feature
+    )
+    select feature, round(sum((p - q) * ln(p / q)), 6) + 0 as psi
+    from f group by 1
+    """,
+)
+def q126(spark, sf_dir):
+    """Per-feature Population Stability Index between the first and
+    second half of the event-time range (`profile.psi_drift`): the
+    drift gate a continuously-maintained training table runs before
+    each retrain. Three features (raw value, derived duration,
+    hour-of-day) melt into (feature, bucket) structs in ONE scan;
+    equi-width bucket math is pure IEEE double arithmetic and the
+    per-feature ln-sum follows the q43 round-after-sum rule, so both
+    engines agree bit-for-bit. The time split itself is exact bigint
+    arithmetic ((min+max) div 2) — no double midpoint."""
+    from lbf_spark.operators.profile import psi_drift
+
+    ev = _events(spark, sf_dir)
+    lim = ev.agg(F.min("ts_us").alias("mn"), F.max("ts_us").alias("mx"))
+    feats = ev.crossJoin(F.broadcast(lim)).select(
+        "value",
+        ((F.col("event_id") % 180) + 60).cast("double").alias("duration"),
+        F.expr("cast((ts_us div 3600000000) % 24 as double)").alias(
+            "hour_of_day"
+        ),
+        F.expr("ts_us < ((mn + mx) div 2)").alias("is_ref"),
+    )
+    return psi_drift(
+        feats, ["value", "duration", "hour_of_day"], "is_ref", n_bins=10
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
