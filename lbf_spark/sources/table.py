@@ -174,6 +174,59 @@ def write_table(
 #: as the control arm of the staged-write A/B benchmark).
 LAND_MODE = "staged"
 
+class ExpectationsError(RuntimeError):
+    """A quality-gated write refused to land: one or more expectations
+    failed (or saw no data). ``self.failed`` carries the failing
+    verdict rows (kind, col_name, metric, lo, hi)."""
+
+    def __init__(self, failed: list[dict]):
+        self.failed = failed
+        msg = "; ".join(
+            f"{r['kind']}({r['col_name']}) metric={r['metric']} "
+            f"lo={r['lo']} hi={r['hi']}"
+            for r in failed
+        )
+        super().__init__(f"{len(failed)} expectation(s) failed: {msg}")
+
+
+def write_table_gated(
+    df: DataFrame, path: str, checks: list[dict], **kw
+) -> dict:
+    """``write_table`` behind a declarative quality gate
+    (``profile.expectations``): evaluate every check FIRST; if any
+    thresholded check fails — including the fail-closed NULL metrics
+    an empty input produces — raise :class:`ExpectationsError` and
+    land NOTHING (no staging, no manifest, no snapshot). On pass, the
+    snapshot's ``extra`` records the full gate verdict
+    (``quality_gate``: per-check metrics), so downstream readers can
+    audit WHAT was measured at landing time, not just that a gate ran.
+
+    Cost: one extra aggregation pass over ``df`` before the write —
+    but the gate scans ONLY the checked columns (column pruning
+    reaches the parquet source), so at scale it reads a thin
+    projection, not the payload. The driver collects |checks| verdict
+    rows, never data."""
+    from lbf_spark.operators.profile import expectations
+
+    verdict = [r.asDict() for r in expectations(df, checks).collect()]
+    failed = [
+        {k: r[k] for k in ("kind", "col_name", "metric", "lo", "hi")}
+        for r in verdict
+        if not r["passed"]
+    ]
+    if failed:
+        raise ExpectationsError(failed)
+    extra = dict(kw.pop("extra", None) or {})
+    extra["quality_gate"] = {
+        "n_checks": len(verdict),
+        "all_passed": True,
+        "metrics": {
+            f"{r['kind']}:{r['col_name']}": r["metric"] for r in verdict
+        },
+    }
+    return write_table(df, path, extra=extra, **kw)
+
+
 #: component timings (seconds) of the most recent write_table /
 #: merge_upsert on this driver: {"land": …, "stats": …, "commit": …}.
 #: Observability for the bench decomposition; not a public API.
