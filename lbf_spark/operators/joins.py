@@ -109,3 +109,70 @@ def salted_equi_join(
     ).withColumn("_salt", F.col("_salt").cast("int"))
     out = b.join(s, [key, "_salt"], how)
     return out.drop("_salt")
+
+
+def bloom_semi_join(
+    probe: DataFrame,
+    build: DataFrame,
+    key: str,
+    m_bits: int = 16384,
+    k: int = 3,
+) -> DataFrame:
+    """Semi join with a broadcast Bloom-filter pre-filter — the
+    runtime-filter pattern (Spark's own DPP/runtime row-group
+    filtering) made an explicit operator: probe rows that cannot match
+    are dropped BEFORE the join's shuffle, so at 100 TB the exchange
+    carries only candidate rows while the result stays EXACT (a Bloom
+    filter has no false negatives; survivors still pass through a real
+    ``left_semi`` join that removes the false positives).
+
+    Build cost is one aggregation: each build key sets ``k`` bit
+    positions (md5(i:key) mod m — deterministic, engine-portable) and
+    the DISTINCT positions are collected — bounded by ``m_bits``
+    (metadata-sized, here 2 KiB as a bitmask string), NEVER by build
+    cardinality; map-side partial distinct keeps the shuffle tiny. The
+    mask ships to every probe task as a plan literal (broadcast by
+    value), and the probe filter is pure JVM substring arithmetic
+    inside codegen — no Python, no UDF.
+
+    Sizing: false-positive rate ~ (1 - e^(-k*n/m))^k; with the default
+    m=16384, k=3 a 1 000-key build side gives ~0.4 % — raise ``m_bits``
+    with build cardinality (the mask literal grows linearly). An empty
+    build side yields an all-zero mask and an empty (still correct)
+    result.
+    """
+    def positions(col):
+        return [
+            (
+                F.conv(
+                    F.substring(
+                        F.md5(
+                            F.concat_ws(":", F.lit(str(i)), col.cast("string"))
+                        ),
+                        1,
+                        13,
+                    ),
+                    16,
+                    10,
+                ).cast("long")
+                % F.lit(int(m_bits))
+            ).cast("int")
+            for i in range(k)
+        ]
+
+    pos_rows = (
+        build.select(
+            F.explode(F.array(*positions(F.col(key)))).alias("pos")
+        )
+        .distinct()
+        .collect()
+    )
+    set_bits = {r["pos"] for r in pos_rows}
+    mask = "".join("1" if i in set_bits else "0" for i in range(int(m_bits)))
+    hit = None
+    for p in positions(F.col(key)):
+        this = F.substring(F.lit(mask), p + F.lit(1), F.lit(1)) == F.lit("1")
+        hit = this if hit is None else (hit & this)
+    return probe.filter(hit).join(
+        build.select(key).distinct(), [key], "left_semi"
+    ).select(*probe.columns)
