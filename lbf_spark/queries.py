@@ -5812,6 +5812,97 @@ def q131(spark, sf_dir):
     return bloom_semi_join(li, build, "l_partkey")
 
 
+@q(
+    "q132_snapshot_diff",
+    """
+    with ev as (
+      select event_id, cast(user_id as varchar) as entity,
+             epoch_us(ts) as ts_us, event_type, round(value, 4) as value
+      from events
+    ),
+    s1 as (
+      select * from ev where event_id % 4 = 1
+    ),
+    s2 as (
+      select * from ev where event_id % 4 = 1
+      union all
+      select * from ev where event_id % 4 = 2
+    ),
+    s3 as (
+      select event_id, entity, ts_us, event_type,
+             case when event_id % 3 = 0 then round(value * 2, 4) else value end
+               as value
+      from s2
+      where not (event_id % 7 = 0 and event_id % 3 <> 0)
+    ),
+    ins as (
+      select 'insert' as change_type, * from s3
+      except all
+      select 'insert', * from s1
+    ),
+    del as (
+      select 'delete' as change_type, * from s1
+      except all
+      select 'delete', * from s3
+    )
+    select change_type, event_id, entity, ts_us, event_type,
+           round(value, 4) + 0 as value_r
+    from (select * from ins union all select * from del)
+    """,
+)
+def q132(spark, sf_dir):
+    """Row-level snapshot changelog (sources/table.py:snapshot_diff —
+    the Iceberg changelog-table read that works ACROSS merges, where
+    `incremental_files`/q107 must refuse): append snap 1, append
+    snap 2, MERGE (updates x2 on id%3, deletes on id%7, CoW file
+    rewrites) as snap 3, then diff snapshots 1 -> head. Because data
+    files are immutable, the diff reads ONLY the symmetric difference
+    of the two visible-file sets and exceptAll's those rows —
+    carried-over rows in rewritten files cancel, untouched files are
+    never read, and the shuffle is bounded by churn, not table size.
+    The oracle recomputes both states relationally and takes the same
+    multiset difference, so a lost rewrite, a double-counted carry, or
+    a leaked replaced file all fail the driver hash."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    path = _table_tmp(sf_dir, "q132")
+    kw = dict(n_buckets=4, ts_unit_day=7 * _DAY_US)
+    base = ev.filter(F.col("event_id") % 4 == 1)
+    TBL.write_table(base, path, mode="overwrite", **kw)
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 4 == 2), path, mode="append", **kw
+    )
+    both = ev.filter(F.col("event_id") % 4 != 0).filter(
+        F.col("event_id") % 4 != 3
+    )
+    upd = (
+        both.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.round(F.col("value") * 2, 4))
+        .withColumn("__del", F.lit(False))
+    )
+    dele = both.filter(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") % 3 != 0)
+    ).withColumn("__del", F.lit(True))
+    TBL.merge_upsert(
+        spark, path, upd.unionByName(dele), keys=["event_id"], delete_col="__del"
+    )
+    return TBL.snapshot_diff(spark, path, from_id=1).select(
+        "change_type",
+        "event_id",
+        "entity",
+        F.col("ts").alias("ts_us"),
+        "event_type",
+        (F.round("value", 4) + F.lit(0)).alias("value_r"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

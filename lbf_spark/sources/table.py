@@ -564,6 +564,74 @@ def incremental_files(
     return [fsio.join(data_dir, f) for f in picked]
 
 
+def snapshot_diff(
+    spark: SparkSession, path: str, from_id: int, to_id: int | None = None
+) -> DataFrame:
+    """Row-level changelog between two snapshots — the Iceberg
+    changelog-table read that works ACROSS merges (where
+    :func:`incremental_files` must refuse): returns every row
+    inserted or deleted between ``from_id`` and ``to_id`` (default:
+    head) tagged ``change_type in ('insert','delete')``; a merge
+    update surfaces as delete(old row) + insert(new row).
+
+    Exactness without rescanning: data files are immutable, so rows in
+    files visible at BOTH snapshots cannot have changed — the diff
+    reads ONLY the symmetric difference of the two visible-file sets
+    and takes multiset differences (``exceptAll``) of those rows.
+    Carried-over rows inside a copy-on-write rewrite cancel out; the
+    shuffle is bounded by the CHURNED files, never table size — at
+    100 TB a 1 % merge diffs 1 % of the data. Hive partition columns
+    are dropped (derived from the row); under add-only schema
+    evolution both sides are NULL-padded to the ``to_id`` schema, so
+    a column added in the window shows old rows as delete(without) +
+    insert(with) only if their files were rewritten. A window crossing
+    an OVERWRITE raises (via the snapshot replay): this shim deletes
+    overwritten files, so the pre-overwrite state is gone — real
+    Iceberg retains them until expiration and could diff across."""
+    from lbf_spark import fsio
+
+    from pyspark.sql.types import StructType
+
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    ids = {s["snapshot_id"] for s in snaps}
+    if to_id is None:
+        to_id = max(ids)
+    for sid in (from_id, to_id):
+        if sid not in ids:
+            raise ValueError(f"snapshot {sid} not found (have {sorted(ids)})")
+    if from_id > to_id:
+        raise ValueError(f"from_id {from_id} is newer than to_id {to_id}")
+    files_a = set(_cumulative_files(spark, path, snaps, as_of=from_id))
+    files_b = set(_cumulative_files(spark, path, snaps, as_of=to_id))
+    newest = [s for s in snaps if s["snapshot_id"] <= to_id][-1]
+    schema = StructType.fromJson(json.loads(newest["schema"]))
+    cols = [f.name for f in schema.fields]
+    data_dir = fsio.join(path, "data")
+
+    def read_side(files: set) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], schema)
+        df = (
+            spark.read.option("basePath", data_dir)
+            .option("mergeSchema", "true")
+            .parquet(*[fsio.join(data_dir, f) for f in sorted(files)])
+        )
+        return df.select(
+            *[
+                F.col(f.name).cast(f.dataType)
+                if f.name in df.columns
+                else F.lit(None).cast(f.dataType).alias(f.name)
+                for f in schema.fields
+            ]
+        )
+
+    a = read_side(files_a - files_b)
+    b = read_side(files_b - files_a)
+    ins = b.exceptAll(a).select(F.lit("insert").alias("change_type"), *cols)
+    dele = a.exceptAll(b).select(F.lit("delete").alias("change_type"), *cols)
+    return ins.unionByName(dele)
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,

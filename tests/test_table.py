@@ -743,3 +743,74 @@ def test_hot_routing_manifest_lower_bounds_are_conservative(spark, tmp_path):
     assert "warm_e" not in via_manifest  # sketch lower bound: routed cold
     assert set(via_manifest) == {f"crowd_{k}" for k in range(8)}
     assert set(via_manifest) <= set(via_counts)  # conservative subset
+
+
+def test_snapshot_diff_appends_and_merge(spark, tiny_events, tmp_path):
+    """diff(1->2) = exactly the appended rows; diff(1->head) across a
+    merge = delete(old)+insert(new) for updates, delete for deletes,
+    carried-over rows cancel."""
+    path = str(tmp_path / "sdiff")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    extra = fixtures.events_to_spark(spark, tiny_events.iloc[:100])
+    TBL.write_table(extra, path, mode="append", ts_unit_day=10_000)
+
+    d12 = TBL.snapshot_diff(spark, path, from_id=1, to_id=2)
+    assert d12.filter(F.col("change_type") == "delete").count() == 0
+    ins = d12.filter(F.col("change_type") == "insert").drop("change_type")
+    assert ins.exceptAll(extra.select(*ins.columns)).count() == 0
+    assert ins.count() == 100
+
+    # merge: double w for 10 image_ids, delete 5 (keys from the tail —
+    # the appended prefix duplicated the first 100 ids, and a merge on
+    # a duplicated key would rightly surface BOTH old copies as deletes)
+    keys = [
+        r["image_id"]
+        for r in ev.orderBy(F.col("image_id").desc()).limit(15).collect()
+    ]
+    upd = (
+        ev.filter(F.col("image_id").isin(keys[:10]))
+        .withColumn("w", F.col("w") * 2)
+        .withColumn("__del", F.lit(False))
+    )
+    dele = ev.filter(F.col("image_id").isin(keys[10:])).withColumn(
+        "__del", F.lit(True)
+    )
+    TBL.merge_upsert(
+        spark, path, upd.unionByName(dele), keys=["image_id"], delete_col="__del"
+    )
+    d = TBL.snapshot_diff(spark, path, from_id=2)
+    # updates: one delete + one insert each; appends since 2: none
+    assert d.filter(
+        (F.col("change_type") == "insert") & F.col("image_id").isin(keys[:10])
+    ).count() == 10
+    assert d.filter(
+        (F.col("change_type") == "delete") & F.col("image_id").isin(keys[:10])
+    ).count() == 10
+    assert d.filter(
+        (F.col("change_type") == "delete") & F.col("image_id").isin(keys[10:])
+    ).count() == 5
+    # nothing else churned: every diff row is one of the 15 touched keys
+    assert d.filter(~F.col("image_id").isin(keys)).count() == 0
+
+    # identical snapshots -> empty diff; bad ids raise
+    assert TBL.snapshot_diff(spark, path, from_id=3, to_id=3).count() == 0
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="not found"):
+        TBL.snapshot_diff(spark, path, from_id=99)
+    with _pytest.raises(ValueError, match="newer"):
+        TBL.snapshot_diff(spark, path, from_id=3, to_id=1)
+
+
+def test_snapshot_diff_across_overwrite_raises(spark, tiny_events, tmp_path):
+    path = str(tmp_path / "sdiff_ow")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)
+    TBL.write_table(
+        ev.limit(10), path, mode="overwrite", ts_unit_day=10_000
+    )
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="overwrite"):
+        TBL.snapshot_diff(spark, path, from_id=1, to_id=2)
