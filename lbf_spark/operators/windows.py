@@ -640,3 +640,115 @@ def ewma(
     return df.withColumn(
         out, F.when(den > F.lit(0.0), F.round(num / den, 6))
     )
+
+
+def autocorr(
+    df: DataFrame,
+    col: str,
+    lag: int = 1,
+    by: str = "entity",
+    order="ts",
+    tiebreak: str | None = None,
+    out: str = "autocorr",
+) -> DataFrame:
+    """Per-entity lag-k autocorrelation — the serial-dependence feature
+    a training pipeline derives per series (is this entity's signal
+    noise or drift?). Pearson r over the (x_t, x_{t-lag}) pairs of each
+    entity, ordered by (order, tiebreak) — a TOTAL order, per the
+    determinism rules.
+
+    Engine-exactness: the five sufficient statistics (Σx, Σy, Σx²,
+    Σy², Σxy) are DECIMAL(18,4) sums / products — decimal addition is
+    associative, so Spark's partial-aggregation order cannot change a
+    bit — and only then does the pipeline drop to double for the
+    closed-form r = (nΣxy−ΣxΣy)/√((nΣx²−(Σx)²)(nΣy²−(Σy)²)), an
+    identical IEEE expression tree on both engines. Zero-variance and
+    short series (< 2 pairs) are dropped, never NaN.
+
+    One window exchange on ``by`` (the lag), reused by the groupBy —
+    same hash partitioning, no second shuffle. Scale: output is one
+    row per entity; no state beyond the five sums."""
+    orders = [order] if isinstance(order, str) else list(order)
+    if tiebreak:
+        orders = orders + [tiebreak]
+    w = Window.partitionBy(by).orderBy(*[F.asc(c) for c in orders])
+    xd = F.col(col).cast("decimal(18,4)")
+    pairs = (
+        df.withColumn("__x", xd)
+        .withColumn("__y", F.lag(xd, lag).over(w))
+        .filter(F.col("__y").isNotNull())
+    )
+    a = pairs.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum("__y").cast("double").alias("__sy"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+        F.sum(F.col("__y") * F.col("__y")).cast("double").alias("__syy"),
+        F.sum(F.col("__x") * F.col("__y")).cast("double").alias("__sxy"),
+    )
+    n = F.col("n_pairs").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den2 = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")) * (
+        n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    )
+    return (
+        a.filter((F.col("n_pairs") >= 2) & (den2 > F.lit(0.0)))
+        .withColumn(out, num / F.sqrt(den2))
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    )
+
+
+def cusum_drift(
+    df: DataFrame,
+    col: str,
+    by: str = "entity",
+    order="ts",
+    tiebreak: str | None = None,
+    h_sigmas: float = 1.5,
+) -> DataFrame:
+    """CUSUM drift chart per entity (Page 1954's cumulative-deviation
+    plot): C_t = Σ_{i≤t}(x_i − μ_entity), with an excursion flag where
+    |C_t| crosses h·σ·√t — the feature-drift / changepoint screen a
+    feature store runs per entity series.
+
+    Engine-exactness: C_t·n = n·P_t − t·S where P_t (prefix sum) and S
+    (entity sum) are exact DECIMAL(18,4) window sums — the recursion-free
+    identity keeps every aggregation associative; the single division
+    and the σ√t threshold run in double on identical IEEE expression
+    trees, so the flag (a comparison of bit-identical doubles) is
+    deterministic too. No mean is ever averaged in raw double
+    (CLAUDE.md q115 rule).
+
+    ONE hash exchange on ``by`` + one in-partition sort serves the
+    row_number, the prefix sum and both entity totals (same window
+    spec family). Scale: per-row output, per-entity state is two
+    numbers."""
+    orders = [order] if isinstance(order, str) else list(order)
+    if tiebreak:
+        orders = orders + [tiebreak]
+    asc = [F.asc(c) for c in orders]
+    w_row = Window.partitionBy(by).orderBy(*asc)
+    w_pre = w_row.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    w_all = Window.partitionBy(by)
+    xd = F.col(col).cast("decimal(18,4)")
+    out = (
+        df.withColumn("__t", F.row_number().over(w_row))
+        .withColumn("__p", F.sum(xd).over(w_pre).cast("double"))
+        .withColumn("__s", F.sum(xd).over(w_all).cast("double"))
+        .withColumn("__ss", F.sum(xd * xd).over(w_all).cast("double"))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all).cast("double"))
+    )
+    t_d = F.col("__t").cast("double")
+    cum_dev = (F.col("__n") * F.col("__p") - t_d * F.col("__s")) / F.col("__n")
+    var_pop = (
+        F.col("__n") * F.col("__ss") - F.col("__s") * F.col("__s")
+    ) / (F.col("__n") * F.col("__n"))
+    thresh = F.lit(float(h_sigmas)) * F.sqrt(
+        F.greatest(var_pop, F.lit(0.0)) * t_d
+    )
+    return (
+        out.withColumn("cum_dev", cum_dev)
+        .withColumn("drift_flag", F.abs(cum_dev) > thresh)
+        .drop("__p", "__s", "__ss", "__n")
+        .withColumnRenamed("__t", "seq")
+    )

@@ -5903,6 +5903,107 @@ def q132(spark, sf_dir):
     )
 
 
+@q(
+    "q133_autocorr",
+    """
+    with e as (
+      select user_id as entity, event_id, epoch_us(ts) as ts_us,
+             cast(value as decimal(18,4)) as xd
+      from events
+    ),
+    p as (
+      select entity, xd as x,
+             lag(xd, 1) over (partition by entity order by ts_us, event_id) as y
+      from e
+    ),
+    a as (
+      select entity, count(*) as n_pairs,
+             cast(sum(x) as double) as sx, cast(sum(y) as double) as sy,
+             cast(sum(x * x) as double) as sxx,
+             cast(sum(y * y) as double) as syy,
+             cast(sum(x * y) as double) as sxy
+      from p where y is not null
+      group by entity
+    )
+    select entity, n_pairs,
+           round((cast(n_pairs as double) * sxy - sx * sy)
+                 / sqrt((cast(n_pairs as double) * sxx - sx * sx)
+                        * (cast(n_pairs as double) * syy - sy * sy)), 6) + 0
+             as autocorr
+    from a
+    where n_pairs >= 2
+      and (cast(n_pairs as double) * sxx - sx * sx)
+          * (cast(n_pairs as double) * syy - sy * sy) > 0
+    """,
+)
+def q133(spark, sf_dir):
+    """Per-entity lag-1 autocorrelation (operators/windows.py:autocorr)
+    — the serial-dependence feature per series. Decimal(18,4) sufficient
+    statistics (associative, partial-agg-proof), closed-form Pearson r
+    in an identical IEEE double expression tree on both engines,
+    round(6). The lag window and the groupBy share ONE hash exchange on
+    entity."""
+    ev = _events(spark, sf_dir)
+    a = W.autocorr(
+        ev, "value", lag=1, by="user_id", order="ts_us", tiebreak="event_id"
+    )
+    return a.select(
+        F.col("user_id").alias("entity"),
+        "n_pairs",
+        F.round("autocorr", 6).alias("autocorr"),
+    )
+
+
+@q(
+    "q134_cusum_drift",
+    """
+    with e as (
+      select user_id as entity, event_id, epoch_us(ts) as ts_us,
+             cast(value as decimal(18,4)) as xd
+      from events
+    ),
+    w as (
+      select entity, event_id, ts_us,
+             row_number() over (partition by entity order by ts_us, event_id)
+               as seq,
+             cast(sum(xd) over (partition by entity order by ts_us, event_id
+                                rows between unbounded preceding and current row)
+                  as double) as p,
+             cast(sum(xd) over (partition by entity) as double) as s,
+             cast(sum(xd * xd) over (partition by entity) as double) as ss,
+             cast(count(*) over (partition by entity) as double) as n
+      from e
+    )
+    select entity, event_id, ts_us, cast(seq as int) as seq,
+           round((n * p - cast(seq as double) * s) / n, 6) + 0 as cum_dev,
+           abs((n * p - cast(seq as double) * s) / n)
+             > 1.5 * sqrt(greatest((n * ss - s * s) / (n * n), 0.0)
+                          * cast(seq as double)) as drift_flag
+    from w
+    """,
+)
+def q134(spark, sf_dir):
+    """CUSUM drift chart per entity (operators/windows.py:cusum_drift):
+    C_t = Σ_{i≤t}(x−μ) via the recursion-free identity
+    C_t·n = n·P_t − t·S over exact decimal window sums; excursion flag
+    where |C_t| > 1.5·σ·√t. The flag compares bit-identical doubles, so
+    even the boolean is engine-exact. One exchange + one sort serve the
+    row_number, the prefix sum and the entity totals."""
+    ev = _events(spark, sf_dir)
+    out = W.cusum_drift(
+        ev, "value", by="user_id", order="ts_us", tiebreak="event_id",
+        h_sigmas=1.5,
+    )
+    return out.select(
+        F.col("user_id").alias("entity"),
+        "event_id",
+        "ts_us",
+        F.col("seq").cast("int").alias("seq"),
+        F.round("cum_dev", 6).alias("cum_dev"),
+        "drift_flag",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1255,3 +1255,62 @@ def test_token_budget_sample_greedy_prefix(spark):
         df, {"a": 60}, by="src", id_col="doc_id", token_col="n_tok"
     ).toPandas()
     assert set(got2.src) == {"a"}
+
+
+def test_autocorr_matches_numpy(spark):
+    from lbf_spark.operators import windows as W
+
+    rng = np.random.default_rng(7)
+    rows = []
+    series = {}
+    for ent, drift in (("a", 0.0), ("b", 0.8)):
+        x = np.round(rng.normal(10, 2, 200) + drift * np.arange(200) / 50, 4)
+        series[ent] = x
+        rows += [(ent, i, int(i) * 1000, float(v)) for i, v in enumerate(x)]
+    # degenerate entities: constant (zero variance) and single-row
+    rows += [("const", i, i * 1000, 5.0) for i in range(20)]
+    rows += [("single", 0, 0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "entity string, event_id long, ts long, value double"
+    )
+    got = (
+        W.autocorr(df, "value", lag=1, by="entity", order="ts",
+                   tiebreak="event_id")
+        .toPandas()
+        .set_index("entity")
+    )
+    assert "const" not in got.index and "single" not in got.index
+    for ent, x in series.items():
+        exp = np.corrcoef(x[1:], x[:-1])[0, 1]
+        assert got.loc[ent, "n_pairs"] == 199
+        assert abs(got.loc[ent, "autocorr"] - exp) < 1e-9
+    # the drifting series must be visibly more autocorrelated
+    assert got.loc["b", "autocorr"] > got.loc["a", "autocorr"]
+
+
+def test_cusum_drift_flags_mean_shift(spark):
+    from lbf_spark.operators import windows as W
+
+    # flat at 10 for 100 rows, then stepped to 14: the excursion must
+    # flag after the shift and stay quiet in a stationary twin
+    x = np.concatenate([np.full(100, 10.0), np.full(100, 14.0)])
+    rows = [("shift", i, i * 1000, float(v)) for i, v in enumerate(x)]
+    rows += [("flat", i, i * 1000, 10.0 + (i % 2) * 0.01) for i in range(200)]
+    df = spark.createDataFrame(
+        rows, "entity string, event_id long, ts long, value double"
+    )
+    got = W.cusum_drift(
+        df, "value", by="entity", order="ts", tiebreak="event_id",
+        h_sigmas=1.5,
+    ).toPandas()
+    sh = got[got.entity == "shift"].sort_values("seq")
+    # ground truth in numpy
+    mu, sig = x.mean(), x.std()
+    c = np.cumsum(x - mu)
+    t = np.arange(1, 201)
+    exp_flag = np.abs(c) > 1.5 * sig * np.sqrt(t)
+    assert np.allclose(sh["cum_dev"].to_numpy(), c, atol=1e-6)
+    assert (sh["drift_flag"].to_numpy() == exp_flag).all()
+    assert exp_flag.any()  # the shift IS flagged
+    fl = got[got.entity == "flat"]
+    assert not fl["drift_flag"].any()
