@@ -6004,6 +6004,72 @@ def q134(spark, sf_dir):
     )
 
 
+@q(
+    "q135_snapshot_rollback",
+    """
+    select event_id, cast(user_id as varchar) as entity,
+           epoch_us(ts) as ts_us, event_type,
+           round(value, 4) + 0 as value_r
+    from events
+    where event_id % 4 in (1, 2, 3)
+    """,
+)
+def q135(spark, sf_dir):
+    """Metadata-only snapshot rollback (sources/table.py:rollback —
+    Iceberg rollback_to_snapshot): append snap 1, append snap 2, apply
+    a BAD merge (doubled values + deletes) as snap 3, roll the table
+    back to snap 2 (pure manifest pointer move — the merge's CoW
+    rewrites are un-referenced, its replaced files re-referenced, zero
+    data IO), then append snap 5 and SCAN BACK. The oracle is the
+    clean three-append state with ORIGINAL values — a rollback that
+    leaked a rewritten file, lost a re-added one, or double-counted a
+    carried row all hash-mismatch. At 100 TB this is the undo path for
+    a bad backfill: O(metadata), not a restore job."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+        "event_type",
+        F.round("value", 4).alias("value"),
+    )
+    path = _table_tmp(sf_dir, "q135")
+    kw = dict(n_buckets=4, ts_unit_day=7 * _DAY_US)
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 4 == 1), path, mode="overwrite", **kw
+    )
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 4 == 2), path, mode="append", **kw
+    )
+    both = ev.filter(F.col("event_id") % 4 != 0).filter(
+        F.col("event_id") % 4 != 3
+    )
+    bad_upd = (
+        both.filter(F.col("event_id") % 3 == 0)
+        .withColumn("value", F.round(F.col("value") * 2, 4))
+        .withColumn("__del", F.lit(False))
+    )
+    bad_del = both.filter(
+        (F.col("event_id") % 7 == 0) & (F.col("event_id") % 3 != 0)
+    ).withColumn("__del", F.lit(True))
+    TBL.merge_upsert(
+        spark, path, bad_upd.unionByName(bad_del),
+        keys=["event_id"], delete_col="__del",
+    )
+    TBL.rollback(spark, path, to_id=2)  # undo the merge, across its CoW
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 4 == 3), path, mode="append", **kw
+    )
+    return TBL.scan(spark, path).select(
+        "event_id",
+        "entity",
+        F.col("ts").alias("ts_us"),
+        "event_type",
+        (F.round("value", 4) + F.lit(0)).alias("value_r"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

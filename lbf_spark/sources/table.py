@@ -553,6 +553,14 @@ def incremental_files(
                 "changelog read across it would double-count; re-read "
                 "the table (or consume the merge's change set upstream)"
             )
+        if s["mode"] == "rollback":
+            raise ValueError(
+                f"snapshot {sid} is a rollback — its added files are "
+                "RE-ADDED old files a changelog consumer already "
+                "processed, and the files it removes were already "
+                "delivered; re-read the table (or diff with "
+                "snapshot_diff, which is exact across rollbacks)"
+            )
         if "added_files" not in s:
             raise ValueError(
                 f"snapshot {sid} has no added_files list — manifest "
@@ -630,6 +638,78 @@ def snapshot_diff(
     ins = b.exceptAll(a).select(F.lit("insert").alias("change_type"), *cols)
     dele = a.exceptAll(b).select(F.lit("delete").alias("change_type"), *cols)
     return ins.unionByName(dele)
+
+
+def rollback(
+    spark: SparkSession, path: str, to_id: int, extra: dict | None = None
+) -> dict:
+    """Metadata-only rollback (Iceberg ``rollback_to_snapshot``): commit
+    a NEW snapshot whose visible file set equals snapshot ``to_id``'s —
+    bad appends/merges are undone by MOVING THE POINTER, never by
+    touching data files, so the operation is O(metadata) at any table
+    size and the bad snapshots stay readable for forensics (time travel
+    still sees them; ``expire_snapshots`` reclaims them later).
+
+    Works ACROSS merges: a copy-on-write merge keeps its replaced files
+    on disk, so re-adding them is pure manifest bookkeeping. Raises if
+    ``to_id`` predates an overwrite (those files are gone — this shim
+    does not retain overwritten files) or is not an ancestor state.
+    Schema and partition spec revert with the data (a rolled-back
+    add-column evolution disappears). The new snapshot participates in
+    the SAME optimistic exclusive-commit protocol as every writer, so
+    a rollback racing a concurrent append loses (or wins) atomically —
+    never a merged half-state.
+
+    Changelog consumers: ``incremental_files`` refuses to cross a
+    rollback (re-added files were already delivered);
+    ``snapshot_diff`` is exact across it (symmetric file-set
+    difference). A CDC sink's ``batch_hwm`` is deliberately NOT
+    carried: rolled-back batches' effects are undone, so the sink must
+    re-deliver them — the legacy full-scan path re-derives the true
+    committed set."""
+    from lbf_spark import fsio
+
+    meta_dir = fsio.join(path, "metadata")
+    snaps = _read_snaps(spark, meta_dir)
+    if not snaps:
+        raise ValueError(f"no snapshots at {path}")
+    ids = [s["snapshot_id"] for s in snaps]
+    head = ids[-1]
+    if to_id not in ids:
+        raise ValueError(f"snapshot {to_id} not found (have {ids})")
+    if to_id >= head:
+        raise ValueError(
+            f"rollback target {to_id} is the current head {head} — nothing to undo"
+        )
+    target = _replay_files(snaps, as_of=to_id)["visible"]  # raises across overwrite
+    current = _replay_files(snaps)["visible"]
+    cur_set, tgt_set = set(current), set(target)
+    re_added = [f for f in target if f not in cur_set]
+    removed = [f for f in current if f not in tgt_set]
+    tgt_snap = next(s for s in snaps if s["snapshot_id"] == to_id)
+    data_dir = fsio.join(path, "data")
+    snapshot = dict(extra or {})
+    snapshot.update(
+        {
+            "snapshot_id": head + 1,
+            "parent": f"snap-{head:05d}.json",
+            "schema": tgt_snap["schema"],
+            "partition_spec": tgt_snap["partition_spec"],
+            "added_files": re_added,
+            # stats for re-added files are recomputed, not copied: the
+            # source manifests may already be expired
+            "file_stats": _file_ts_stats(spark, data_dir, re_added),
+            "removed_files": removed,
+            "n_data_files": fsio.count_files_recursive(spark, data_dir, ".parquet"),
+            "mode": "rollback",
+            "rollback_of": to_id,
+        }
+    )
+    name = f"snap-{snapshot['snapshot_id']:05d}.json"
+    # nothing was landed by this commit — on a lost race there are no
+    # data files to clean up
+    _commit_or_cleanup(spark, fsio.join(meta_dir, name), snapshot, path, [])
+    return snapshot
 
 
 def merge_upsert(

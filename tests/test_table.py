@@ -814,3 +814,75 @@ def test_snapshot_diff_across_overwrite_raises(spark, tiny_events, tmp_path):
 
     with _pytest.raises(ValueError, match="overwrite"):
         TBL.snapshot_diff(spark, path, from_id=1, to_id=2)
+
+
+def test_rollback_undoes_append_metadata_only(spark, tiny_events, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_rb")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)      # snap 1
+    n1 = len(tiny_events)
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[:100]),
+        path, mode="append", ts_unit_day=10_000,
+    )                                                                    # snap 2
+    before = TBL.scan_files(spark, path)
+    snap = TBL.rollback(spark, path, to_id=1)                            # snap 3
+    assert snap["mode"] == "rollback" and snap["rollback_of"] == 1
+    assert snap["added_files"] == []  # pure un-reference, nothing re-added
+    assert TBL.scan(spark, path).count() == n1
+    # data files untouched on disk (forensics + time travel)
+    assert set(TBL.scan_files(spark, path)) < set(before)
+    assert TBL.scan(spark, path, snapshot_id=2).count() == n1 + 100
+    # changelog consumers must refuse to cross it
+    with _pytest.raises(ValueError, match="rollback"):
+        TBL.incremental_files(spark, path, after=1)
+    # appends continue on the rolled-back state
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[100:150]),
+        path, mode="append", ts_unit_day=10_000,
+    )                                                                    # snap 4
+    assert TBL.scan(spark, path).count() == n1 + 50
+
+
+def test_rollback_across_merge_reinstates_replaced_files(spark, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_rb_merge")
+    rows = [(i, f"e{i % 3}", i * 10_000, float(i + 1)) for i in range(60)]
+    df = spark.createDataFrame(rows, "id long, entity string, ts long, v double")
+    TBL.write_table(df, path, mode="overwrite", n_buckets=2,
+                    ts_unit_day=100_000)                                  # snap 1
+    ch = df.filter("id % 5 = 0").withColumn("v", F.col("v") * -1.0)
+    TBL.merge_upsert(spark, path, ch, keys=["id"])                        # snap 2
+    assert TBL.scan(spark, path).filter("v < 0").count() == 12
+    snap = TBL.rollback(spark, path, to_id=1)                             # snap 3
+    assert snap["added_files"]  # merge-replaced files re-referenced
+    got = TBL.scan(spark, path)
+    assert got.count() == 60 and got.filter("v < 0").count() == 0
+    # snapshot_diff is exact across the rollback: 2 -> 3 re-inserts the
+    # originals and deletes the merge's rewrites
+    d = TBL.snapshot_diff(spark, path, from_id=2, to_id=3)
+    ins = d.filter("change_type = 'insert'")
+    assert ins.count() == 12 and ins.filter("v < 0").count() == 0
+    assert d.filter("change_type = 'delete'").count() == 12
+    # guard rails
+    with _pytest.raises(ValueError, match="head"):
+        TBL.rollback(spark, path, to_id=3)
+    with _pytest.raises(ValueError, match="not found"):
+        TBL.rollback(spark, path, to_id=99)
+
+
+def test_rollback_refuses_crossing_overwrite(spark, tiny_events, tmp_path):
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbl_rb_ow")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    TBL.write_table(ev, path, mode="overwrite", ts_unit_day=10_000)      # snap 1
+    TBL.write_table(
+        fixtures.events_to_spark(spark, tiny_events.iloc[:50]),
+        path, mode="overwrite", ts_unit_day=10_000,
+    )                                                                    # snap 2
+    with _pytest.raises(ValueError, match="overwrite"):
+        TBL.rollback(spark, path, to_id=1)
