@@ -283,3 +283,138 @@ def phash_band_features(
             F.shiftright(F.col(col), b * width).bitwiseAND(F.lit(mask)),
         )
     return df
+
+
+_AUG_OPS = ("identity", "flip_h", "flip_v", "rot90", "rot180", "rot270")
+
+
+def _apply_aug(img: np.ndarray, op: str) -> np.ndarray:
+    if op == "identity":
+        return img
+    if op == "flip_h":
+        return img[:, ::-1]
+    if op == "flip_v":
+        return img[::-1]
+    if op == "rot90":
+        return np.rot90(img, 1)
+    if op == "rot180":
+        return np.rot90(img, 2)
+    if op == "rot270":
+        return np.rot90(img, 3)
+    raise ValueError(f"unknown augmentation op {op!r} (have {_AUG_OPS})")
+
+
+def augment_images(
+    df: DataFrame,
+    op: str | None = None,
+    ops: list[str] | None = None,
+    seed: int = 0,
+    id_col: str = "image_id",
+    out_op_col: str | None = None,
+) -> DataFrame:
+    """Deterministic geometric augmentation over the binary image
+    column — the training-data augmentation stage of an image pipeline.
+
+    Either ONE fixed ``op`` for every row, or a per-row op drawn from
+    ``ops`` by ``md5(id, seed)`` — seeded content hashing, never an RNG,
+    so the choice is a pure function of (row identity, seed):
+    reproducible across runs, retries, partitionings and cluster sizes
+    (the same determinism law as the multinomial subsampler,
+    distributions.py). Pixels transform in numpy inside ONE Arrow
+    ``mapInPandas`` stage (decode → transform → re-encode in the row's
+    own format); ``w``/``h`` metadata swap for the 90°/270° rotations.
+    Group structure is exact even through the fake lossy codec: its
+    uniform quantization is idempotent, so flip∘flip and rot90⁴ are
+    pixel-identical to the original (certified by q136).
+
+    Row-local — no shuffle; the payload never leaves the stage."""
+    import hashlib
+
+    if (op is None) == (ops is None):
+        raise ValueError("pass exactly one of op= or ops=")
+    if op is not None and op not in _AUG_OPS:
+        raise ValueError(f"unknown augmentation op {op!r} (have {_AUG_OPS})")
+    if ops is not None:
+        for o in ops:
+            if o not in _AUG_OPS:
+                raise ValueError(f"unknown augmentation op {o!r} (have {_AUG_OPS})")
+    schema = T.StructType(
+        list(df.schema.fields)
+        + ([T.StructField(out_op_col, T.StringType(), False)] if out_op_col else [])
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_bytes, new_w, new_h, chosen = [], [], [], []
+            for rid, data, fmt, w0, h0 in zip(
+                pdf[id_col], pdf["bytes"], pdf["fmt"], pdf["w"], pdf["h"]
+            ):
+                if op is not None:
+                    o = op
+                else:
+                    dig = hashlib.md5(f"{rid}|{seed}".encode()).hexdigest()
+                    o = ops[int(dig[:8], 16) % len(ops)]
+                chosen.append(o)
+                if data is None:
+                    new_bytes.append(None)
+                    new_w.append(w0)
+                    new_h.append(h0)
+                    continue
+                img = _apply_aug(decode_image(bytes(data), fmt), o)
+                h, w, _ = img.shape
+                new_bytes.append(encode_image(np.ascontiguousarray(img), fmt))
+                new_w.append(w)
+                new_h.append(h)
+            out = pdf.copy()
+            out["bytes"] = new_bytes
+            out["w"] = np.asarray(new_w, dtype=np.int32)
+            out["h"] = np.asarray(new_h, dtype=np.int32)
+            if out_op_col:
+                out[out_op_col] = chosen
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def pixel_digest(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """md5 of the DECODED pixel array (+ decoded shape) per row — the
+    encoding-independent content fingerprint: two rows with the same
+    digest are pixel-identical regardless of container format or
+    encoder settings (exact cross-format dedup; also the comparison
+    primitive of the augmentation-group certificate q136). md5 per the
+    determinism rules — identical in every engine and on every
+    executor. Payload is dropped on output, so everything downstream
+    shuffles a 32-char string, never megabytes of pixels."""
+    keep = [c for c in df.columns if c != "bytes"]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [
+            T.StructField("dec_w", T.IntegerType(), True),
+            T.StructField("dec_h", T.IntegerType(), True),
+            T.StructField("pix_md5", T.StringType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            ws, hs, digs = [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    ws.append(None)
+                    hs.append(None)
+                    digs.append(None)
+                    continue
+                img = decode_image(bytes(data), fmt)
+                h, w, _ = img.shape
+                ws.append(w)
+                hs.append(h)
+                digs.append(hashlib.md5(np.ascontiguousarray(img).tobytes()).hexdigest())
+            out = pdf[keep].copy()
+            out["dec_w"] = pd.array(ws, dtype="Int32")
+            out["dec_h"] = pd.array(hs, dtype="Int32")
+            out["pix_md5"] = digs
+            yield out
+
+    return df.mapInPandas(batches, schema)

@@ -6070,6 +6070,138 @@ def q135(spark, sf_dir):
     )
 
 
+@q("q136_augment_group_cert", _EMPTY_CERT3)
+def q136(spark, sf_dir):
+    """Augmentation-group CERTIFICATE for the image modality
+    (operators/images.py:augment_images): geometric augmentations form
+    a group, so flip_h∘flip_h = id and rot90⁴ = id must hold
+    PIXEL-EXACTLY through the full distributed decode→transform→
+    re-encode chain (exact even via the fake lossy codec — its uniform
+    quantization is idempotent), rot90 must swap the w/h metadata to
+    match the decoded shape, and the md5-seeded per-row op choice must
+    be bit-reproducible across two independent runs. One violation row
+    per breach, checked via ``pixel_digest`` (the payload never
+    shuffles — only 32-char digests join). Empty ⇔ the augmentation
+    stage is safe to re-run anywhere in a 100-TB pipeline."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.images import augment_images, pixel_digest
+    from lbf_spark.util import fan_out
+
+    n = 1500 if "0.001" in sf_dir else 4000
+    base = fan_out(
+        fixtures.events_to_spark(
+            spark, fixtures.generate_events(n_rows=n, n_entities=8)
+        )
+    ).select("image_id", "bytes", "w", "h", "fmt")
+    orig = pixel_digest(base).select(
+        "image_id", F.col("dec_w").alias("ow"), F.col("dec_h").alias("oh"),
+        F.col("pix_md5").alias("od"),
+    )
+
+    def digests(df, name):
+        return pixel_digest(df).select(
+            "image_id", "w", "h", "dec_w", "dec_h",
+            F.col("pix_md5").alias(name),
+        )
+
+    flip2 = digests(
+        augment_images(augment_images(base, "flip_h"), "flip_h"), "d"
+    )
+    rot4 = base
+    for _ in range(4):
+        rot4 = augment_images(rot4, "rot90")
+    rot4 = digests(rot4, "d")
+    rot1 = digests(augment_images(base, "rot90"), "d")
+    seeded_a = digests(
+        augment_images(base, ops=["flip_h", "rot90", "rot180", "identity"], seed=7),
+        "da",
+    )
+    seeded_b = digests(
+        augment_images(base, ops=["flip_h", "rot90", "rot180", "identity"], seed=7),
+        "db",
+    )
+
+    v_flip = flip2.join(orig, "image_id").filter(F.col("d") != F.col("od"))
+    v_rot4 = rot4.join(orig, "image_id").filter(F.col("d") != F.col("od"))
+    v_meta = rot1.join(orig, "image_id").filter(
+        (F.col("w") != F.col("oh")) | (F.col("h") != F.col("ow"))
+        | (F.col("dec_w") != F.col("w")) | (F.col("dec_h") != F.col("h"))
+    )
+    v_seed = seeded_a.select("image_id", "da").join(
+        seeded_b.select("image_id", "db"), "image_id"
+    ).filter(F.col("da") != F.col("db"))
+
+    def viol(df, family):
+        return df.select(
+            F.lit(family).alias("family"),
+            F.col("image_id").alias("key"),
+            F.lit(1.0).alias("err"),
+        )
+
+    return (
+        viol(v_flip, "flip_involution")
+        .unionByName(viol(v_rot4, "rot90_order4"))
+        .unionByName(viol(v_meta, "rot90_metadata"))
+        .unionByName(viol(v_seed, "seeded_determinism"))
+    )
+
+
+@q("q137_sketch_bounds_cert", _EMPTY_CERT3)
+def q137(spark, sf_dir):
+    """Sketch error-bound CERTIFICATE for the approximate aggregates a
+    100-TB profiler runs where exact is unaffordable: per event_type,
+    (a) HyperLogLog++ distinct counts (``approx_count_distinct``,
+    rsd=0.05) must land within 3·rsd of the exact distinct count —
+    HLL register maxima are order-insensitive, so the estimate is
+    deterministic under any partitioning; (b) Greenwald-Khanna
+    ``approx_percentile`` (accuracy=1000) p50/p90 must sit within the
+    algorithm's rank guarantee: the exact rank of the returned element
+    within ±(2n/accuracy + 1) of the target rank, verified by an EXACT
+    distributed rank count (never a driver-side sort). One row per
+    violated bound; empty ⇔ the approx profile (q104's mechanism,
+    generalized to sketches) is trustworthy at this scale."""
+    ev = _events(spark, sf_dir).select("event_type", "user_id", "value")
+    groups = ev.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.05).alias("apx"),
+        F.countDistinct("user_id").alias("ext"),
+        F.percentile_approx("value", [0.5, 0.9], 1000).alias("pcts"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    v_hll = groups.filter(
+        F.abs(F.col("apx") - F.col("ext"))
+        > F.lit(3 * 0.05) * F.col("ext")
+    ).select(
+        F.lit("hll_rel_err").alias("family"),
+        F.col("event_type").alias("key"),
+        (F.abs(F.col("apx") - F.col("ext")) / F.col("ext")).alias("err"),
+    )
+    # exact rank of each returned percentile element, distributed:
+    # one small cross join (groups × 2 quantiles) against the events
+    qs = groups.select(
+        "event_type", "n",
+        F.explode(
+            F.arrays_zip(
+                F.array(F.lit(0.5), F.lit(0.9)).alias("p"),
+                F.col("pcts").alias("v"),
+            )
+        ).alias("z"),
+    ).select("event_type", "n", F.col("z.p").alias("p"), F.col("z.v").alias("v"))
+    ranks = (
+        ev.join(F.broadcast(qs), "event_type")
+        .groupBy("event_type", "p", "v", "n")
+        .agg(F.sum(F.when(F.col("value") <= F.col("v"), 1).otherwise(0)).alias("rk"))
+    )
+    margin = F.lit(2.0) * F.col("n") / F.lit(1000.0) + F.lit(1.0)
+    v_gk = ranks.filter(
+        F.abs(F.col("rk") - F.col("p") * F.col("n")) > margin
+    ).select(
+        F.lit("gk_rank_err").alias("family"),
+        F.concat_ws("@", F.col("event_type"), F.col("p").cast("string")).alias("key"),
+        (F.abs(F.col("rk") - F.col("p") * F.col("n")) / F.col("n")).alias("err"),
+    )
+    return v_hll.unionByName(v_gk)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
