@@ -6202,6 +6202,76 @@ def q137(spark, sf_dir):
     return v_hll.unionByName(v_gk)
 
 
+@q(
+    "q138_attribution_last_touch",
+    """
+    with t as (
+      select user_id, event_id as touch_id, ts_us // 1000000 as touch_ts
+      from (select *, epoch_us(ts) as ts_us from events)
+      where event_type = 'click'
+    ),
+    c as (
+      select user_id, event_id as conv_id, ts_us // 1000000 as conv_ts
+      from (select *, epoch_us(ts) as ts_us from events)
+      where event_type = 'purchase'
+    ),
+    pairs as (
+      select c.user_id, c.conv_id, c.conv_ts, t.touch_id, t.touch_ts
+      from c join t on t.user_id = c.user_id
+       and t.touch_ts <= c.conv_ts
+       and t.touch_ts >= c.conv_ts - 3600
+    ),
+    ranked as (
+      select *, row_number() over (
+        partition by conv_id order by touch_ts desc, touch_id desc
+      ) as rn
+      from pairs
+    )
+    select user_id, conv_id, conv_ts, touch_id, touch_ts,
+           conv_ts - touch_ts as lag_s
+    from ranked where rn = 1
+    """,
+)
+def q138(spark, sf_dir):
+    """Last-touch attribution over the stream-stream interval join
+    (streaming/stream_features.py:stream_attribution_pairs +
+    last_touch_attribution): clicks are touches, purchases are
+    conversions, a click within 1 h before the purchase attributes it,
+    latest click wins (tie: larger event_id — total order). The SAME
+    plan runs as a watermarked Structured Streaming join with bounded
+    state (each side holds watermark+tolerance of history); this entry
+    runs it in batch mode and the oracle recomputes join + ranking
+    relationally, so the pair condition, the inclusive bounds and the
+    tiebreak are all hash-proven."""
+    from lbf_spark.streaming.stream_features import (
+        last_touch_attribution,
+        stream_attribution_pairs,
+    )
+
+    ev = _events(spark, sf_dir).withColumn(
+        "ts_s", (F.col("ts_us") / 1_000_000).cast("long")
+    )
+    touches = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("touch_id"),
+        F.col("ts_s").alias("touch_ts"),
+    )
+    convs = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("entity"),
+        F.col("event_id").alias("conv_id"),
+        F.col("ts_s").alias("conv_ts"),
+    )
+    pairs = stream_attribution_pairs(touches, convs, tolerance_seconds=3600)
+    return last_touch_attribution(pairs).select(
+        F.col("entity").alias("user_id"),
+        "conv_id",
+        "conv_ts",
+        "touch_id",
+        "touch_ts",
+        (F.col("conv_ts") - F.col("touch_ts")).alias("lag_s"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -628,3 +628,72 @@ def stream_incremental_features(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_attribution_pairs(
+    touches: DataFrame,
+    conversions: DataFrame,
+    tolerance_seconds: int,
+    by: str = "entity",
+    watermark: str = "600 seconds",
+) -> DataFrame:
+    """Watermarked stream-stream interval join — the attribution
+    primitive: every (touch, conversion) pair of the same entity with
+    ``conv_ts − tolerance ≤ touch_ts ≤ conv_ts``. Touch-to-conversion
+    matching (ad view→purchase, feature event→label event) is THE
+    training-label join of an online feature pipeline; the time-bound
+    condition is what lets Structured Streaming expire join state
+    (each side keeps only ``watermark + tolerance`` of history —
+    bounded state at any stream length). Works identically on static
+    frames (unified plan): the batch run IS the oracle for the
+    streaming run.
+
+    Contract: both inputs carry ``by`` and an epoch-seconds ``ts``
+    column named ``touch_ts`` / ``conv_ts`` respectively; other column
+    names must be disjoint across the two sides (pre-alias upstream —
+    keeps this a pure join, no hidden renames)."""
+    overlap = (set(touches.columns) & set(conversions.columns)) - {by}
+    if overlap:
+        raise ValueError(
+            f"touch/conversion columns must be disjoint apart from {by!r}; "
+            f"both sides carry {sorted(overlap)} — alias them upstream"
+        )
+    t = touches.withColumn("__t_time", F.timestamp_seconds(F.col("touch_ts")))
+    c = conversions.withColumn("__c_time", F.timestamp_seconds(F.col("conv_ts")))
+    if t.isStreaming:
+        t = t.withWatermark("__t_time", watermark)
+    if c.isStreaming:
+        c = c.withWatermark("__c_time", watermark)
+    t = t.withColumnRenamed(by, "__t_by")
+    cond = (
+        (F.col("__t_by") == F.col(by))
+        & (F.col("__t_time") <= F.col("__c_time"))
+        & (
+            F.col("__t_time")
+            >= F.col("__c_time") - F.expr(f"INTERVAL {int(tolerance_seconds)} SECONDS")
+        )
+    )
+    return t.join(c, cond, "inner").drop("__t_by", "__t_time", "__c_time")
+
+
+def last_touch_attribution(
+    pairs: DataFrame,
+    conv_id: str = "conv_id",
+    touch_ts: str = "touch_ts",
+    touch_id: str = "touch_id",
+) -> DataFrame:
+    """Reduce attribution pairs to last-touch: per conversion, the
+    latest touch wins, ties broken by the larger touch id — a TOTAL
+    order, per the determinism rules, so the winner is engine- and
+    partitioning-exact. Batch stage (run it on the landed pairs table
+    or per micro-batch in ``foreachBatch``): one window over conv_id."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(conv_id).orderBy(
+        F.desc(touch_ts), F.desc(touch_id)
+    )
+    return (
+        pairs.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )

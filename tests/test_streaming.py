@@ -511,3 +511,58 @@ def test_cdc_duplicate_newest_ts_enforced(spark, tmp_path, tiny_events):
         spark.createDataFrame(ok_batch), 1, tbl2,
         keys=["image_id"], ts_unit_day=10_000,
     ) is not None
+
+
+def test_stream_attribution_join_matches_batch(spark, tmp_path):
+    """Two genuine streams through the watermarked interval join
+    (availableNow) must equal the batch run of the same plan — and the
+    last-touch reduce must pick the latest touch with the id tiebreak."""
+    from lbf_spark.streaming.stream_features import (
+        last_touch_attribution,
+        stream_attribution_pairs,
+    )
+
+    touches = [("u1", 1, 100), ("u1", 2, 150), ("u1", 3, 150),
+               ("u1", 4, 400), ("u2", 5, 90), ("u3", 6, 50)]
+    convs = [("u1", 101, 160), ("u1", 102, 420), ("u2", 103, 100),
+             ("u2", 104, 500), ("u4", 105, 10)]
+    t_pd = pd.DataFrame(touches, columns=["entity", "touch_id", "touch_ts"])
+    c_pd = pd.DataFrame(convs, columns=["entity", "conv_id", "conv_ts"])
+    (tmp_path / "touch").mkdir()
+    (tmp_path / "conv").mkdir()
+    td, cd = str(tmp_path / "touch"), str(tmp_path / "conv")
+    pq.write_table(pa.Table.from_pandas(t_pd, preserve_index=False),
+                   td + "/p.parquet")  # single file each is fine
+    pq.write_table(pa.Table.from_pandas(c_pd, preserve_index=False),
+                   cd + "/p.parquet")
+    t_static = spark.read.parquet(td)
+    c_static = spark.read.parquet(cd)
+    TOL = 100
+    batch = stream_attribution_pairs(t_static, c_static, TOL).toPandas()
+
+    t_s = spark.readStream.schema(t_static.schema).parquet(td)
+    c_s = spark.readStream.schema(c_static.schema).parquet(cd)
+    q = (
+        stream_attribution_pairs(t_s, c_s, TOL, watermark="10 seconds")
+        .writeStream.format("memory").queryName("attr_tbl")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    streamed = spark.sql("select * from attr_tbl").toPandas()
+    cols = ["entity", "touch_id", "conv_id"]
+    assert _keys(streamed, cols) == _keys(batch, cols)
+    # hand-checked pair set: u1 conv@160 sees touches 1,2,3; conv@420
+    # sees touch 4; u2 conv@100 sees 5; conv@500 sees none; u4 none
+    assert _keys(batch, ["conv_id", "touch_id"]) == [
+        (101, 1), (101, 2), (101, 3), (102, 4), (103, 5)
+    ]
+    last = last_touch_attribution(batch_df := stream_attribution_pairs(
+        t_static, c_static, TOL)).toPandas()
+    # conv 101: touches 2 and 3 tie at ts=150 -> larger id (3) wins
+    got = {r.conv_id: r.touch_id for r in last.itertuples()}
+    assert got == {101: 3, 102: 4, 103: 5}
+    # disjoint-columns contract enforced
+    with pytest.raises(ValueError, match="disjoint"):
+        stream_attribution_pairs(
+            t_static.withColumnRenamed("touch_ts", "conv_ts"), c_static, TOL
+        )
