@@ -397,3 +397,68 @@ def token_budget_sample(
         .filter(F.col("__cum") <= F.col("__budget"))
         .drop("__key", "__cum", "__budget")
     )
+
+
+def negative_sample_pairs(
+    df: DataFrame,
+    id_col: str,
+    k: int = 4,
+    pool_m: int = 64,
+    seed: int = 0,
+) -> DataFrame:
+    """Deterministic negative sampling for contrastive training
+    (CLIP/InfoNCE data prep): each row gets ``k`` negatives drawn from
+    a FIXED global candidate pool of ``pool_m`` rows.
+
+    Determinism law (same as the engine's other samplers): no RNG
+    anywhere — the pool is the ``pool_m`` smallest rows by
+    ``md5(id|'pool'|seed)`` (exact TakeOrdered, partition-independent)
+    and each anchor ranks the pool by ``md5(anchor|neg|seed)`` with an
+    id tiebreak (total order), so every anchor sees its own stable
+    pseudo-random permutation, reproducible across runs, retries and
+    cluster sizes.
+
+    Scale shape: the pool collapses to ONE array row and broadcasts —
+    per-anchor ranking is then a row-local array transform+sort+slice
+    (pool_m·log pool_m ops over a bounded array), so the corpus is
+    never amplified ×pool_m through a shuffle and the only exchange is
+    the metadata-sized pool aggregation. Self-pairs are filtered
+    BEFORE the slice, so pool members also get exactly k negatives."""
+    sid = F.col(id_col).cast("string")
+    pool = (
+        df.select(F.col(id_col).alias("__neg"))
+        .orderBy(
+            F.md5(F.concat_ws("|", F.col("__neg").cast("string"),
+                              F.lit("pool"), F.lit(str(seed)))),
+            F.col("__neg"),
+        )
+        .limit(pool_m)
+    )
+    pool_arr = pool.agg(F.collect_list("__neg").alias("__pool"))
+    ranked = F.array_sort(
+        F.transform(
+            F.filter(F.col("__pool"), lambda n: n != F.col(id_col)),
+            lambda n: F.struct(
+                F.md5(
+                    F.concat_ws(
+                        "|", sid, n.cast("string"), F.lit(str(seed))
+                    )
+                ).alias("h"),
+                n.alias("neg"),
+            ),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(pool_arr))
+        .withColumn("__top", F.slice(ranked, 1, k))
+        .drop("__pool")
+        .select(
+            "*",
+            F.posexplode("__top").alias("__pos", "__pair"),
+        )
+        .select(
+            F.col(id_col).alias("anchor_id"),
+            (F.col("__pos") + 1).cast("int").alias("neg_rank"),
+            F.col("__pair.neg").alias("neg_id"),
+        )
+    )

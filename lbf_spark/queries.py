@@ -6272,6 +6272,44 @@ def q138(spark, sf_dir):
     )
 
 
+@q(
+    "q139_negative_sampling",
+    """
+    with pool as (
+      select doc_id as neg_id from documents
+      order by md5(cast(doc_id as varchar) || '|pool|0'), doc_id
+      limit 64
+    ),
+    pairs as (
+      select d.doc_id as anchor_id, p.neg_id,
+             row_number() over (
+               partition by d.doc_id
+               order by md5(cast(d.doc_id as varchar) || '|'
+                            || cast(p.neg_id as varchar) || '|0'),
+                        p.neg_id
+             ) as neg_rank
+      from documents d cross join pool p
+      where p.neg_id <> d.doc_id
+    )
+    select anchor_id, cast(neg_rank as int) as neg_rank, neg_id
+    from pairs where neg_rank <= 4
+    """,
+)
+def q139(spark, sf_dir):
+    """Deterministic contrastive negative sampling
+    (operators/distributions.py:negative_sample_pairs): every document
+    draws 4 negatives from a fixed 64-row md5-selected pool, ranked by
+    md5(anchor|neg|seed) with an id tiebreak — pure content hashing,
+    no RNG, so the sample is a function of (corpus, seed) alone. The
+    oracle recomputes pool selection, pair hashing, self-exclusion and
+    ranking relationally. Scale: the pool broadcasts as ONE array row;
+    ranking is a row-local array sort — the corpus is never amplified
+    ×pool through a shuffle (the oracle's cross join is the semantics,
+    not the plan)."""
+    docs = t(spark, sf_dir, "documents")
+    return D.negative_sample_pairs(docs, "doc_id", k=4, pool_m=64, seed=0)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1314,3 +1314,23 @@ def test_cusum_drift_flags_mean_shift(spark):
     assert exp_flag.any()  # the shift IS flagged
     fl = got[got.entity == "flat"]
     assert not fl["drift_flag"].any()
+
+
+def test_negative_sample_pairs_deterministic_and_complete(spark):
+    df = spark.createDataFrame([(i,) for i in range(40)], "doc_id long")
+    a = D.negative_sample_pairs(df, "doc_id", k=3, pool_m=8, seed=1).toPandas()
+    b = D.negative_sample_pairs(df, "doc_id", k=3, pool_m=8, seed=1).toPandas()
+    assert len(a) == 40 * 3
+    pd.testing.assert_frame_equal(
+        a.sort_values(["anchor_id", "neg_rank"], ignore_index=True),
+        b.sort_values(["anchor_id", "neg_rank"], ignore_index=True),
+    )
+    g = a.groupby("anchor_id")
+    assert (g.size() == 3).all()                       # pool members too
+    assert (a.anchor_id != a.neg_id).all()             # never self
+    assert a.neg_id.nunique() <= 8                     # from the fixed pool
+    assert all(sorted(v) == [1, 2, 3] for v in g.neg_rank.apply(list))
+    # a different seed picks a different permutation for at least one anchor
+    c = D.negative_sample_pairs(df, "doc_id", k=3, pool_m=8, seed=2).toPandas()
+    merged = a.merge(c, on=["anchor_id", "neg_rank"], suffixes=("_a", "_c"))
+    assert (merged.neg_id_a != merged.neg_id_c).any()
