@@ -693,3 +693,105 @@ def dup_clusters(
     return labels.select(
         F.col("id").alias("doc_id"), F.col("label").alias("cluster_id")
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Cross-document repeated-span detection — the exact-substring
+    dedup signal from "Deduplicating Training Data Makes Language
+    Models Better" (Lee et al. 2022), relationalized: hash every
+    ``width``-token sliding window (stride 1), group by span hash, and
+    report the spans occurring in ≥ ``min_docs`` DISTINCT documents
+    (boilerplate, licenses, templated text — the stuff n-gram-level
+    doc dedup misses because whole-doc Jaccard stays low).
+
+    Output (aggregated, never per-occurrence): ``span_hash``,
+    ``n_docs``, ``n_occ``, ``first_doc`` (min id — a representative to
+    fetch the literal text from).
+
+    Scale shape: tokenize+explode is row-local (``fan_out`` — the
+    single-row-group scan pathology, CLAUDE.md); the only shuffle is
+    the groupBy on span hash with map-side partial aggregation, and
+    the ≥min_docs filter bounds the output to actually-repeated spans.
+    A suffix-array is the single-node tool for this; at 100 TB the
+    hash-group IS the scalable equivalent for fixed window width.
+    Tokenization is a plain single-space split, mirrored exactly by
+    the DuckDB oracle (string_split + list slicing)."""
+    from lbf_spark.util import fan_out
+
+    toks = F.split(F.col(text_col), " ")
+    spans = F.when(
+        F.size(toks) >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size(toks) - width),
+            lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i + 1, width))),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    exploded = (
+        fan_out(docs.select(id_col, F.col(text_col)))
+        .select(F.col(id_col), F.explode(spans).alias("span_hash"))
+    )
+    return (
+        exploded.groupBy("span_hash")
+        .agg(
+            F.countDistinct(id_col).alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min(id_col).alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+    )
+
+
+def split_decontaminate(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    split_col: str = "split",
+    pair_cols: tuple[str, str] = ("id_a", "id_b"),
+    train_label: str = "train",
+) -> DataFrame:
+    """Train/eval split decontamination by near-duplicate pairs — the
+    leakage guard every training pipeline needs between dedup and
+    export: any TRAIN row that is a near-duplicate of a NON-train row
+    (test/val) is dropped from train (``kept = false``); eval rows are
+    never dropped (the eval set defines the benchmark; train is what
+    yields). ``pairs`` is any near-dup pair frame — phash bands
+    (images), MinHash/LSH or exact Jaccard (text), cosine (embeddings).
+
+    Shape at scale: two equi-joins of the (bounded, candidate-verified)
+    pair set against the split labels, then one DISTINCT on the
+    contaminated-train ids and a left join back — no all-pairs work
+    beyond what the pair generator already bounded."""
+    a, b = pair_cols
+    lab = ids.select(
+        F.col(id_col).alias("__pid"), F.col(split_col).alias("__psplit")
+    )
+    sided = (
+        pairs.select(a, b)
+        .join(lab.withColumnRenamed("__pid", a).withColumnRenamed("__psplit", "__sa"), a)
+        .join(lab.withColumnRenamed("__pid", b).withColumnRenamed("__psplit", "__sb"), b)
+    )
+    tl = F.lit(train_label)
+    contaminated = (
+        sided.filter(
+            ((F.col("__sa") == tl) & (F.col("__sb") != tl))
+            | ((F.col("__sb") == tl) & (F.col("__sa") != tl))
+        )
+        .select(
+            F.when(F.col("__sa") == tl, F.col(a)).otherwise(F.col(b)).alias("__bad")
+        )
+        .distinct()
+    )
+    return (
+        ids.join(contaminated, ids[id_col] == contaminated["__bad"], "left")
+        .withColumn(
+            "kept",
+            (F.col(split_col) != tl) | F.col("__bad").isNull(),
+        )
+        .drop("__bad")
+    )

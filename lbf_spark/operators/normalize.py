@@ -82,3 +82,37 @@ def distribution_normalize(
         out or value,
         F.when(total != 0, v / total).otherwise(F.lit(0.0)),
     )
+
+
+def quantile_normalize(
+    df: DataFrame,
+    col: str,
+    by: str = "entity",
+    tiebreak: str = "event_id",
+    out: str = "qnorm",
+) -> DataFrame:
+    """Cross-entity quantile normalization (the microarray / fragmentomics
+    normalizer the reference's per-sample signals assume upstream): every
+    entity's k-th smallest value is replaced by the MEAN of the k-th
+    smallest values across all entities, forcing every entity onto the
+    identical marginal distribution while preserving each entity's
+    ranks. Ragged series use the standard convention: rank k averages
+    over the entities that HAVE a k-th value.
+
+    Engine-exactness: ranks are row_number over a TOTAL order
+    ((value, tiebreak) — determinism rules), and the per-rank mean is
+    the decimal-sum/count pattern (CLAUDE.md q115 rule: never avg raw
+    doubles into a hashed output).
+
+    Shape at scale: one hash exchange on ``by`` for the rank window,
+    one groupBy on rank (bounded by the longest series), one shuffle
+    join back on rank. No driver state, no Python."""
+    w = Window.partitionBy(by).orderBy(F.asc(col), F.asc(tiebreak))
+    ranked = df.withColumn("__rank", F.row_number().over(w))
+    means = ranked.groupBy("__rank").agg(
+        (
+            F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias(out)
+    )
+    return ranked.join(means, "__rank").withColumnRenamed("__rank", "rank")

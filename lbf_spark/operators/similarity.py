@@ -513,3 +513,69 @@ def blocked_pairs(
         )
         .filter(F.col("cos") >= threshold)
     )
+
+
+def retrieval_recall(
+    corpus: DataFrame,
+    probes: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    group_col: str | None = None,
+) -> DataFrame:
+    """Retrieval recall@k — the evaluation metric for a contrastive /
+    cross-modal embedding space (does a distorted query still retrieve
+    its own source?): each probe carries the ``id_col`` of its true
+    match in the corpus; a probe scores a hit iff that id appears in
+    its exact cosine top-k (self-candidates ARE eligible — that is the
+    point, unlike ``brute_force_topk``'s neighbor search). Aggregated
+    per ``group_col`` (or globally as group '*').
+
+    Determinism: sim is round(4)ed before ranking with an id tiebreak
+    (total order); recall is an exact integer ratio in double, round(6).
+    Shape at scale: probe set broadcast (eval sets are small), corpus
+    streamed once, per-probe top-k via window over the probe key."""
+    gc = group_col
+    pcols = [F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")]
+    if gc:
+        pcols.append(F.col(gc).alias("__grp"))
+    p = F.broadcast(probes.select(*pcols))
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    )
+    sim = F.round(
+        cosine_similarity_col(
+            F.col("probe_vec").cast("array<double>"),
+            F.col("cand_vec").cast("array<double>"),
+        ),
+        4,
+    )
+    scored = c.join(p).withColumn("sim", sim)
+    w = Window.partitionBy("probe_id").orderBy(
+        F.col("sim").desc(), F.col("neighbor_id").asc()
+    )
+    per_probe = (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .groupBy("probe_id", *(["__grp"] if gc else []))
+        .agg(
+            F.max(
+                (F.col("neighbor_id") == F.col("probe_id")).cast("int")
+            ).alias("hit")
+        )
+    )
+    grp = F.col("__grp") if gc else F.lit("*")
+    return (
+        per_probe.groupBy(grp.alias(gc or "grp"))
+        .agg(
+            F.count(F.lit(1)).alias("n_probes"),
+            F.sum("hit").alias("n_hits"),
+        )
+        .withColumn(
+            "recall_at_k",
+            F.round(
+                F.col("n_hits").cast("double") / F.col("n_probes").cast("double"),
+                6,
+            ),
+        )
+    )

@@ -458,3 +458,72 @@ def chi2_contingency_stat(
             .alias("dof"),
         )
     )
+
+
+def subsample_ci(
+    df,
+    col: str,
+    by: str = "entity",
+    id_col: str = "event_id",
+    n_replicas: int = 32,
+    alpha: float = 0.1,
+):
+    """Per-group subsampling confidence interval for the mean — the
+    error-bar a 100-TB profiler attaches to every group statistic
+    without a second pass over raw data: ``n_replicas`` half-samples
+    (row r joins replica b iff the first hex digit of md5(id:b) < 8 —
+    seeded, engine-portable Bernoulli(½)), a decimal-exact mean per
+    (group, replica), and the empirical alpha/2 and 1−alpha/2 order
+    statistics of the replica means as the interval.
+
+    Determinism: membership is md5 (portable by construction); each
+    replica mean is decimal-sum/count (associative — the q115 rule);
+    the order statistics rank on (mean, replica) — a total order over
+    bit-identical doubles. Empty replicas simply don't contribute; the
+    quantile indexes adapt to the count actually present.
+
+    Shape at scale: one explode (×n_replicas) feeding one map-side
+    partial groupBy on (group, replica), then a groupBy on group over
+    ≤ n_replicas rows each. State per group: n_replicas means."""
+    from pyspark.sql import Window
+
+    b = F.explode(F.sequence(F.lit(0), F.lit(int(n_replicas) - 1))).alias("__b")
+    member = F.substring(
+        F.md5(
+            F.concat(
+                F.col(id_col).cast("string"), F.lit(":"), F.col("__b").cast("string")
+            )
+        ),
+        1,
+        1,
+    ).isin(list("01234567"))
+    reps = (
+        df.select(by, id_col, col)
+        .select(by, id_col, col, b)
+        .filter(member)
+        .groupBy(by, "__b")
+        .agg(
+            (
+                F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("__m")
+        )
+    )
+    w = Window.partitionBy(by).orderBy(F.asc("__m"), F.asc("__b"))
+    wa = Window.partitionBy(by)
+    ranked = (
+        reps.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wa))
+    )
+    m_d = F.col("__n").cast("double")
+    lo_r = F.greatest(F.lit(1), F.ceil(F.lit(alpha / 2.0) * m_d))
+    hi_r = F.ceil(F.lit(1.0 - alpha / 2.0) * m_d)
+    return (
+        ranked.filter((F.col("__r") == lo_r) | (F.col("__r") == hi_r))
+        .groupBy(by)
+        .agg(
+            F.max("__n").alias("n_replicas"),
+            F.round(F.min("__m"), 6).alias("ci_lo"),
+            F.round(F.max("__m"), 6).alias("ci_hi"),
+        )
+    )

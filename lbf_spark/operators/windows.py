@@ -752,3 +752,110 @@ def cusum_drift(
         .drop("__p", "__s", "__ss", "__n")
         .withColumnRenamed("__t", "seq")
     )
+
+
+def time_decay_ewma(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    half_life: float,
+    window: int,
+    out: str = "decay_avg",
+    by: str = "entity",
+    order=None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """Time-decayed moving average for IRREGULAR series — the
+    recency-weighted feature (`ewma` weights by *position*; real event
+    streams need weighting by *elapsed time*): each row averages its
+    last ``window`` observations with weight ``exp(−ln2·Δt/half_life)``
+    where Δt = own ts − lagged ts (so the k=0 term always has weight 1).
+    ``half_life`` is in the units of ``ts_col`` (epoch micros here).
+
+    Engine-exactness: Δt is exact bigint subtraction; each weight is
+    one ``exp`` over one double division with the ln2 literal embedded
+    identically in both engines (IEEE `exp` is within 1 ulp and the
+    inputs are bit-identical, far inside the round(6) margin); the
+    numerator/denominator are FIXED-ORDER sums of ``window`` lag terms
+    — never a partial-agg-ordered float sum.
+
+    ONE hash exchange on ``by``; all lags share the window sort.
+    Scale: O(window) columns per row, no arrays, no Python."""
+    orders = [order or ts_col] if isinstance(order or ts_col, str) else list(order)
+    if tiebreak:
+        orders = orders + [tiebreak]
+    w = Window.partitionBy(by).orderBy(*[F.asc(c) for c in orders])
+    ln2 = F.lit(0.6931471805599453)
+    hl = F.lit(float(half_life))
+    num = None
+    den = None
+    for k in range(window):
+        x_k = F.lag(F.col(col), k).over(w)
+        t_k = F.lag(F.col(ts_col), k).over(w)
+        dt = (F.col(ts_col) - t_k).cast("double")
+        w_k = F.exp(-ln2 * dt / hl)
+        num_t = F.coalesce(x_k * w_k, F.lit(0.0))
+        den_t = F.when(x_k.isNotNull(), w_k).otherwise(F.lit(0.0))
+        num = num_t if num is None else num + num_t
+        den = den_t if den is None else den + den_t
+    return df.withColumn(
+        out, F.when(den > F.lit(0.0), F.round(num / den, 6))
+    )
+
+
+def trend(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    by: str = "entity",
+    out_prefix: str = "trend_",
+) -> DataFrame:
+    """Per-entity OLS trend of ``col`` against time — slope (per
+    second), intercept (value at the entity's first timestamp) and R²:
+    the drift/trend feature vector a feature store derives per series.
+
+    Engine-exactness (the autocorr recipe, x→value, t→seconds): time is
+    re-based per entity (t = (ts − min ts) div 1e6, exact bigint
+    floor-division — re-basing keeps Σt² within bigint and the decimal
+    products within precision), the five sufficient statistics are
+    exact (Σt, Σt² bigint; Σx, Σxt, Σx² DECIMAL — all associative), and
+    only the closed forms drop to double on identical IEEE expression
+    trees. Degenerate entities (n < 2, zero time- or value-variance)
+    are dropped, never NaN/Inf.
+
+    One hash exchange on ``by`` serves the min-ts window AND the
+    groupBy (same partitioning). Output: one row per entity."""
+    w_all = Window.partitionBy(by)
+    xd = F.col(col).cast("decimal(18,4)")
+    based = df.withColumn(
+        "__t", F.expr(f"({ts_col} - min({ts_col}) over "
+                      f"(partition by {by})) div 1000000")
+    ).withColumn("__x", xd)
+    a = based.groupBy(by).agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("__t").cast("double").alias("__st"),
+        F.sum(F.col("__t") * F.col("__t")).cast("double").alias("__stt"),
+        F.sum("__x").cast("double").alias("__sx"),
+        F.sum(F.col("__x") * F.col("__x")).cast("double").alias("__sxx"),
+        F.sum(F.col("__x") * F.col("__t").cast("decimal(18,0)"))
+        .cast("double")
+        .alias("__sxt"),
+    )
+    n = F.col("n_obs").cast("double")
+    num = n * F.col("__sxt") - F.col("__sx") * F.col("__st")
+    den_t = n * F.col("__stt") - F.col("__st") * F.col("__st")
+    den_x = n * F.col("__sxx") - F.col("__sx") * F.col("__sx")
+    slope = num / den_t
+    return (
+        a.filter((F.col("n_obs") >= 2) & (den_t > F.lit(0.0)))
+        .withColumn(out_prefix + "slope", slope)
+        .withColumn(
+            out_prefix + "intercept",
+            (F.col("__sx") - slope * F.col("__st")) / n,
+        )
+        .withColumn(
+            out_prefix + "r2",
+            F.when(den_x > F.lit(0.0), num * num / (den_t * den_x)),
+        )
+        .drop("__st", "__stt", "__sx", "__sxx", "__sxt")
+    )

@@ -6310,6 +6310,413 @@ def q139(spark, sf_dir):
     return D.negative_sample_pairs(docs, "doc_id", k=4, pool_m=64, seed=0)
 
 
+def _tdecay_oracle_sql(window: int = 6, hl: float = 3.6e9) -> str:
+    """Mirror of windows.time_decay_ewma's fixed-order lag sum — the
+    k-terms are generated here so both engines embed the IDENTICAL
+    expression tree (same ln2 literal, same association order)."""
+    num, den = [], []
+    for k in range(window):
+        x = f"lag(value, {k}) over w"
+        tk = f"lag(ts_us, {k}) over w"
+        wgt = (
+            f"exp(-0.6931471805599453 * cast(ts_us - ({tk}) as double)"
+            f" / {hl!r})"
+        )
+        num.append(f"coalesce(({x}) * {wgt}, 0.0)")
+        den.append(f"case when ({x}) is not null then {wgt} else 0.0 end")
+    return f"""
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us, value from events
+    )
+    select event_id,
+           case when ({' + '.join(den)}) > 0.0
+                then round(({' + '.join(num)}) / ({' + '.join(den)}), 6) + 0
+           end as decay_avg
+    from e
+    window w as (partition by user_id order by ts_us, event_id)
+    """
+
+
+@q("q140_time_decay_ewma", _tdecay_oracle_sql())
+def q140(spark, sf_dir):
+    """Time-decayed moving average over IRREGULAR event times
+    (operators/windows.py:time_decay_ewma): recency weight
+    exp(−ln2·Δt/half_life) with half-life 1 h, 6 terms — the feature
+    `ewma` (q88) cannot express because it weights by position, not
+    elapsed time. Exactness: Δt is exact bigint subtraction, each
+    weight one IEEE exp over bit-identical inputs, and the sums are
+    FIXED-ORDER lag chains (never partial-agg-ordered). One window
+    exchange on user."""
+    ev = _events(spark, sf_dir)
+    out = W.time_decay_ewma(
+        ev, "value", "ts_us", half_life=3.6e9, window=6,
+        by="user_id", tiebreak="event_id",
+    )
+    return out.select(
+        "event_id", (F.col("decay_avg") + F.lit(0.0)).alias("decay_avg")
+    )
+
+
+@q(
+    "q141_trend",
+    """
+    with e as (
+      select user_id, epoch_us(ts) as ts_us,
+             cast(value as decimal(18,4)) as xd
+      from events
+    ),
+    b as (
+      select user_id,
+             (ts_us - min(ts_us) over (partition by user_id)) // 1000000 as t,
+             xd
+      from e
+    ),
+    a as (
+      select user_id, count(*) as n_obs,
+             cast(sum(t) as double) as st,
+             cast(sum(t * t) as double) as stt,
+             cast(sum(xd) as double) as sx,
+             cast(sum(xd * xd) as double) as sxx,
+             cast(sum(xd * cast(t as decimal(18,0))) as double) as sxt
+      from b group by user_id
+    )
+    select user_id as entity, n_obs,
+           round((cast(n_obs as double) * sxt - sx * st)
+                 / (cast(n_obs as double) * stt - st * st) * 86400.0, 6) + 0
+             as slope_per_day,
+           round((sx - (cast(n_obs as double) * sxt - sx * st)
+                        / (cast(n_obs as double) * stt - st * st) * st)
+                 / cast(n_obs as double), 6) + 0 as intercept,
+           case when (cast(n_obs as double) * sxx - sx * sx) > 0.0
+                then round((cast(n_obs as double) * sxt - sx * st)
+                           * (cast(n_obs as double) * sxt - sx * st)
+                           / ((cast(n_obs as double) * stt - st * st)
+                              * (cast(n_obs as double) * sxx - sx * sx)), 6)
+           end as r2
+    from a
+    where n_obs >= 2 and (cast(n_obs as double) * stt - st * st) > 0.0
+    """,
+)
+def q141(spark, sf_dir):
+    """Per-entity OLS trend (operators/windows.py:trend): slope
+    (reported per day), intercept and R² of value against time — the
+    drift/trend member of the per-series feature vector, alongside
+    autocorr (q133) and CUSUM (q134). Exactness: time re-based per
+    entity by exact bigint floor-division to seconds; the five
+    sufficient statistics are exact bigint/decimal sums; closed forms
+    drop to double on identical IEEE trees. One exchange on entity
+    serves the min-ts window AND the groupBy."""
+    ev = _events(spark, sf_dir)
+    tr = W.trend(ev, "value", "ts_us", by="user_id")
+    sl = F.col("trend_slope") * F.lit(86400.0)
+    return tr.select(
+        F.col("user_id").alias("entity"),
+        "n_obs",
+        (F.round(sl, 6) + F.lit(0.0)).alias("slope_per_day"),
+        (F.round("trend_intercept", 6) + F.lit(0.0)).alias("intercept"),
+        F.round("trend_r2", 6).alias("r2"),
+    )
+
+
+@q(
+    "q142_quantile_normalize",
+    """
+    with e as (select event_id, user_id, value from events),
+    r as (
+      select event_id, user_id, value,
+             row_number() over (partition by user_id
+                                order by value, event_id) as rank
+      from e
+    ),
+    m as (
+      select rank,
+             cast(sum(cast(value as decimal(18,6))) as double)
+               / cast(count(*) as double) as qnorm
+      from r group by rank
+    )
+    select r.event_id, r.rank, round(m.qnorm, 6) + 0 as qnorm
+    from r join m using (rank)
+    """,
+)
+def q142(spark, sf_dir):
+    """Cross-entity quantile normalization
+    (operators/normalize.py:quantile_normalize) — every entity's k-th
+    smallest value maps to the mean of k-th smallest values across
+    entities (the classic microarray/fragmentomics normalizer; the
+    reference's per-sample signals assume this class of normalization
+    upstream — lbfextract docs' coverage normalization family). Ranks
+    are total-ordered (value, event_id); per-rank means are
+    decimal-sum/count (q115 rule). One window exchange + one bounded
+    rank groupBy + one join back."""
+    from lbf_spark.operators.normalize import quantile_normalize
+
+    ev = _events(spark, sf_dir).select("event_id", "user_id", "value")
+    out = quantile_normalize(
+        ev, "value", by="user_id", tiebreak="event_id"
+    )
+    return out.select(
+        "event_id", "rank", (F.round("qnorm", 6) + F.lit(0.0)).alias("qnorm")
+    )
+
+
+@q(
+    "q143_duplicate_spans",
+    """
+    with tt as (
+      select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    ii as (
+      select doc_id, toks,
+             unnest(range(0, greatest(len(toks) - 4 + 1, 0))) as i
+      from tt
+    ),
+    s as (
+      select doc_id,
+             md5(array_to_string(toks[i + 1 : i + 4], ' ')) as span_hash
+      from ii
+    )
+    select span_hash, count(distinct doc_id) as n_docs,
+           count(*) as n_occ, min(doc_id) as first_doc
+    from s group by span_hash
+    having count(distinct doc_id) >= 2
+    """,
+)
+def q143(spark, sf_dir):
+    """Cross-document repeated-span detection
+    (operators/dedup.py:duplicate_spans) — the exact-substring dedup
+    signal (Lee et al. 2022) relationalized: hash every 4-token
+    sliding window, group by span hash, keep spans in ≥2 distinct
+    docs (boilerplate/templates that whole-doc Jaccard misses).
+    Tokenize+explode is fanned out (single-row-group scan pathology);
+    the one shuffle is the span-hash groupBy with map-side partials,
+    output bounded to actually-repeated spans."""
+    docs = t(spark, sf_dir, "documents")
+    return dedup.duplicate_spans(docs, width=4, min_docs=2)
+
+
+@q(
+    "q144_split_decontaminate",
+    """
+    with s as (
+      select event_id,
+             xor(('0x' || substr(md5('u' || cast(user_id as varchar)), 1, 15))::bigint,
+                 cast(pow(2, event_id % 60) as bigint)) as phash
+      from events where event_id % 5 = 0
+    ),
+    labels as (
+      select event_id,
+             case when substr(md5('s' || cast(event_id as varchar)), 1, 1)
+                       in ('0','1','2','3','4','5','6','7','8','9','a','b')
+                  then 'train' else 'test' end as split
+      from s
+    ),
+    f as (
+      select event_id, phash, tb.b as bidx,
+             (phash // cast(pow(2, 16 * tb.b) as bigint)) % 65536 as bval
+      from s, unnest([0, 1, 2, 3]) as tb(b)
+    ),
+    cand as (
+      select distinct x.event_id as id_a, y.event_id as id_b,
+                      x.phash as pa, y.phash as pb
+      from f x join f y
+        on x.bidx = y.bidx and x.bval = y.bval and x.event_id < y.event_id
+    ),
+    pairs as (
+      select id_a, id_b from cand where bit_count(xor(pa, pb)) <= 2
+    ),
+    bad as (
+      select distinct
+             case when la.split = 'train' then p.id_a else p.id_b end as bad_id
+      from pairs p
+      join labels la on la.event_id = p.id_a
+      join labels lb on lb.event_id = p.id_b
+      where (la.split = 'train') <> (lb.split = 'train')
+    )
+    select l.event_id, l.split,
+           (l.split <> 'train' or b.bad_id is null) as kept
+    from labels l left join bad b on b.bad_id = l.event_id
+    """,
+)
+def q144(spark, sf_dir):
+    """Train/eval split decontamination by image near-duplicates
+    (operators/dedup.py:split_decontaminate over the q106 planted
+    phash family): a 75/25 md5 hash split, phash-band near-dup pairs
+    (hamming ≤ 2), and every TRAIN image that near-duplicates an eval
+    image is dropped (kept=false) — the leakage guard between dedup
+    and training export. Eval rows are never dropped. Shape: band
+    equi-join candidates (never all-pairs), two label joins on the
+    bounded pair set, one distinct, one join back."""
+    from lbf_spark.operators.images import phash_band_features
+
+    ev = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 5 == 0)
+        .select(
+            "event_id",
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("u"), F.col("user_id").cast("string"))),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            )
+            .cast("long")
+            .bitwiseXOR(
+                F.pow(F.lit(2.0), (F.col("event_id") % 60).cast("int")).cast("long")
+            )
+            .alias("phash"),
+        )
+    )
+    ids = ev.select(
+        "event_id",
+        F.when(
+            F.substring(
+                F.md5(F.concat(F.lit("s"), F.col("event_id").cast("string"))), 1, 1
+            ).isin(list("0123456789ab")),
+            F.lit("train"),
+        )
+        .otherwise(F.lit("test"))
+        .alias("split"),
+    )
+    banded = phash_band_features(ev, "phash", bands=4)
+    flat = banded.select(
+        "event_id",
+        "phash",
+        F.posexplode(
+            F.array(*[F.col(f"phash_band{b}") for b in range(4)])
+        ).alias("bidx", "bval"),
+    )
+    x, y = flat.alias("x"), flat.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.bidx") == F.col("y.bidx"))
+            & (F.col("x.bval") == F.col("y.bval"))
+            & (F.col("x.event_id") < F.col("y.event_id")),
+        )
+        .select(
+            F.col("x.event_id").alias("id_a"),
+            F.col("y.event_id").alias("id_b"),
+            F.col("x.phash").alias("pa"),
+            F.col("y.phash").alias("pb"),
+        )
+        .distinct()
+        .filter(F.bit_count(F.col("pa").bitwiseXOR(F.col("pb"))) <= 2)
+        .select("id_a", "id_b")
+    )
+    return dedup.split_decontaminate(ids, pairs, id_col="event_id")
+
+
+@q(
+    "q145_retrieval_recall",
+    """
+    with v as (
+      select vec_id, embedding::DOUBLE[] as e, label from embeddings
+    ),
+    p as (
+      select vec_id, list_transform(embedding, x -> x * x)::DOUBLE[] as pe,
+             label
+      from embeddings where vec_id < 100
+    ),
+    s as (
+      select p.vec_id as probe_id, p.label, c.vec_id as neighbor_id,
+             round(list_dot_product(p.pe, c.e)
+                   / (sqrt(list_dot_product(p.pe, p.pe))
+                      * sqrt(list_dot_product(c.e, c.e))), 4) as sim
+      from p, v c
+    ),
+    r as (
+      select *, row_number() over (partition by probe_id
+                                   order by sim desc, neighbor_id asc) as rnk
+      from s
+    ),
+    h as (
+      select probe_id, label,
+             max(case when neighbor_id = probe_id then 1 else 0 end) as hit
+      from r where rnk <= 10 group by probe_id, label
+    )
+    select label, count(*) as n_probes,
+           cast(sum(hit) as bigint) as n_hits,
+           round(cast(sum(hit) as double) / cast(count(*) as double), 6)
+             as recall_at_k
+    from h group by label
+    """,
+)
+def q145(spark, sf_dir):
+    """Retrieval recall@10 (operators/similarity.py:retrieval_recall) —
+    the contrastive-embedding eval metric (pairs with q139's negative
+    sampling): probes are deterministically distorted copies
+    (elementwise square — float math, bit-identical in both engines)
+    of the first 100 vectors; a probe hits iff its own source id is in
+    its exact cosine top-10 (self-candidates eligible, unlike q26's
+    neighbor search). Per-label recall, exact integer ratio. Probe set
+    broadcast; corpus streamed once."""
+    emb = t(spark, sf_dir, "embeddings")
+    probes = emb.filter(F.col("vec_id") < 100).withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda v: v * v)
+    )
+    out = S.retrieval_recall(
+        emb, probes, k=10, id_col="vec_id", vec_col="embedding",
+        group_col="label",
+    )
+    return out.select("label", "n_probes", "n_hits", "recall_at_k")
+
+
+@q(
+    "q146_subsample_ci",
+    """
+    with e as (select event_type, event_id, value from events),
+    x as (
+      select event_type, event_id, value, r.b as b
+      from e, range(0, 32) r(b)
+      where substr(md5(cast(event_id as varchar) || ':' || cast(b as varchar)),
+                   1, 1)
+            in ('0','1','2','3','4','5','6','7')
+    ),
+    m as (
+      select event_type, b,
+             cast(sum(cast(value as decimal(18,6))) as double)
+               / cast(count(*) as double) as mu
+      from x group by event_type, b
+    ),
+    rk as (
+      select event_type, b, mu,
+             row_number() over (partition by event_type
+                                order by mu asc, b asc) as r,
+             count(*) over (partition by event_type) as n
+      from m
+    )
+    select event_type, max(n) as n_replicas,
+           round(min(mu), 6) + 0 as ci_lo, round(max(mu), 6) + 0 as ci_hi
+    from rk
+    where r = greatest(1, ceil(0.05 * n)) or r = ceil(0.95 * n)
+    group by event_type
+    """,
+)
+def q146(spark, sf_dir):
+    """Per-group subsampling confidence interval
+    (operators/stats.py:subsample_ci): 32 md5-seeded Bernoulli(½)
+    half-samples per group, a decimal-exact mean per replica, and the
+    5 %/95 % order statistics of the replica means as the CI — the
+    error bar a 100-TB profiler attaches to group statistics in one
+    pass, no resampling RNG, no second scan. Explode ×32 feeds a
+    map-side partial groupBy; the final groupBy sees ≤32 rows per
+    group."""
+    ev = _events(spark, sf_dir)
+    out = stats.subsample_ci(
+        ev, "value", by="event_type", id_col="event_id",
+        n_replicas=32, alpha=0.1,
+    )
+    return out.select(
+        "event_type",
+        "n_replicas",
+        (F.col("ci_lo") + F.lit(0.0)).alias("ci_lo"),
+        (F.col("ci_hi") + F.lit(0.0)).alias("ci_hi"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

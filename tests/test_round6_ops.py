@@ -1,0 +1,199 @@
+"""Round-6 second-batch operators: time-decay EWMA, OLS trend,
+quantile normalization, duplicate spans, split decontamination,
+retrieval recall, subsample CI."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+
+def test_time_decay_ewma_matches_numpy(spark):
+    from lbf_spark.operators.windows import time_decay_ewma
+
+    rng = np.random.default_rng(11)
+    ts = np.cumsum(rng.integers(1, 5000, 60))  # irregular gaps
+    x = np.round(rng.normal(5, 2, 60), 4)
+    rows = [("e", int(i), int(t), float(v)) for i, (t, v) in enumerate(zip(ts, x))]
+    df = spark.createDataFrame(
+        rows, "entity string, event_id long, ts long, value double"
+    )
+    hl, k = 4000.0, 5
+    got = (
+        time_decay_ewma(df, "value", "ts", half_life=hl, window=k,
+                        by="entity", tiebreak="event_id")
+        .toPandas()
+        .sort_values("event_id")
+    )
+    for i in range(len(x)):
+        num = den = 0.0
+        for j in range(max(0, i - k + 1), i + 1):
+            w = math.exp(-math.log(2) * (ts[i] - ts[j]) / hl)
+            num += x[j] * w
+            den += w
+        assert abs(got.decay_avg.iloc[i] - round(num / den, 6)) < 2e-6
+    # half-life semantics: a lone lag exactly one half-life back weighs 1/2
+    df2 = spark.createDataFrame(
+        [("e", 0, 0, 0.0), ("e", 1, 4000, 3.0)],
+        "entity string, event_id long, ts long, value double",
+    )
+    got2 = time_decay_ewma(
+        df2, "value", "ts", half_life=4000.0, window=2,
+        by="entity", tiebreak="event_id",
+    ).toPandas().set_index("event_id")
+    assert abs(got2.loc[1, "decay_avg"] - (3.0 * 1 + 0.0 * 0.5) / 1.5) < 1e-6
+
+
+def test_trend_matches_numpy_ols(spark):
+    from lbf_spark.operators.windows import trend
+
+    rng = np.random.default_rng(3)
+    rows = []
+    truth = {}
+    for ent, slope in (("up", 2.5), ("dn", -1.0)):
+        t_s = np.sort(rng.integers(0, 10_000, 120))
+        x = np.round(slope * t_s / 1000.0 + rng.normal(0, 0.5, 120) + 7, 4)
+        truth[ent] = (t_s, x)
+        rows += [
+            (ent, i, int(tv) * 1_000_000, float(v))
+            for i, (tv, v) in enumerate(zip(t_s, x))
+        ]
+    rows += [("const_t", i, 5_000_000, float(i)) for i in range(10)]  # zero time var
+    rows += [("single", 0, 0, 1.0)]
+    df = spark.createDataFrame(
+        rows, "entity string, event_id long, ts long, value double"
+    )
+    got = trend(df, "value", "ts", by="entity").toPandas().set_index("entity")
+    assert "const_t" not in got.index and "single" not in got.index
+    for ent, (t_s, x) in truth.items():
+        t0 = t_s - t_s.min()
+        sl, ic = np.polyfit(t0.astype(float), x, 1)
+        r = np.corrcoef(t0.astype(float), x)[0, 1]
+        assert got.loc[ent, "n_obs"] == 120
+        assert abs(got.loc[ent, "trend_slope"] - sl) < 1e-9
+        assert abs(got.loc[ent, "trend_intercept"] - ic) < 1e-8
+        assert abs(got.loc[ent, "trend_r2"] - r * r) < 1e-9
+
+
+def test_quantile_normalize_forces_common_distribution(spark):
+    from lbf_spark.operators.normalize import quantile_normalize
+
+    rng = np.random.default_rng(5)
+    rows = []
+    for ent, (mu, sig) in (("a", (0, 1)), ("b", (50, 10)), ("c", (-3, 0.2))):
+        for i, v in enumerate(np.round(rng.normal(mu, sig, 40), 4)):
+            rows.append((ent, f"{ent}{i}", float(v)))
+    df = spark.createDataFrame(rows, "entity string, event_id string, value double")
+    got = quantile_normalize(df, "value", by="entity", tiebreak="event_id").toPandas()
+    # every entity ends with the IDENTICAL sorted vector of qnorm values
+    piv = {e: np.sort(g.qnorm.to_numpy()) for e, g in got.groupby("entity")}
+    assert np.allclose(piv["a"], piv["b"]) and np.allclose(piv["a"], piv["c"])
+    # qnorm at rank k is the cross-entity mean of the k-th smallest values
+    k3 = got[got["rank"] == 3]
+    exp = np.mean(
+        [np.sort(g.value.to_numpy())[2] for _, g in got.groupby("entity")]
+    )
+    assert abs(k3.qnorm.iloc[0] - exp) < 1e-9
+    # ranks are preserved within each entity
+    ga = got[got.entity == "a"].sort_values("rank")
+    assert (np.diff(ga.value.to_numpy()) >= 0).all()
+
+
+def test_duplicate_spans_finds_planted_boilerplate(spark):
+    from lbf_spark.operators.dedup import duplicate_spans
+
+    boiler = "this content is licensed under the creative commons license"
+    docs = [
+        (1, f"alpha beta gamma {boiler} delta"),
+        (2, f"{boiler} unrelated tail words here"),
+        (3, "totally different text with no overlap at all whatsoever"),
+        (4, f"prefix words then {boiler}"),
+        (5, "short"),  # < width tokens → no spans, must not crash
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = duplicate_spans(df, width=8, min_docs=2).toPandas()
+    # the 9-token boilerplate has 2 sliding 8-grams, each in docs {1,2,4}
+    assert len(got) == 2
+    assert (got.n_docs == 3).all()
+    assert (got.n_occ == 3).all()
+    assert (got.first_doc == 1).all()
+    # doc 3 and doc 5 never appear
+    got_w2 = duplicate_spans(df, width=100, min_docs=2).toPandas()
+    assert got_w2.empty  # width longer than every doc → no spans
+
+
+def test_split_decontaminate_drops_only_contaminated_train(spark):
+    from lbf_spark.operators.dedup import split_decontaminate
+
+    ids = spark.createDataFrame(
+        [(1, "train"), (2, "train"), (3, "test"), (4, "test"), (5, "train")],
+        "id long, split string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 3), (2, 5), (4, 4)], "id_a long, id_b long"
+    )  # 1↔3 crosses; 2↔5 train-train; 4↔4 test-test
+    got = (
+        split_decontaminate(ids, pairs, id_col="id")
+        .toPandas()
+        .set_index("id")
+        .sort_index()
+    )
+    assert not got.loc[1, "kept"]          # train near-dup of test → dropped
+    assert got.loc[2, "kept"] and got.loc[5, "kept"]  # train-train pair kept
+    assert got.loc[3, "kept"] and got.loc[4, "kept"]  # eval never dropped
+    assert len(got) == 5                    # no row loss, no duplication
+
+
+def test_retrieval_recall_separable_space(spark):
+    from lbf_spark.operators.similarity import retrieval_recall
+
+    # 20 well-separated vectors (near-orthogonal axes): the squared
+    # probe of axis-aligned e_i is e_i itself → recall@1 must be 1.
+    dim = 24
+    rows = []
+    for i in range(20):
+        v = [0.0] * dim
+        v[i] = 1.0
+        v[(i + 7) % dim] += 0.01  # break exact ties deterministically
+        rows.append((i, v, i % 2))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    probes = emb.withColumn(
+        "embedding", F.transform(F.col("embedding"), lambda x: x * x)
+    )
+    got = retrieval_recall(emb, probes, k=1, group_col="label").toPandas()
+    assert sorted(got.label) == [0, 1]
+    assert (got.recall_at_k == 1.0).all()
+    assert got.n_probes.sum() == 20 and got.n_hits.sum() == 20
+    # global grouping path
+    g2 = retrieval_recall(emb, probes, k=1).toPandas()
+    assert len(g2) == 1 and g2.recall_at_k.iloc[0] == 1.0
+
+
+def test_subsample_ci_brackets_true_mean(spark):
+    from lbf_spark.operators.stats import subsample_ci
+
+    rng = np.random.default_rng(9)
+    rows = [
+        ("g", int(i), float(v))
+        for i, v in enumerate(np.round(rng.normal(100, 5, 4000), 4))
+    ]
+    df = spark.createDataFrame(rows, "grp string, event_id long, value double")
+    got = subsample_ci(
+        df, "value", by="grp", id_col="event_id", n_replicas=32, alpha=0.1
+    ).toPandas()
+    assert len(got) == 1
+    lo, hi, m = got.ci_lo.iloc[0], got.ci_hi.iloc[0], got.n_replicas.iloc[0]
+    mu = np.mean([r[2] for r in rows])
+    assert m == 32
+    assert lo < mu < hi                 # CI brackets the truth
+    assert hi - lo < 1.0                # and is tight for n=4000, σ=5
+    # determinism: identical on re-run
+    again = subsample_ci(
+        df, "value", by="grp", id_col="event_id", n_replicas=32, alpha=0.1
+    ).toPandas()
+    pd.testing.assert_frame_equal(got, again)
