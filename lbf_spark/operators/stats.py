@@ -527,3 +527,176 @@ def subsample_ci(
             F.round(F.max("__m"), 6).alias("ci_hi"),
         )
     )
+
+
+def trimmed_winsorized_mean(
+    df,
+    col: str,
+    by: str = "entity",
+    trim: float = 0.05,
+    tiebreak: str = "event_id",
+):
+    """Per-group robust location estimates in ONE pass: the trimmed
+    mean (drop the ⌈trim·n⌉ smallest and largest values) and the
+    winsorized mean (clamp them to the surviving boundary values) —
+    the outlier-hardened siblings of the plain group mean that a
+    feature profiler reports next to q36's IQR clamp.
+
+    Engine-exactness: the cut ranks come from row_number over a TOTAL
+    order (value, tiebreak); boundary values are conditional window
+    min/max (exact selections, no interpolation); both means are
+    decimal-sum/count (the q115 rule — never a raw-double avg into a
+    hashed output).
+
+    ONE hash exchange on ``by`` serves the rank window, the boundary
+    windows and the final groupBy."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(by).orderBy(F.asc(col), F.asc(tiebreak))
+    wa = Window.partitionBy(by)
+    c = F.ceil(F.lit(float(trim)) * F.count(F.lit(1)).over(wa).cast("double"))
+    ranked = (
+        df.withColumn("__r", F.row_number().over(w))
+        .withColumn("__n", F.count(F.lit(1)).over(wa))
+        .withColumn("__c", c)
+    )
+    in_core = (F.col("__r") > F.col("__c")) & (
+        F.col("__r") <= F.col("__n") - F.col("__c")
+    )
+    lo = F.min(F.when(in_core, F.col(col))).over(wa)
+    hi = F.max(F.when(in_core, F.col(col))).over(wa)
+    xd = F.col(col).cast("decimal(18,6)")
+    wins = F.least(F.greatest(F.col(col), F.col("__lo")), F.col("__hi")).cast(
+        "decimal(18,6)"
+    )
+    out = (
+        ranked.withColumn("__lo", lo)
+        .withColumn("__hi", hi)
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            (
+                F.sum(F.when(in_core, xd)).cast("double")
+                / F.sum(in_core.cast("long")).cast("double")
+            ).alias("trimmed_mean"),
+            (
+                F.sum(wins).cast("double")
+                / F.count(F.lit(1)).cast("double")
+            ).alias("winsor_mean"),
+        )
+    )
+    return out
+
+
+def pmi_cells(
+    df,
+    a: str,
+    b: str,
+):
+    """Pointwise mutual information per (a, b) cell — the
+    feature-selection / co-occurrence signal over two categorical
+    columns, emitted PER CELL rather than summed to a scalar MI: the
+    per-cell ln((n_ab·n)/(n_a·n_b)) terms are each ONE IEEE ln over
+    exact integer ratios (bit-reproducible), whereas the scalar MI
+    would be a float SUM whose partial-aggregation order is not
+    (q115's lesson, generalized). Downstream can sum the returned
+    (weight · pmi) terms at whatever precision it wants.
+
+    Shape: one groupBy on (a, b); marginals via two window sums over
+    exact bigint counts — no second scan, no driver state."""
+    from pyspark.sql import Window
+
+    cells = df.groupBy(a, b).agg(F.count(F.lit(1)).alias("n_ab"))
+    n_a = F.sum("n_ab").over(Window.partitionBy(a))
+    n_b = F.sum("n_ab").over(Window.partitionBy(b))
+    n = F.sum("n_ab").over(Window.partitionBy())
+    return (
+        cells.withColumn("n_a", n_a)
+        .withColumn("n_b", n_b)
+        .withColumn("n", n)
+        .withColumn(
+            "pmi",
+            F.log(
+                (F.col("n_ab").cast("double") * F.col("n").cast("double"))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ),
+        )
+    )
+
+
+def panel_corr_pairs(
+    df,
+    col: str,
+    by: str = "entity",
+    ts_col: str = "ts",
+    bucket_us: int = 86_400_000_000,
+    min_common: int = 3,
+):
+    """Cross-entity correlation discovery: resample every entity to a
+    common time grid (decimal-exact bucket means), inner-join entities
+    pairwise on the grid (common support only), and compute Pearson r
+    per pair from decimal sufficient statistics — "which series move
+    together", the panel feature behind cohort construction and
+    redundancy pruning.
+
+    Scale honesty: pairs are O(E²) in the number of entities sharing
+    buckets — right for panel workloads (≤ ~10⁴ series). At larger E,
+    block first (sign-sketch LSH over the gridded vectors, the q25
+    recipe) and feed the blocked candidates through the same stats;
+    the grid join itself shuffles only (entity, bucket) aggregates,
+    never raw rows.
+
+    Engine-exactness: bucket ids are exact bigint floor-division;
+    bucket means are decimal-sum/count; the five pair statistics are
+    decimal sums over those (re-quantized to decimal(18,6)); the
+    closed-form r is one IEEE tree. Pairs are oriented a < b (total
+    order)."""
+    # exact bigint floor-division — a double-divide + cast can flip a
+    # row across the bucket boundary when the remainder is 0
+    bucket = F.expr(f"`{ts_col}` div {int(bucket_us)}")
+    # the gridded mean is round(6)ed so the decimal(18,6) re-cast in
+    # the pair statistics is EXACT (a round-6 double is within half an
+    # ulp of one decimal(18,6) value — no engine-dependent rounding)
+    g = (
+        df.withColumn("__bk", bucket)
+        .groupBy(by, "__bk")
+        .agg(
+            F.round(
+                F.sum(F.col(col).cast("decimal(18,6)")).cast("double")
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("__v")
+        )
+    )
+    l, r = g.alias("l"), g.alias("r")
+    xd = F.col("l.__v").cast("decimal(18,6)")
+    yd = F.col("r.__v").cast("decimal(18,6)")
+    pairs = (
+        l.join(
+            r,
+            (F.col("l.__bk") == F.col("r.__bk"))
+            & (F.col(f"l.{by}") < F.col(f"r.{by}")),
+        )
+        .groupBy(
+            F.col(f"l.{by}").alias("entity_a"),
+            F.col(f"r.{by}").alias("entity_b"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(xd).cast("double").alias("__sx"),
+            F.sum(yd).cast("double").alias("__sy"),
+            F.sum(xd * xd).cast("double").alias("__sxx"),
+            F.sum(yd * yd).cast("double").alias("__syy"),
+            F.sum(xd * yd).cast("double").alias("__sxy"),
+        )
+    )
+    n = F.col("n_common").cast("double")
+    num = n * F.col("__sxy") - F.col("__sx") * F.col("__sy")
+    den2 = (n * F.col("__sxx") - F.col("__sx") * F.col("__sx")) * (
+        n * F.col("__syy") - F.col("__sy") * F.col("__sy")
+    )
+    return (
+        pairs.filter((F.col("n_common") >= min_common) & (den2 > F.lit(0.0)))
+        .withColumn("corr", num / F.sqrt(den2))
+        .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
+    )

@@ -6717,6 +6717,190 @@ def q146(spark, sf_dir):
     )
 
 
+@q("q147_heavy_hitter_cert", _EMPTY_CERT3)
+def q147(spark, sf_dir):
+    """Misra-Gries heavy-hitter CERTIFICATE (operators/sketches.py —
+    the mergeable-summary guarantee of Agarwal et al. 2012, checked
+    against EXACT distributed counts): per-partition MG sketches over
+    Arrow batches, merged driver-side (p×k counters — bounded
+    metadata), must satisfy ``true − n/(k+1) ≤ est ≤ true`` for every
+    item and contain every item above n/(k+1). The guarantee holds for
+    ANY partitioning and merge order, so the violation set is
+    deterministically empty even though sketch contents may vary with
+    the physical split — exactly why the property, not the sketch, is
+    what the driver hashes. Completes the sketch-certificate family of
+    q137 (HLL++, Greenwald-Khanna) with the heavy-hitter member Spark
+    has no built-in for."""
+    from lbf_spark.operators.sketches import heavy_hitter_violations
+
+    ev = _events(spark, sf_dir)
+    v = heavy_hitter_violations(spark, ev, "user_id", k=64)
+    return v.select(
+        F.col("violation").alias("family"),
+        F.col("item").alias("key"),
+        (F.col("exact") - F.col("est")).cast("double").alias("err"),
+    )
+
+
+@q(
+    "q148_trimmed_mean",
+    """
+    with e as (select event_type, event_id, value from events),
+    r as (
+      select event_type, event_id, value,
+             row_number() over (partition by event_type
+                                order by value, event_id) as r,
+             count(*) over (partition by event_type) as n
+      from e
+    ),
+    c as (
+      select *, cast(ceil(0.05 * cast(n as double)) as bigint) as c from r
+    ),
+    core as (select *, (r > c and r <= n - c) as in_core from c),
+    b as (
+      select *,
+             min(case when in_core then value end)
+               over (partition by event_type) as lo,
+             max(case when in_core then value end)
+               over (partition by event_type) as hi
+      from core
+    )
+    select event_type, count(*) as n_obs,
+           round(cast(sum(case when in_core
+                               then cast(value as decimal(18,6)) end) as double)
+                 / cast(count(case when in_core then 1 end) as double), 6) + 0
+             as trimmed_mean,
+           round(cast(sum(cast(least(greatest(value, lo), hi)
+                               as decimal(18,6))) as double)
+                 / cast(count(*) as double), 6) + 0 as winsor_mean
+    from b group by event_type
+    """,
+)
+def q148(spark, sf_dir):
+    """Per-group trimmed and winsorized means
+    (operators/stats.py:trimmed_winsorized_mean) — outlier-hardened
+    location features next to q36's IQR clamp: cut ranks from a
+    total-ordered row_number, boundary values as conditional window
+    min/max, both means decimal-sum/count. ONE exchange on the group
+    serves rank window, boundary windows and the final groupBy."""
+    ev = _events(spark, sf_dir)
+    out = stats.trimmed_winsorized_mean(
+        ev, "value", by="event_type", trim=0.05, tiebreak="event_id"
+    )
+    return out.select(
+        "event_type",
+        "n_obs",
+        (F.round("trimmed_mean", 6) + F.lit(0.0)).alias("trimmed_mean"),
+        (F.round("winsor_mean", 6) + F.lit(0.0)).alias("winsor_mean"),
+    )
+
+
+@q(
+    "q149_pmi",
+    """
+    with e as (
+      select event_type,
+             (epoch_us(ts) // 3600000000) % 24 as hour
+      from events
+    ),
+    cells as (
+      select event_type, hour, count(*) as n_ab from e group by 1, 2
+    ),
+    m as (
+      select event_type, hour, n_ab,
+             cast(sum(n_ab) over (partition by event_type) as bigint) as n_a,
+             cast(sum(n_ab) over (partition by hour) as bigint) as n_b,
+             cast(sum(n_ab) over () as bigint) as n
+      from cells
+    )
+    select event_type, hour, n_ab, n_a, n_b,
+           round(ln((cast(n_ab as double) * cast(n as double))
+                    / (cast(n_a as double) * cast(n_b as double))), 6) + 0
+             as pmi
+    from m
+    """,
+)
+def q149(spark, sf_dir):
+    """Pointwise mutual information per (event_type × hour-of-day)
+    cell (operators/stats.py:pmi_cells) — the categorical
+    co-occurrence / feature-selection signal, emitted PER CELL: each
+    pmi is ONE IEEE ln over exact integer ratios (bit-reproducible),
+    where the scalar MI would be a float sum at the mercy of
+    partial-agg order (q115's lesson). Marginals via window sums over
+    exact bigint counts — no second scan."""
+    ev = _events(spark, sf_dir).withColumn(
+        "hour", F.expr("(ts_us div 3600000000) % 24")
+    )
+    out = stats.pmi_cells(ev, "event_type", "hour")
+    return out.select(
+        "event_type",
+        "hour",
+        "n_ab",
+        "n_a",
+        "n_b",
+        (F.round("pmi", 6) + F.lit(0.0)).alias("pmi"),
+    )
+
+
+@q(
+    "q150_panel_corr",
+    """
+    with e as (
+      select user_id, epoch_us(ts) // 86400000000 as bk, value from events
+    ),
+    g as (
+      select user_id, bk,
+             round(cast(sum(cast(value as decimal(18,6))) as double)
+                   / cast(count(*) as double), 6) as v
+      from e group by 1, 2
+    ),
+    p as (
+      select l.user_id as entity_a, r.user_id as entity_b,
+             count(*) as n_common,
+             cast(sum(cast(l.v as decimal(18,6))) as double) as sx,
+             cast(sum(cast(r.v as decimal(18,6))) as double) as sy,
+             cast(sum(cast(l.v as decimal(18,6))
+                      * cast(l.v as decimal(18,6))) as double) as sxx,
+             cast(sum(cast(r.v as decimal(18,6))
+                      * cast(r.v as decimal(18,6))) as double) as syy,
+             cast(sum(cast(l.v as decimal(18,6))
+                      * cast(r.v as decimal(18,6))) as double) as sxy
+      from g l join g r on l.bk = r.bk and l.user_id < r.user_id
+      group by 1, 2
+    )
+    select entity_a, entity_b, n_common,
+           round((cast(n_common as double) * sxy - sx * sy)
+                 / sqrt((cast(n_common as double) * sxx - sx * sx)
+                        * (cast(n_common as double) * syy - sy * sy)), 6) + 0
+             as corr
+    from p
+    where n_common >= 5
+      and (cast(n_common as double) * sxx - sx * sx)
+          * (cast(n_common as double) * syy - sy * sy) > 0
+    """,
+)
+def q150(spark, sf_dir):
+    """Cross-entity correlation pairs on a daily grid
+    (operators/stats.py:panel_corr_pairs) — "which series move
+    together": decimal-exact bucket means (round-6 so the decimal
+    re-cast in the pair stats is exact), pairwise inner-join on the
+    grid (common support), Pearson r from decimal sufficient stats,
+    pairs oriented a < b. Panel-scale O(E²) by design; the docstring
+    records the sign-sketch blocking path for larger E. The grid join
+    shuffles only (entity, bucket) aggregates, never raw rows."""
+    ev = _events(spark, sf_dir)
+    out = stats.panel_corr_pairs(
+        ev, "value", by="user_id", ts_col="ts_us",
+        bucket_us=86_400_000_000, min_common=5,
+    )
+    return out.select(
+        F.col("entity_a"),
+        F.col("entity_b"),
+        "n_common",
+        (F.round("corr", 6) + F.lit(0.0)).alias("corr"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

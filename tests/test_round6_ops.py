@@ -197,3 +197,108 @@ def test_subsample_ci_brackets_true_mean(spark):
         df, "value", by="grp", id_col="event_id", n_replicas=32, alpha=0.1
     ).toPandas()
     pd.testing.assert_frame_equal(got, again)
+
+
+def test_heavy_hitters_mg_guarantee_and_cert(spark):
+    from lbf_spark.operators.sketches import (
+        heavy_hitter_violations,
+        heavy_hitters_mg,
+    )
+
+    # Zipf-ish: item i appears ~N/i times — clear heavy head
+    rows = []
+    for i in range(1, 60):
+        rows += [(f"item{i:02d}",)] * (3000 // i)
+    df = spark.createDataFrame(rows, "k string").repartition(8)
+    sketch, n = heavy_hitters_mg(df, "k", k=16)
+    assert n == len(rows)
+    est = dict(sketch)
+    err = n / 17
+    exact = {}
+    for (v,) in rows:
+        exact[v] = exact.get(v, 0) + 1
+    for item, c in exact.items():
+        e = est.get(item, 0)
+        assert e <= c                      # never overestimates
+        assert c - e <= err + 1e-9         # within the MG bound
+        if c > err:
+            assert item in est             # heavy items always present
+    assert heavy_hitter_violations(spark, df, "k", k=16).count() == 0
+    # uniform stream (no heavy hitters): guarantee still holds
+    uni = spark.createDataFrame(
+        [(f"u{i % 500}",) for i in range(5000)], "k string"
+    ).repartition(8)
+    assert heavy_hitter_violations(spark, uni, "k", k=16).count() == 0
+
+
+def test_trimmed_winsorized_mean_matches_numpy(spark):
+    from lbf_spark.operators.stats import trimmed_winsorized_mean
+
+    rng = np.random.default_rng(13)
+    x = np.round(np.concatenate([rng.normal(10, 1, 190), [500.0] * 5, [-400.0] * 5]), 4)
+    rows = [("g", int(i), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "grp string, event_id long, value double")
+    got = trimmed_winsorized_mean(
+        df, "value", by="grp", trim=0.05, tiebreak="event_id"
+    ).toPandas()
+    xs = np.sort(x)
+    c = int(np.ceil(0.05 * len(x)))
+    core = xs[c : len(x) - c]
+    exp_trim = core.mean()
+    exp_wins = np.clip(x, core.min(), core.max()).mean()
+    assert got.n_obs.iloc[0] == 200
+    assert abs(got.trimmed_mean.iloc[0] - exp_trim) < 1e-9
+    assert abs(got.winsor_mean.iloc[0] - exp_wins) < 1e-9
+    # the outliers moved the raw mean but not the robust ones
+    assert abs(got.trimmed_mean.iloc[0] - 10) < 0.5
+    assert abs(x.mean() - 10) > 1.0
+
+
+def test_pmi_cells_matches_numpy(spark):
+    from lbf_spark.operators.stats import pmi_cells
+
+    rows = (
+        [("a", "x")] * 40 + [("a", "y")] * 10
+        + [("b", "x")] * 10 + [("b", "y")] * 40
+    )
+    df = spark.createDataFrame(rows, "u string, v string")
+    got = pmi_cells(df, "u", "v").toPandas().set_index(["u", "v"])
+    n = 100
+    for (a, b), n_ab in [(("a", "x"), 40), (("a", "y"), 10),
+                         (("b", "x"), 10), (("b", "y"), 40)]:
+        exp = math.log((n_ab * n) / (50 * 50))
+        assert abs(got.loc[(a, b), "pmi"] - exp) < 1e-12
+        assert got.loc[(a, b), "n_ab"] == n_ab
+    # positively associated cells positive, negative negative
+    assert got.loc[("a", "x"), "pmi"] > 0 > got.loc[("a", "y"), "pmi"]
+
+
+def test_panel_corr_pairs_recovers_comovement(spark):
+    from lbf_spark.operators.stats import panel_corr_pairs
+
+    rng = np.random.default_rng(17)
+    base = rng.normal(0, 1, 30)
+    rows = []
+    series = {
+        "a": base + rng.normal(0, 0.05, 30),       # ≈ base
+        "b": base + rng.normal(0, 0.05, 30),       # ≈ base → corr(a,b) ≈ 1
+        "c": -base + rng.normal(0, 0.05, 30),      # anti-correlated
+        "d": rng.normal(0, 1, 30),                 # independent
+    }
+    for ent, x in series.items():
+        for day, v in enumerate(x):
+            rows.append((ent, day * 86_400_000_000 + 1000, float(round(v, 4))))
+    df = spark.createDataFrame(rows, "entity string, ts long, value double")
+    got = (
+        panel_corr_pairs(df, "value", by="entity", ts_col="ts",
+                         bucket_us=86_400_000_000, min_common=10)
+        .toPandas()
+        .set_index(["entity_a", "entity_b"])
+    )
+    assert (got.n_common == 30).all()
+    assert got.loc[("a", "b"), "corr"] > 0.99
+    assert got.loc[("a", "c"), "corr"] < -0.99
+    assert abs(got.loc[("a", "d"), "corr"]) < 0.5
+    # numpy ground truth for one pair
+    exp = np.corrcoef(np.round(series["a"], 4), np.round(series["b"], 4))[0, 1]
+    assert abs(got.loc[("a", "b"), "corr"] - exp) < 1e-6
