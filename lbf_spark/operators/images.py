@@ -418,3 +418,114 @@ def pixel_digest(df: DataFrame, id_col: str = "image_id") -> DataFrame:
             yield out
 
     return df.mapInPandas(batches, schema)
+
+
+def pixel_sums(df: DataFrame, id_col: str = "image_id") -> DataFrame:
+    """Exact integer pixel totals per image: decoded (dec_w, dec_h,
+    n_px = dec_w·dec_h·channels, px_sum = Σ uint8 values as bigint) —
+    the arithmetic fingerprint that, unlike ``pixel_digest``'s md5,
+    COMPOSES across tilings (a sum of parts equals the whole), which is
+    what the patch-extraction certificate (q152) checks. Payload
+    dropped on output."""
+    keep = [c for c in df.columns if c != "bytes"]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [
+            T.StructField("dec_w", T.IntegerType(), True),
+            T.StructField("dec_h", T.IntegerType(), True),
+            T.StructField("n_px", T.LongType(), True),
+            T.StructField("px_sum", T.LongType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            ws, hs, ns, ss = [], [], [], []
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    ws.append(None); hs.append(None)
+                    ns.append(None); ss.append(None)
+                    continue
+                img = decode_image(bytes(data), fmt)
+                h, w, c = img.shape
+                ws.append(w); hs.append(h)
+                ns.append(int(h * w * c))
+                ss.append(int(img.astype(np.int64).sum()))
+            out = pdf[keep].copy()
+            out["dec_w"] = pd.array(ws, dtype="Int32")
+            out["dec_h"] = pd.array(hs, dtype="Int32")
+            out["n_px"] = pd.array(ns, dtype="Int64")
+            out["px_sum"] = pd.array(ss, dtype="Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def extract_patches(
+    df: DataFrame,
+    patch: int = 8,
+    id_col: str = "image_id",
+) -> DataFrame:
+    """ViT-style patch extraction: decode each image once and emit one
+    row per ``patch×patch`` grid cell — (patch_row, patch_col, p_w,
+    p_h, p_n_px, p_sum, patch_md5). Edge cells are CLIPPED (p_w/p_h <
+    patch at the right/bottom rim), so the grid tiles the image
+    exactly — Σ p_n_px = dec area and Σ p_sum = the whole-image pixel
+    sum, the invariants q152 certifies.
+
+    Scale shape: ONE Arrow decode per image (never per patch), output
+    rows carry 32-char digests + small ints — the megapixel payload is
+    dropped in-stage and never shuffles; the row fan-out is the grid
+    size, bounded by (⌈w/p⌉·⌈h/p⌉). Patch digests are md5 of the
+    C-contiguous patch array (determinism rules), reusable directly as
+    patch-level dedup keys or downstream tokenizer inputs."""
+    keep = [c for c in df.columns if c != "bytes"]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [
+            T.StructField("patch_row", T.IntegerType(), False),
+            T.StructField("patch_col", T.IntegerType(), False),
+            T.StructField("p_w", T.IntegerType(), False),
+            T.StructField("p_h", T.IntegerType(), False),
+            T.StructField("p_n_px", T.LongType(), False),
+            T.StructField("p_sum", T.LongType(), False),
+            T.StructField("patch_md5", T.StringType(), False),
+        ]
+    )
+    p = int(patch)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import hashlib
+
+        for pdf in it:
+            recs: list[dict] = []
+            for idx in range(len(pdf)):
+                data, fmt = pdf["bytes"].iloc[idx], pdf["fmt"].iloc[idx]
+                if data is None:
+                    continue
+                img = decode_image(bytes(data), fmt)
+                h, w, c = img.shape
+                base = {k: pdf[k].iloc[idx] for k in keep}
+                for pr in range((h + p - 1) // p):
+                    for pc in range((w + p - 1) // p):
+                        tile = img[pr * p : (pr + 1) * p, pc * p : (pc + 1) * p]
+                        th, tw, _ = tile.shape
+                        recs.append(
+                            {
+                                **base,
+                                "patch_row": pr,
+                                "patch_col": pc,
+                                "p_w": tw,
+                                "p_h": th,
+                                "p_n_px": int(th * tw * c),
+                                "p_sum": int(tile.astype(np.int64).sum()),
+                                "patch_md5": hashlib.md5(
+                                    np.ascontiguousarray(tile).tobytes()
+                                ).hexdigest(),
+                            }
+                        )
+            yield pd.DataFrame(
+                recs, columns=[*keep, *[f.name for f in schema.fields if f.name not in keep]]
+            )
+
+    return df.mapInPandas(batches, schema)

@@ -101,6 +101,8 @@ def heavy_hitter_violations(
     df: DataFrame,
     col: str,
     k: int = 64,
+    sketch: list[tuple] | None = None,
+    n: int | None = None,
 ) -> DataFrame:
     """CERTIFICATE frame for ``heavy_hitters_mg`` (q104 pattern): one
     row per violated guarantee, empty ⇔ the sketch is trustworthy.
@@ -112,8 +114,15 @@ def heavy_hitter_violations(
         from the sketch;
       * ``overestimate``: estimate > exact count (MG never overshoots);
       * ``bound``: exact − estimate > n/(k+1).
-    """
-    sketch, n = heavy_hitters_mg(df, col, k=k)
+
+    Pass a precomputed ``(sketch, n)`` (e.g. the persisted state of
+    ``streaming.stream_features.stream_heavy_hitters``) to certify an
+    externally-built summary; when ``n`` disagrees with the exact row
+    count (a replay double-count or a lost batch) every row is off by
+    the same shift, so the bound rows surface it — and callers can
+    additionally compare n directly."""
+    if sketch is None:
+        sketch, n = heavy_hitters_mg(df, col, k=k)
     err = n / (k + 1)
     sk = spark.createDataFrame(
         [(i, int(e)) for i, e in sketch], "item string, est long"

@@ -6901,6 +6901,130 @@ def q150(spark, sf_dir):
     )
 
 
+@q("q151_stream_hh_cert", _EMPTY_CERT3)
+def q151(spark, sf_dir):
+    """Streaming heavy-hitter CERTIFICATE (q116's batch-mode driver
+    proof applied to the MG state sink,
+    streaming/stream_features.py:heavy_hitter_batch_merge): the events
+    stream is split into three time-ordered micro-batches folded into
+    one persistent bounded sketch state, batch 1 is RE-DELIVERED
+    (foreachBatch is at-least-once — the hwm must make it a no-op),
+    and the final state must (a) carry n == the exact stream length
+    (a double-applied replay or lost batch shifts it) and (b) satisfy
+    the mergeable-summary guarantee true − n/(k+1) ≤ est ≤ true
+    against EXACT distributed counts over the whole stream. Violations
+    → rows; oracle = empty set, so the driver hash proves replay
+    idempotence AND the cross-batch error bound."""
+    from lbf_spark.operators.sketches import heavy_hitter_violations
+    from lbf_spark.streaming.stream_features import (
+        heavy_hitter_batch_merge,
+        read_heavy_hitter_state,
+    )
+
+    ev = _events(spark, sf_dir).select(
+        F.col("user_id").cast("string").alias("uid"), "ts_us"
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    c1 = int(lo) + (int(hi) - int(lo)) // 3
+    c2 = int(lo) + 2 * (int(hi) - int(lo)) // 3
+    path = _table_tmp(sf_dir, "q151_state")
+    k = 48
+    heavy_hitter_batch_merge(
+        ev.filter(F.col("ts_us") <= c1), 0, path, "uid", k=k
+    )
+    heavy_hitter_batch_merge(
+        ev.filter((F.col("ts_us") > c1) & (F.col("ts_us") <= c2)), 1, path,
+        "uid", k=k,
+    )
+    heavy_hitter_batch_merge(
+        ev.filter((F.col("ts_us") > c1) & (F.col("ts_us") <= c2)), 1, path,
+        "uid", k=k,
+    )  # replayed delivery of batch 1 — must be a no-op
+    heavy_hitter_batch_merge(
+        ev.filter(F.col("ts_us") > c2), 2, path, "uid", k=k
+    )
+    state = read_heavy_hitter_state(spark, path)
+    sketch = sorted(
+        ((i, int(c)) for i, c in state["counters"].items()),
+        key=lambda kv: (-kv[1], kv[0]),
+    )
+    v = heavy_hitter_violations(
+        spark, ev, "uid", k=k, sketch=sketch, n=int(state["n"])
+    ).select(
+        F.col("violation").alias("family"),
+        F.col("item").alias("key"),
+        (F.col("exact") - F.col("est")).cast("double").alias("err"),
+    )
+    n_check = (
+        ev.agg(F.count(F.lit(1)).alias("n_exact"))
+        .filter(F.col("n_exact") != F.lit(int(state["n"])))
+        .select(
+            F.lit("n_mismatch").alias("family"),
+            F.col("n_exact").cast("string").alias("key"),
+            (F.col("n_exact") - F.lit(int(state["n"]))).cast("double").alias("err"),
+        )
+    )
+    return v.unionByName(n_check)
+
+
+@q("q152_patch_extract_cert", _EMPTY_CERT3)
+def q152(spark, sf_dir):
+    """ViT-style patch-extraction CERTIFICATE
+    (operators/images.py:extract_patches): every image of the
+    deterministic image+caption table is tiled into 8×8 patches (edge
+    cells clipped) in ONE Arrow decode stage, and the tiling must be
+    EXACTLY conservative against an independent whole-image decode
+    (images.py:pixel_sums): Σ patch areas = decoded area, Σ patch
+    pixel sums = whole-image pixel sum (exact int64 — composable where
+    an md5 is not), grid extents = ⌈w/8⌉×⌈h/8⌉, and the patch count
+    fills the grid. A dropped/duplicated patch, a mis-clipped edge, or
+    a stride bug each break an invariant. Violations → rows; oracle =
+    empty set. Patch digests double as patch-level dedup keys."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.images import extract_patches, pixel_sums
+    from lbf_spark.util import fan_out
+
+    n = 1500 if "0.001" in sf_dir else 4000
+    ev = fan_out(
+        fixtures.events_to_spark(
+            spark, fixtures.generate_events(n_rows=n, n_entities=8)
+        )
+    ).select("image_id", "bytes", "fmt")
+    pt = extract_patches(ev, patch=8)
+    agg = pt.groupBy("image_id").agg(
+        F.sum("p_n_px").alias("area_sum"),
+        F.sum("p_sum").alias("pix_sum"),
+        (F.max("patch_row") + 1).alias("rows_g"),
+        (F.max("patch_col") + 1).alias("cols_g"),
+        F.count(F.lit(1)).alias("n_patches"),
+    )
+    whole = pixel_sums(ev).select("image_id", "dec_w", "dec_h", "n_px", "px_sum")
+    j = agg.join(whole, "image_id")
+    grid_r = F.ceil(F.col("dec_h").cast("double") / F.lit(8.0))
+    grid_c = F.ceil(F.col("dec_w").cast("double") / F.lit(8.0))
+    return (
+        j.withColumn(
+            "family",
+            F.when(F.col("area_sum") != F.col("n_px"), F.lit("area"))
+            .when(F.col("pix_sum") != F.col("px_sum"), F.lit("pixel_sum"))
+            .when(
+                (F.col("rows_g") != grid_r) | (F.col("cols_g") != grid_c),
+                F.lit("grid_extent"),
+            )
+            .when(
+                F.col("n_patches") != F.col("rows_g") * F.col("cols_g"),
+                F.lit("grid_fill"),
+            ),
+        )
+        .filter(F.col("family").isNotNull())
+        .select(
+            "family",
+            F.col("image_id").alias("key"),
+            (F.col("pix_sum") - F.col("px_sum")).cast("double").alias("err"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

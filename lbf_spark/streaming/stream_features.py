@@ -697,3 +697,88 @@ def last_touch_attribution(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
+
+
+def heavy_hitter_batch_merge(
+    batch_df: DataFrame,
+    batch_id: int,
+    state_path: str,
+    col: str,
+    k: int = 64,
+) -> dict | None:
+    """Fold one micro-batch into a persistent Misra-Gries heavy-hitter
+    state (operators/sketches.py) — the streaming profiler's "top
+    talkers" feature with BOUNDED state: the state file carries ≤ k
+    counters + n no matter how many distinct keys the stream has seen.
+
+    The merged estimate obeys ``true − n_total/(k+1) ≤ est ≤ true``
+    over the WHOLE stream: per-batch sketches are themselves merged
+    per-partition MG summaries, and MG summaries are mergeable with
+    additive error (Agarwal et al. 2012) — so batch boundaries, like
+    partition boundaries, never break the guarantee.
+
+    Exactly-once under foreachBatch replay: the state JSON records
+    ``batch_hwm``; a replayed batch id ≤ hwm is a no-op (same contract
+    as ``table_batch_commit``). Single-writer per state path (one
+    streaming query), state written via atomic rename. Returns the new
+    state dict, or None if skipped."""
+    from lbf_spark import fsio
+    from lbf_spark.operators.sketches import _mg_update, heavy_hitters_mg
+
+    spark = batch_df.sparkSession
+    sfile = fsio.join(state_path, "sketch.json")
+    state = (
+        json.loads(fsio.read_text(spark, sfile))
+        if fsio.exists(spark, sfile)
+        else {"counters": {}, "n": 0, "k": int(k), "batch_hwm": -1}
+    )
+    if int(batch_id) <= int(state["batch_hwm"]):
+        return None  # replay of a committed batch — idempotent skip
+    if int(state["k"]) != int(k):
+        raise ValueError(
+            f"state at {state_path} was built with k={state['k']}, got k={k}"
+        )
+    sketch, n_batch = heavy_hitters_mg(batch_df, col, k=k)
+    counters = {i: int(c) for i, c in state["counters"].items()}
+    _mg_update(counters, dict(sketch), int(k))
+    new_state = {
+        "counters": counters,
+        "n": int(state["n"]) + int(n_batch),
+        "k": int(k),
+        "batch_hwm": int(batch_id),
+    }
+    fsio.mkdirs(spark, state_path)
+    fsio.write_text_atomic(spark, sfile, json.dumps(new_state, sort_keys=True))
+    return new_state
+
+
+def stream_heavy_hitters(
+    stream_df: DataFrame,
+    col: str,
+    state_path: str,
+    checkpoint_dir: str,
+    k: int = 64,
+    trigger_available_now: bool = True,
+):
+    """Streaming heavy hitters: every micro-batch folds into the
+    bounded MG state at ``state_path`` via
+    ``heavy_hitter_batch_merge``. Returns the StreamingQuery."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        heavy_hitter_batch_merge(batch_df, batch_id, state_path, col, k=k)
+
+    writer = stream_df.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def read_heavy_hitter_state(spark, state_path: str) -> dict:
+    """Load the persisted MG state: {counters, n, k, batch_hwm}."""
+    from lbf_spark import fsio
+
+    return json.loads(
+        fsio.read_text(spark, fsio.join(state_path, "sketch.json"))
+    )

@@ -302,3 +302,81 @@ def test_panel_corr_pairs_recovers_comovement(spark):
     # numpy ground truth for one pair
     exp = np.corrcoef(np.round(series["a"], 4), np.round(series["b"], 4))[0, 1]
     assert abs(got.loc[("a", "b"), "corr"] - exp) < 1e-6
+
+
+def test_stream_heavy_hitters_exactly_once_and_bound(spark, tmp_path):
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lbf_spark.streaming.stream_features import (
+        heavy_hitter_batch_merge,
+        read_heavy_hitter_state,
+        stream_heavy_hitters,
+    )
+
+    rng = np.random.default_rng(21)
+    # Zipf-ish keys split over 3 files → 3 micro-batches
+    keys = [f"k{min(int(v), 40):02d}" for v in rng.zipf(1.3, 3000)]
+    src = tmp_path / "hh_src"
+    src.mkdir()
+    for i in range(3):
+        pq.write_table(
+            pa.Table.from_pydict({"k": keys[i * 1000 : (i + 1) * 1000]}),
+            str(src / f"{i}.parquet"),
+        )
+    state = str(tmp_path / "hh_state")
+    stream = (
+        spark.readStream.schema("k string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = stream_heavy_hitters(
+        stream, "k", state, checkpoint_dir=str(tmp_path / "hh_ckpt"), k=16
+    )
+    q.awaitTermination(120)
+    st = read_heavy_hitter_state(spark, state)
+    assert st["n"] == 3000 and st["batch_hwm"] == 2
+    exact = pd.Series(keys).value_counts().to_dict()
+    err = 3000 / 17
+    for item, c in exact.items():
+        e = st["counters"].get(item, 0)
+        assert e <= c and c - e <= err + 1e-9
+        if c > err:
+            assert item in st["counters"]
+    # replayed delivery of the last batch: idempotent no-op
+    replay = spark.createDataFrame([(x,) for x in keys[2000:]], "k string")
+    assert heavy_hitter_batch_merge(replay, 2, state, "k", k=16) is None
+    assert read_heavy_hitter_state(spark, state)["n"] == 3000
+    # a NEW batch still folds in
+    assert heavy_hitter_batch_merge(replay, 3, state, "k", k=16) is not None
+    assert read_heavy_hitter_state(spark, state)["n"] == 4000
+    # k mismatch is refused, not silently merged
+    with pytest.raises(ValueError):
+        heavy_hitter_batch_merge(replay, 4, state, "k", k=8)
+
+
+def test_extract_patches_tiles_exactly(spark):
+    from lbf_spark import fixtures
+    from lbf_spark.functions.codec import decode_image
+    from lbf_spark.operators.images import extract_patches, pixel_sums
+
+    ev_pd = fixtures.generate_events(n_rows=40, n_entities=2)
+    ev = fixtures.events_to_spark(spark, ev_pd).select("image_id", "bytes", "fmt")
+    got = extract_patches(ev, patch=8).toPandas()
+    whole = pixel_sums(ev).toPandas().set_index("image_id")
+    for img_id, g in got.groupby("image_id"):
+        w = whole.loc[img_id]
+        assert g.p_n_px.sum() == w.n_px          # exact area coverage
+        assert g.p_sum.sum() == w.px_sum         # exact pixel conservation
+        assert g.patch_row.max() + 1 == -(-w.dec_h // 8)
+        assert g.patch_col.max() + 1 == -(-w.dec_w // 8)
+        assert len(g) == (g.patch_row.max() + 1) * (g.patch_col.max() + 1)
+    # digest twin for one known patch
+    row = ev.limit(1).collect()[0]
+    img = decode_image(bytes(row["bytes"]), row["fmt"])
+    import hashlib
+
+    exp = hashlib.md5(np.ascontiguousarray(img[0:8, 0:8]).tobytes()).hexdigest()
+    p00 = got[(got.image_id == row["image_id"]) & (got.patch_row == 0)
+              & (got.patch_col == 0)]
+    assert p00.patch_md5.iloc[0] == exp
