@@ -650,3 +650,173 @@ def char_bigram_stats(
         .filter(F.col("rank") <= top_k)
         .select("bigram", "n", F.col("rank").cast("int").alias("rank"))
     )
+
+
+def word_freqs(
+    docs: DataFrame, text_col: str = "text", min_freq: int = 1
+) -> DataFrame:
+    """Corpus word-frequency table — BPE's training input (the trainer
+    never touches raw docs again; at 100 TB the word table is orders
+    of magnitude smaller than the corpus and the ONLY full-corpus pass
+    is this one groupBy). Plain single-space tokenization to match the
+    repo's document fixtures and the DuckDB oracles."""
+    from lbf_spark.util import fan_out
+
+    w = (
+        fan_out(docs.select(text_col))
+        .select(F.explode(F.split(F.col(text_col), " ")).alias("word"))
+        .filter(F.col("word") != "")
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    return w.filter(F.col("freq") >= int(min_freq))
+
+
+def _merge_pair_col(toks, a: str, b: str, merged: str):
+    """Left-to-right non-overlapping replacement of the adjacent symbol
+    pair (a, b) by ``merged`` in a symbol-array column — one JVM
+    ``aggregate`` fold, no Python: the accumulator appends each symbol
+    unless it forms (a, b) with the accumulator's last element, in
+    which case the last element is rewritten to the merged symbol.
+    Greedy-left semantics match the reference BPE exactly (in "aaa"
+    with pair (a,a) the FIRST two merge; the merged symbol then no
+    longer equals `a`, so the third cannot chain)."""
+    la, lb, lm = F.lit(a), F.lit(b), F.lit(merged)
+    return F.aggregate(
+        toks,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0) & (F.element_at(acc, -1) == la) & (x == lb),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(lm)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def train_bpe(
+    words: DataFrame,
+    n_merges: int,
+    word_col: str = "word",
+    freq_col: str = "freq",
+    eow: str = "</w>",
+) -> tuple[list[tuple[str, str]], DataFrame]:
+    """Distributed byte-pair-encoding training (Sennrich et al. 2016)
+    over a word-frequency table: each round counts adjacent symbol
+    pairs weighted by word frequency (explode + ONE map-side-combined
+    groupBy), picks the argmax under a TOTAL order (count desc, pair
+    asc — the determinism rule; ties cannot flip between engines or
+    runs), and applies the merge with a JVM array fold (never a
+    Python row loop). Returns (merges, final symbol table).
+
+    Scale shape: state per round is the (word, symbols) frame — the
+    word VOCABULARY, not the corpus; the argmax is a 1-row TakeOrdered,
+    never a global sort; every round ``localCheckpoint``s (the
+    dup_clusters lineage rule — 2·n_merges chained folds would
+    otherwise stack into one exponential plan tree). The merge list
+    itself is driver state by design: n_merges rows of metadata, the
+    artifact a tokenizer ships."""
+    syms = words.select(
+        F.col(word_col).alias("word"),
+        F.col(freq_col).cast("long").alias("freq"),
+        F.concat(
+            F.split(F.col(word_col), ""), F.array(F.lit(eow))
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        pairs = (
+            syms.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.zip_with(
+                        F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                        F.slice(F.col("syms"), 2, F.size("syms") - 1),
+                        lambda x, y: F.struct(x.alias("a"), y.alias("b")),
+                    )
+                ).alias("p"),
+            )
+            .groupBy("p.a", "p.b")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        top = pairs.orderBy(
+            F.desc("cnt"), F.asc("a"), F.asc("b")
+        ).limit(1).collect()
+        if not top or top[0]["cnt"] < 2:
+            break
+        a, b = top[0]["a"], top[0]["b"]
+        merges.append((a, b))
+        syms = syms.withColumn(
+            "syms", _merge_pair_col(F.col("syms"), a, b, a + b)
+        ).localCheckpoint(eager=True)
+    return merges, syms
+
+
+def train_bpe_reference(
+    word_freqs_list: list[tuple[str, int]], n_merges: int, eow: str = "</w>"
+) -> list[tuple[str, str]]:
+    """Single-process reference BPE trainer (the certificate twin of
+    ``train_bpe`` — same total order, same stop rule, pure Python).
+    Takes [(word, freq)] and returns the merge sequence."""
+    vocab = {tuple(list(w) + [eow]): int(f) for w, f in word_freqs_list}
+    merges: list[tuple[str, str]] = []
+    for _ in range(int(n_merges)):
+        counts: dict = {}
+        for syms, f in vocab.items():
+            for i in range(len(syms) - 1):
+                p = (syms[i], syms[i + 1])
+                counts[p] = counts.get(p, 0) + f
+        if not counts:
+            break
+        best = min(counts.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        if best[1] < 2:
+            break
+        (a, b), _c = best
+        merges.append((a, b))
+        new_vocab: dict = {}
+        for syms, f in vocab.items():
+            out = []
+            for s in syms:
+                if out and out[-1] == a and s == b:
+                    out[-1] = a + b
+                else:
+                    out.append(s)
+            new_vocab[tuple(out)] = new_vocab.get(tuple(out), 0) + f
+        vocab = new_vocab
+    return merges
+
+
+def encode_with_vocab(
+    docs: DataFrame,
+    trained_syms: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Tokenize documents with a trained BPE symbol table: explode docs
+    to (doc, position, word), join the word→symbols mapping (the
+    closed-vocab fast path — a broadcastable-or-shuffled equi-join,
+    never a per-word merge replay), and emit one row per (doc,
+    word position, symbol position, token). OOV words fall back to
+    character symbols (the base alphabet is always encodable)."""
+    from lbf_spark.util import fan_out
+
+    wpos = fan_out(docs.select(id_col, text_col)).select(
+        id_col,
+        F.posexplode(F.split(F.col(text_col), " ")).alias("word_pos", "word"),
+    ).filter(F.col("word") != "")
+    mapped = wpos.join(
+        trained_syms.select("word", F.col("syms").alias("__syms")),
+        "word",
+        "left",
+    ).withColumn(
+        "__syms",
+        F.coalesce(
+            F.col("__syms"),
+            F.concat(F.split(F.col("word"), ""), F.array(F.lit("</w>"))),
+        ),
+    )
+    return mapped.select(
+        id_col,
+        "word_pos",
+        "word",
+        F.posexplode(F.col("__syms")).alias("sym_pos", "token"),
+    )

@@ -380,3 +380,46 @@ def test_extract_patches_tiles_exactly(spark):
     p00 = got[(got.image_id == row["image_id"]) & (got.patch_row == 0)
               & (got.patch_col == 0)]
     assert p00.patch_md5.iloc[0] == exp
+
+
+def test_bpe_train_matches_reference_and_encodes(spark):
+    from lbf_spark.operators.text import (
+        encode_with_vocab,
+        train_bpe,
+        train_bpe_reference,
+        word_freqs,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (1, "low low low low low lower lower newest newest"),
+            (2, "newest newest newest newest widest widest widest"),
+            (3, "low lower newest widest new new new"),
+        ],
+        "doc_id long, text string",
+    )
+    words = word_freqs(docs)
+    merges, syms = train_bpe(words, n_merges=12)
+    wf = [(r["word"], r["freq"]) for r in words.collect()]
+    ref = train_bpe_reference(wf, n_merges=12)
+    assert merges == ref                      # identical merge sequence
+    assert len(merges) > 3                    # actually learned something
+    # the classic corpus learns the 'est</w>' family
+    joined = ["".join(p) for p in merges]
+    assert any("est" in m for m in joined)
+    # determinism on re-run
+    merges2, _ = train_bpe(words, n_merges=12)
+    assert merges2 == merges
+    # encoding round-trip: concatenated tokens per word == word + </w>
+    enc = encode_with_vocab(docs, syms).toPandas()
+    rebuilt = (
+        enc.sort_values(["doc_id", "word_pos", "sym_pos"])
+        .groupby(["doc_id", "word_pos", "word"])["token"]
+        .agg("".join)
+    )
+    for (_d, _p, w), s in rebuilt.items():
+        assert s == w + "</w>"
+    # OOV fallback: unseen word encodes as chars + </w>
+    oov = spark.createDataFrame([(9, "zzq")], "doc_id long, text string")
+    e2 = encode_with_vocab(oov, syms).toPandas().sort_values("sym_pos")
+    assert list(e2.token) == ["z", "z", "q", "</w>"]
