@@ -700,3 +700,55 @@ def panel_corr_pairs(
         .withColumn("corr", num / F.sqrt(den2))
         .drop("__sx", "__sy", "__sxx", "__syy", "__sxy")
     )
+
+
+def robust_scale(
+    df,
+    col: str,
+    by: str = "entity",
+    tiebreak: str = "event_id",
+):
+    """Per-group median and MAD (median absolute deviation) — the
+    robust location/scale pair behind outlier-hardened z-scores
+    (robust_z = (x − median)/MAD), completing q36 (IQR clamp) and q148
+    (trimmed/winsorized means).
+
+    Engine-exactness: "median" is the LOWER median — the value at rank
+    ⌈n/2⌉ under the total order (value, tiebreak) — an exact SELECTION,
+    no interpolation, so both engines pick the identical element (the
+    rank-statistics rule: selections are bit-exact where averages of
+    two middle elements would reopen float questions). The deviation
+    pass re-ranks |x − median| with the same tiebreak. Two in-partition
+    sorts, ONE hash exchange on ``by``."""
+    from pyspark.sql import Window
+
+    wa = Window.partitionBy(by)
+    w1 = Window.partitionBy(by).orderBy(F.asc(col), F.asc(tiebreak))
+    # materialize rank/count/mid as plain columns first — a window
+    # expression may not nest inside another window function
+    ranked = (
+        df.withColumn("__r", F.row_number().over(w1))
+        .withColumn("__n", F.count(F.lit(1)).over(wa))
+        .withColumn("__mid", F.ceil(F.col("__n").cast("double") / F.lit(2.0)))
+    )
+    med = ranked.withColumn(
+        "__med",
+        F.max(F.when(F.col("__r") == F.col("__mid"), F.col(col))).over(wa),
+    ).withColumn("__dev", F.abs(F.col(col) - F.col("__med")))
+    w2 = Window.partitionBy(by).orderBy(F.asc("__dev"), F.asc(tiebreak))
+    out = (
+        med.withColumn("__d", F.row_number().over(w2))
+        .withColumn(
+            "__mad",
+            F.max(
+                F.when(F.col("__d") == F.col("__mid"), F.col("__dev"))
+            ).over(wa),
+        )
+        .groupBy(by)
+        .agg(
+            F.count(F.lit(1)).alias("n_obs"),
+            F.max("__med").alias("median"),
+            F.max("__mad").alias("mad"),
+        )
+    )
+    return out

@@ -859,3 +859,59 @@ def trend(
         )
         .drop("__st", "__stt", "__sx", "__sxx", "__sxt")
     )
+
+
+def interpolate_linear(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    by: str = "entity",
+    tiebreak: str | None = None,
+    out: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of NULL gaps per entity series — the
+    numeric gap-filler between ``ffill`` (step) and model imputation:
+    a null row takes prev + (next − prev)·(t − t_prev)/(t_next −
+    t_prev) over its nearest non-null neighbors; leading/trailing
+    nulls (no neighbor on one side) stay null, honestly.
+
+    Engine-exactness: neighbor values/timestamps come from
+    last/first-with-IGNORE-NULLS window selections under a TOTAL order
+    (exact picks, both engines identical), and the interpolation
+    itself is one IEEE expression tree over exact bigint time deltas.
+
+    ONE hash exchange on ``by``; both direction windows reuse the same
+    in-partition sort."""
+    orders = [ts_col] if tiebreak is None else [ts_col, tiebreak]
+    asc = [F.asc(c) for c in orders]
+    w_b = (
+        Window.partitionBy(by)
+        .orderBy(*asc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_f = (
+        Window.partitionBy(by)
+        .orderBy(*asc)
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    x = F.col(col)
+    prev_v = F.last(x, ignorenulls=True).over(w_b)
+    prev_t = F.last(
+        F.when(x.isNotNull(), F.col(ts_col)), ignorenulls=True
+    ).over(w_b)
+    next_v = F.first(x, ignorenulls=True).over(w_f)
+    next_t = F.first(
+        F.when(x.isNotNull(), F.col(ts_col)), ignorenulls=True
+    ).over(w_f)
+    frac = (F.col(ts_col) - prev_t).cast("double") / (
+        (next_t - prev_t).cast("double")
+    )
+    interp = F.when(x.isNotNull(), x).otherwise(
+        F.when(
+            prev_v.isNotNull() & next_v.isNotNull(),
+            F.when(next_t == prev_t, prev_v).otherwise(
+                prev_v + (next_v - prev_v) * frac
+            ),
+        )
+    )
+    return df.withColumn(out or col + "_interp", interp)

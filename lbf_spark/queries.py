@@ -7107,6 +7107,114 @@ def q153(spark, sf_dir):
     return seq_v.unionByName(word_v)
 
 
+@q(
+    "q154_robust_scale",
+    """
+    with e as (select event_type, event_id, value from events),
+    r as (
+      select event_type, event_id, value,
+             row_number() over (partition by event_type
+                                order by value, event_id) as r,
+             count(*) over (partition by event_type) as n
+      from e
+    ),
+    m as (
+      select *, cast(ceil(cast(n as double) / 2.0) as bigint) as mid from r
+    ),
+    med as (
+      select *, max(case when r = mid then value end)
+                  over (partition by event_type) as med
+      from m
+    ),
+    d as (select *, abs(value - med) as dev from med),
+    dr as (
+      select *, row_number() over (partition by event_type
+                                   order by dev, event_id) as dr
+      from d
+    ),
+    mad as (
+      select *, max(case when dr = mid then dev end)
+                  over (partition by event_type) as mad
+      from dr
+    )
+    select event_type, count(*) as n_obs,
+           round(max(med), 6) + 0 as median, round(max(mad), 6) + 0 as mad
+    from mad group by event_type
+    """,
+)
+def q154(spark, sf_dir):
+    """Per-group median + MAD (operators/stats.py:robust_scale) — the
+    robust location/scale pair behind outlier-hardened z-scores,
+    completing q36 (IQR clamp) and q148 (trimmed/winsorized means).
+    Both statistics are exact rank SELECTIONS (lower median at rank
+    ⌈n/2⌉ under a total order — no interpolation, so both engines pick
+    the identical element); the deviation pass re-ranks |x − median|
+    with the same tiebreak. One hash exchange, two in-partition
+    sorts."""
+    ev = _events(spark, sf_dir)
+    out = stats.robust_scale(ev, "value", by="event_type", tiebreak="event_id")
+    return out.select(
+        "event_type",
+        "n_obs",
+        (F.round("median", 6) + F.lit(0.0)).alias("median"),
+        (F.round("mad", 6) + F.lit(0.0)).alias("mad"),
+    )
+
+
+@q(
+    "q155_interpolate",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us,
+             case when event_id % 7 = 0 then null else value end as v
+      from events
+    ),
+    b as (
+      select event_id, user_id, ts_us, v,
+             last_value(v ignore nulls) over wb as pv,
+             last_value(case when v is not null then ts_us end ignore nulls)
+               over wb as pt,
+             first_value(v ignore nulls) over wf as nv,
+             first_value(case when v is not null then ts_us end ignore nulls)
+               over wf as nt
+      from e
+      window wb as (partition by user_id order by ts_us, event_id
+                    rows between unbounded preceding and current row),
+             wf as (partition by user_id order by ts_us, event_id
+                    rows between current row and unbounded following)
+    )
+    select event_id,
+           round(case when v is not null then v
+                      when pv is not null and nv is not null then
+                        case when nt = pt then pv
+                             else pv + (nv - pv)
+                                  * (cast(ts_us - pt as double)
+                                     / cast(nt - pt as double))
+                        end
+                 end, 6) + 0 as v_interp
+    from b
+    """,
+)
+def q155(spark, sf_dir):
+    """Linear interpolation of NULL gaps per entity series
+    (operators/windows.py:interpolate_linear) — the numeric gap-filler
+    between ffill (q12, step) and model imputation: nulls (planted
+    deterministically on event_id % 7) take the time-weighted blend of
+    their nearest non-null neighbors from IGNORE-NULLS window
+    selections under a total order; boundary nulls stay null. Exact
+    bigint time deltas; one IEEE tree; one hash exchange serving both
+    direction windows."""
+    ev = _events(spark, sf_dir).withColumn(
+        "v", F.when(F.col("event_id") % 7 == 0, F.lit(None)).otherwise(F.col("value"))
+    )
+    out = W.interpolate_linear(
+        ev, "v", "ts_us", by="user_id", tiebreak="event_id", out="v_interp"
+    )
+    return out.select(
+        "event_id", (F.round("v_interp", 6) + F.lit(0.0)).alias("v_interp")
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

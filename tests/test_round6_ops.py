@@ -423,3 +423,53 @@ def test_bpe_train_matches_reference_and_encodes(spark):
     oov = spark.createDataFrame([(9, "zzq")], "doc_id long, text string")
     e2 = encode_with_vocab(oov, syms).toPandas().sort_values("sym_pos")
     assert list(e2.token) == ["z", "z", "q", "</w>"]
+
+
+def test_robust_scale_matches_numpy(spark):
+    from lbf_spark.operators.stats import robust_scale
+
+    rng = np.random.default_rng(29)
+    x = np.round(np.concatenate([rng.normal(50, 3, 201), [5000.0] * 4]), 4)
+    rows = [("g", int(i), float(v)) for i, v in enumerate(x)]
+    df = spark.createDataFrame(rows, "grp string, event_id long, value double")
+    got = robust_scale(df, "value", by="grp", tiebreak="event_id").toPandas()
+    xs = np.sort(x)
+    lower_med = xs[int(np.ceil(len(x) / 2)) - 1]     # rank ⌈n/2⌉, 1-based
+    dev = np.sort(np.abs(x - lower_med))
+    lower_mad = dev[int(np.ceil(len(x) / 2)) - 1]
+    assert got.n_obs.iloc[0] == 205
+    assert got["median"].iloc[0] == lower_med
+    assert got["mad"].iloc[0] == lower_mad
+    # robust to the planted outliers: median near 50, MAD near 2 (0.674σ·3)
+    assert abs(got["median"].iloc[0] - 50) < 1
+    assert got["mad"].iloc[0] < 5
+
+
+def test_interpolate_linear_fills_gaps_time_weighted(spark):
+    from lbf_spark.operators.windows import interpolate_linear
+
+    rows = [
+        # (entity, event_id, ts, value) — gap at ts=30 between (10,1.0)
+        # and (50,5.0) → 1 + 4*(20/40) = 3.0; boundary nulls stay null
+        ("e", 0, 0, None),
+        ("e", 1, 10, 1.0),
+        ("e", 2, 30, None),
+        ("e", 3, 50, 5.0),
+        ("e", 4, 60, None),
+        ("f", 0, 0, 2.0),   # lone non-null neighbor series
+        ("f", 1, 5, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "entity string, event_id long, ts long, value double"
+    )
+    got = (
+        interpolate_linear(df, "value", "ts", by="entity",
+                           tiebreak="event_id", out="vi")
+        .toPandas()
+        .set_index(["entity", "event_id"])
+    )
+    assert got.loc[("e", 2), "vi"] == 3.0            # time-weighted blend
+    assert pd.isna(got.loc[("e", 0), "vi"])          # leading null stays
+    assert pd.isna(got.loc[("e", 4), "vi"])          # trailing null stays
+    assert got.loc[("e", 1), "vi"] == 1.0            # non-null passthrough
+    assert pd.isna(got.loc[("f", 1), "vi"])          # no right neighbor
