@@ -820,3 +820,67 @@ def encode_with_vocab(
         "word",
         F.posexplode(F.col("__syms")).alias("sym_pos", "token"),
     )
+
+
+def augment_tokens(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 0,
+    out_prefix: str = "aug_",
+) -> DataFrame:
+    """Deterministic caption/text augmentation for contrastive training
+    (the text-side twin of images.augment_images): token DROP and
+    adjacent-token SWAP at md5-chosen positions — a pure function of
+    (id, seed), no RNG, so augmented pairs are reproducible across
+    runs, engines and retries (the q139/q145 contrastive stack needs
+    augmented views it can re-derive, not sampled ones).
+
+    * ``aug_drop``: remove the token at index h mod n (identity when
+      n ≤ 1 — never an empty caption);
+    * ``aug_swap``: swap tokens at h mod (n−1) and its right neighbor
+      (identity when n ≤ 1).
+
+    Row-local JVM array surgery (split/slice/concat) — zero shuffle,
+    zero Python; the oracle mirrors it with DuckDB list slicing."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.lit(f"aug{int(seed)}:"), F.col(id_col).cast("string")
+                )
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    drop_i = (h % n) + 1  # 1-based
+    dropped = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(toks, 1, drop_i - 1),
+            F.slice(toks, drop_i + 1, n - drop_i),
+        ),
+    )
+    swap_i = (h % (n - 1)) + 1  # 1-based, < n
+    swapped = F.concat_ws(
+        " ",
+        F.concat(
+            F.slice(toks, 1, swap_i - 1),
+            F.array(
+                F.element_at(toks, (swap_i + 1).cast("int")),
+                F.element_at(toks, swap_i.cast("int")),
+            ),
+            F.slice(toks, swap_i + 2, n - swap_i - 1),
+        ),
+    )
+    ident = F.col(text_col)
+    return df.withColumn(
+        out_prefix + "drop", F.when(n <= 1, ident).otherwise(dropped)
+    ).withColumn(
+        out_prefix + "swap", F.when(n <= 1, ident).otherwise(swapped)
+    )

@@ -7215,6 +7215,51 @@ def q155(spark, sf_dir):
     )
 
 
+@q(
+    "q156_caption_augment",
+    """
+    with d as (
+      select doc_id, text, string_split(text, ' ') as toks,
+             len(string_split(text, ' ')) as n,
+             ('0x' || substr(md5('aug0:' || cast(doc_id as varchar)), 1, 15))::bigint
+               as h
+      from documents
+    ),
+    i as (
+      select doc_id, text, toks, n,
+             (h % n) + 1 as di,
+             (h % (n - 1)) + 1 as si
+      from d
+    )
+    select doc_id,
+           case when n <= 1 then text
+                else array_to_string(
+                       toks[1 : di - 1] || toks[di + 1 : n], ' ')
+           end as aug_drop,
+           case when n <= 1 then text
+                else array_to_string(
+                       toks[1 : si - 1]
+                       || [toks[si + 1], toks[si]]
+                       || toks[si + 2 : n], ' ')
+           end as aug_swap
+    from i
+    """,
+)
+def q156(spark, sf_dir):
+    """Deterministic caption augmentation
+    (operators/text.py:augment_tokens — the text twin of q136's image
+    augmentation group): token DROP and adjacent SWAP at md5-chosen
+    positions, a pure function of (doc_id, seed) — reproducible
+    augmented views for the contrastive stack (q139 negatives, q145
+    recall). Row-local JVM array surgery, zero shuffle; the oracle
+    mirrors the slicing with DuckDB list operations."""
+    from lbf_spark.operators.text import augment_tokens
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    out = augment_tokens(docs, "text", "doc_id", seed=0)
+    return out.select("doc_id", "aug_drop", "aug_swap")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -473,3 +473,27 @@ def test_interpolate_linear_fills_gaps_time_weighted(spark):
     assert pd.isna(got.loc[("e", 4), "vi"])          # trailing null stays
     assert got.loc[("e", 1), "vi"] == 1.0            # non-null passthrough
     assert pd.isna(got.loc[("f", 1), "vi"])          # no right neighbor
+
+
+def test_augment_tokens_deterministic_and_valid(spark):
+    from lbf_spark.operators.text import augment_tokens
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "x y"), (3, "lone"), (4, "p q r")],
+        "doc_id long, text string",
+    )
+    got = augment_tokens(docs, "text", "doc_id", seed=0).toPandas().set_index("doc_id")
+    again = augment_tokens(docs, "text", "doc_id", seed=0).toPandas().set_index("doc_id")
+    pd.testing.assert_frame_equal(got, again)          # pure function of (id, seed)
+    for i, txt in [(1, "a b c d e"), (2, "x y"), (4, "p q r")]:
+        orig = txt.split(" ")
+        d = got.loc[i, "aug_drop"].split(" ")
+        s = got.loc[i, "aug_swap"].split(" ")
+        assert len(d) == len(orig) - 1                 # exactly one token dropped
+        assert sorted(s) == sorted(orig)               # swap is a permutation
+        assert s != orig or len(orig) == 1             # and actually swapped
+    assert got.loc[3, "aug_drop"] == "lone"            # singleton untouched
+    assert got.loc[3, "aug_swap"] == "lone"
+    # a different seed moves the positions for at least one doc
+    other = augment_tokens(docs, "text", "doc_id", seed=5).toPandas().set_index("doc_id")
+    assert (other.aug_drop != got.aug_drop).any() or (other.aug_swap != got.aug_swap).any()
