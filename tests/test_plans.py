@@ -315,3 +315,67 @@ def test_token_budget_plan_broadcasts_budgets_one_window_exchange(spark):
     tree = plan.split("\n\n")[0]
     assert tree.count("Exchange") - tree.count("BroadcastExchange") == 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_series_feature_plans_single_entity_exchange(spark):
+    """The round-6 per-series family (time-decay EWMA, trend,
+    autocorr) must each cost exactly ONE hashpartitioning(entity)
+    exchange — window and groupBy reuse the same partitioning — and
+    stay pure JVM (no Python eval in the plan)."""
+    df = spark.createDataFrame(
+        [("e%d" % (i % 4), i, i * 1000, float(i % 7)) for i in range(256)],
+        "entity string, event_id long, ts long, value double",
+    )
+    tde = W.time_decay_ewma(
+        df, "value", "ts", half_life=5e3, window=4,
+        by="entity", tiebreak="event_id",
+    )
+    plan = _explain_str(tde)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1
+    assert "hashpartitioning(entity" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+    tr = W.trend(df, "value", "ts", by="entity")
+    plan = _explain_str(tr)
+    tree = plan.split("\n\n")[0]
+    assert tree.count("Exchange") == 1       # min-ts window + groupBy fused
+    assert "hashpartitioning(entity" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_panel_corr_plan_joins_aggregates_not_raw_rows(spark):
+    """panel_corr_pairs must self-join the (entity, bucket) AGGREGATE
+    frame, never raw events: the join keys are the gridded frame's
+    bucket column and every exchange is on aggregate output."""
+    from lbf_spark.operators.stats import panel_corr_pairs
+
+    df = spark.createDataFrame(
+        [("e%d" % (i % 4), i * 10_000_000, float(i % 5)) for i in range(512)],
+        "entity string, ts long, value double",
+    )
+    out = panel_corr_pairs(df, "value", by="entity", ts_col="ts",
+                           bucket_us=50_000_000, min_common=2)
+    plan = _explain_str(out)
+    # the pair stats aggregate over the join of two aggregated sides:
+    # at least two pre-join HashAggregates and a join on __bk
+    assert plan.count("HashAggregate") >= 2
+    assert "__bk" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_subsample_ci_plan_map_side_partials(spark):
+    """subsample_ci: the ×32 explode feeds ONE map-side-combined
+    groupBy (partial_ aggregation before the exchange), and the final
+    per-group pass runs over ≤32 rows each — no second scan of the
+    exploded frame."""
+    from lbf_spark.operators.stats import subsample_ci
+
+    df = spark.createDataFrame(
+        [("g%d" % (i % 3), i, float(i % 11)) for i in range(300)],
+        "grp string, event_id long, value double",
+    )
+    plan = _explain_str(subsample_ci(df, "value", by="grp", id_col="event_id"))
+    assert "partial_" in plan                # map-side combine present
+    assert "Generate explode" in plan or "explode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
