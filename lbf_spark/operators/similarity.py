@@ -579,3 +579,65 @@ def retrieval_recall(
             ),
         )
     )
+
+
+def embedding_drift(
+    ref: DataFrame,
+    cur: DataFrame,
+    by: str = "label",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-group embedding drift between two corpus slices (reference
+    vs current — snapshots, days, train vs serve): cosine similarity
+    and norm ratio of the per-group CENTROIDS — the monitoring signal
+    that tells a feature store an embedding column's distribution
+    moved before a model does.
+
+    Engine-exactness: centroids are per-dimension decimal-sum/count
+    means ROUND(6)ed and re-quantized to decimal(18,6), so the dot
+    products accumulate as EXACT decimal sums (a raw float sum over
+    dimensions would be partial-agg-order nondeterministic — the q115
+    rule applied across the dimension axis); only the final cosine /
+    ratio divides in double, one IEEE tree.
+
+    Shape at scale: one posexplode + groupBy(group, dim) per side
+    (map-side partials; dims bounded), one join of two (groups × dims)
+    aggregate frames, one groupBy(group) over ≤ dims rows each —
+    vectors never shuffle whole, and nothing is ever collected."""
+    def centroids(df: DataFrame, side: str) -> DataFrame:
+        return (
+            df.select(by, F.posexplode(F.col(vec_col)).alias("dim", "x"))
+            .groupBy(by, "dim")
+            .agg(
+                F.round(
+                    # widen float→double BEFORE the decimal quantize:
+                    # engines disagree on direct float→decimal casts
+                    # (shortest-repr vs exact-bits), doubles they agree on
+                    F.sum(F.col("x").cast("double").cast("decimal(18,6)"))
+                    .cast("double")
+                    / F.count(F.lit(1)).cast("double"),
+                    6,
+                )
+                .cast("decimal(18,6)")
+                .alias(f"c_{side}")
+            )
+        )
+
+    j = centroids(ref, "ref").join(centroids(cur, "cur"), [by, "dim"])
+    agg = j.groupBy(by).agg(
+        F.sum(F.col("c_ref") * F.col("c_cur")).cast("double").alias("__rc"),
+        F.sum(F.col("c_ref") * F.col("c_ref")).cast("double").alias("__rr"),
+        F.sum(F.col("c_cur") * F.col("c_cur")).cast("double").alias("__cc"),
+        F.count(F.lit(1)).alias("n_dims"),
+    )
+    return (
+        agg.filter((F.col("__rr") > 0) & (F.col("__cc") > 0))
+        .withColumn(
+            "centroid_cosine",
+            F.col("__rc") / (F.sqrt(F.col("__rr")) * F.sqrt(F.col("__cc"))),
+        )
+        .withColumn(
+            "norm_ratio", F.sqrt(F.col("__cc")) / F.sqrt(F.col("__rr"))
+        )
+        .drop("__rc", "__rr", "__cc")
+    )

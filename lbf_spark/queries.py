@@ -7260,6 +7260,66 @@ def q156(spark, sf_dir):
     return out.select("doc_id", "aug_drop", "aug_swap")
 
 
+@q(
+    "q157_embedding_drift",
+    """
+    with x as (
+      select vec_id, label,
+             unnest(embedding) as x,
+             unnest(range(len(embedding))) as dim
+      from embeddings
+    ),
+    cr as (
+      select label, dim,
+             cast(round(cast(sum(cast(cast(x as double) as decimal(18,6))) as double)
+                        / cast(count(*) as double), 6) as decimal(18,6)) as c_ref
+      from x where vec_id % 2 = 0 group by label, dim
+    ),
+    cc as (
+      select label, dim,
+             cast(round(cast(sum(cast(cast(x as double) as decimal(18,6))) as double)
+                        / cast(count(*) as double), 6) as decimal(18,6)) as c_cur
+      from x where vec_id % 2 = 1 group by label, dim
+    ),
+    j as (
+      select cr.label,
+             cast(sum(c_ref * c_cur) as double) as rc,
+             cast(sum(c_ref * c_ref) as double) as rr,
+             cast(sum(c_cur * c_cur) as double) as cc2,
+             count(*) as n_dims
+      from cr join cc on cr.label = cc.label and cr.dim = cc.dim
+      group by cr.label
+    )
+    select label, n_dims,
+           round(rc / (sqrt(rr) * sqrt(cc2)), 6) + 0 as centroid_cosine,
+           round(sqrt(cc2) / sqrt(rr), 6) + 0 as norm_ratio
+    from j
+    where rr > 0 and cc2 > 0
+    """,
+)
+def q157(spark, sf_dir):
+    """Per-label embedding drift between two corpus slices
+    (operators/similarity.py:embedding_drift — the feature-store
+    monitor for embedding columns, pairing q126's scalar PSI): even
+    vec_ids are the reference slice, odd the current; centroid cosine
+    + norm ratio per label. Per-dimension means are decimal-sum/count
+    round(6)ed then RE-QUANTIZED to decimal so the dot products
+    accumulate exactly (the q115 rule applied across the dimension
+    axis); vectors never shuffle whole."""
+    emb = t(spark, sf_dir, "embeddings")
+    out = S.embedding_drift(
+        emb.filter(F.col("vec_id") % 2 == 0),
+        emb.filter(F.col("vec_id") % 2 == 1),
+        by="label",
+    )
+    return out.select(
+        "label",
+        "n_dims",
+        (F.round("centroid_cosine", 6) + F.lit(0.0)).alias("centroid_cosine"),
+        (F.round("norm_ratio", 6) + F.lit(0.0)).alias("norm_ratio"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

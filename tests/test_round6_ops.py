@@ -497,3 +497,34 @@ def test_augment_tokens_deterministic_and_valid(spark):
     # a different seed moves the positions for at least one doc
     other = augment_tokens(docs, "text", "doc_id", seed=5).toPandas().set_index("doc_id")
     assert (other.aug_drop != got.aug_drop).any() or (other.aug_swap != got.aug_swap).any()
+
+
+def test_embedding_drift_detects_shift(spark):
+    from lbf_spark.operators.similarity import embedding_drift
+
+    rng = np.random.default_rng(31)
+    dim = 16
+    base = rng.normal(0, 1, (2, dim))  # one direction per label
+    rows_ref, rows_cur = [], []
+    for lab in (0, 1):
+        for i in range(50):
+            v = base[lab] + rng.normal(0, 0.05, dim)
+            rows_ref.append((int(i), [float(x) for x in v], lab))
+    # label 0 drifts hard in "current"; label 1 stays + doubles norm
+    for lab, vec in ((0, -base[0]), (1, 2.0 * base[1])):
+        for i in range(50):
+            v = vec + rng.normal(0, 0.05, dim)
+            rows_cur.append((int(i), [float(x) for x in v], lab))
+    schema = "vec_id long, embedding array<float>, label int"
+    ref = spark.createDataFrame(rows_ref, schema)
+    cur = spark.createDataFrame(rows_cur, schema)
+    got = embedding_drift(ref, cur, by="label").toPandas().set_index("label")
+    assert got.loc[0, "centroid_cosine"] < -0.9      # flipped direction
+    assert got.loc[1, "centroid_cosine"] > 0.99      # unchanged direction
+    assert abs(got.loc[1, "norm_ratio"] - 2.0) < 0.1  # doubled magnitude
+    assert (got.n_dims == dim).all()
+    # numpy twin for the stable label (round-6 means like the engine)
+    r_mean = np.round(np.mean([r[1] for r in rows_ref if r[2] == 1], axis=0), 6)
+    c_mean = np.round(np.mean([r[1] for r in rows_cur if r[2] == 1], axis=0), 6)
+    exp = float(r_mean @ c_mean / (np.linalg.norm(r_mean) * np.linalg.norm(c_mean)))
+    assert abs(got.loc[1, "centroid_cosine"] - exp) < 1e-6
