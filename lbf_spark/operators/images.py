@@ -529,3 +529,93 @@ def extract_patches(
             )
 
     return df.mapInPandas(batches, schema)
+
+
+DEFAULT_ASPECT_BUCKETS: list[tuple[int, int]] = [
+    (1, 1), (4, 3), (3, 4), (16, 9), (9, 16), (2, 1), (1, 2),
+]
+
+
+def aspect_bucket_pack(
+    df: DataFrame,
+    batch_size: int,
+    n_shards: int,
+    buckets: list[tuple[int, int]] | None = None,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    seed: int = 42,
+) -> DataFrame:
+    """Aspect-ratio bucketing + deterministic batch assembly — the
+    image-training batch-prep step (SDXL-style training groups images
+    of similar aspect ratio so a batch can share one crop shape
+    instead of square-cropping everything).
+
+    Each image joins the bucket minimizing |w/h − p_i/q_i|, compared
+    EXACTLY in integers: |w·q_i − p_i·h| scaled by lcm(q)/q_i puts all
+    candidate distances on one common denominator, so the argmin is a
+    pure bigint comparison (no float ratios — engines would disagree
+    on ties near the midpoint of two buckets). Ties break to the
+    smallest bucket index via lexicographic struct min.
+
+    Batches are reproducible: shard = first 52 bits of md5(seed:id)
+    mod n_shards (uniform, row-local); within (bucket, shard) rows
+    order by (md5 draw, id) — a total order — and pack greedily into
+    consecutive batches of ``batch_size``. ``is_complete`` marks
+    batches with a full complement (training loaders drop ragged
+    tails; marking instead of dropping keeps the operator lossless).
+
+    Shape at 100 TB: bucket assignment and the shard draw are
+    row-local JVM expressions; the only exchange is hashpartitioning
+    (bucket_id, shard) for the packing window — n_buckets × n_shards
+    independent partitions, so parallelism is controlled by n_shards
+    exactly like ``distributions.shuffle_shards``. No global sort, no
+    driver state. Reference analog: LBF has no training-batch step;
+    this extends the corpus-export family (shuffle_shards, q108
+    sequence packing) to the image modality.
+    """
+    from pyspark.sql import Window
+
+    bks = list(buckets) if buckets is not None else list(DEFAULT_ASPECT_BUCKETS)
+    if not bks or batch_size <= 0 or n_shards <= 0:
+        raise ValueError("buckets, batch_size and n_shards must be non-empty/positive")
+    lcm = 1
+    for _, q in bks:
+        g, a = lcm, q
+        while a:
+            g, a = a, g % a
+        lcm = lcm * q // g
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    cands = [
+        F.struct(
+            (F.abs(w * F.lit(int(q)) - F.lit(int(p)) * h) * F.lit(lcm // int(q))).alias("k"),
+            F.lit(i).alias("i"),
+        )
+        for i, (p, q) in enumerate(bks)
+    ]
+    best = F.array_min(F.array(*cands))
+    draw = F.md5(F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string")))
+    shard = (
+        F.conv(F.substring(F.col("__draw"), 1, 13), 16, 10).cast("long")
+        % F.lit(int(n_shards))
+    ).cast("int")
+    pack_w = Window.partitionBy("bucket_id", "shard").orderBy(
+        F.col("__draw"), F.col(id_col)
+    )
+    grp_w = Window.partitionBy("bucket_id", "shard")
+    rn = F.row_number().over(pack_w) - F.lit(1)
+    return (
+        df.withColumn("__draw", draw)
+        .withColumn("bucket_id", best.getField("i"))
+        .withColumn("shard", shard)
+        .withColumn("__rn", rn)
+        .withColumn("batch_no", (F.col("__rn") / F.lit(int(batch_size))).cast("long"))
+        .withColumn("pos", (F.col("__rn") % F.lit(int(batch_size))).cast("int"))
+        .withColumn(
+            "is_complete",
+            F.col("batch_no")
+            < (F.count(F.lit(1)).over(grp_w) / F.lit(int(batch_size))).cast("long"),
+        )
+        .drop("__draw", "__rn")
+    )

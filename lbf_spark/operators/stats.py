@@ -752,3 +752,74 @@ def robust_scale(
         )
     )
     return out
+
+
+def mutual_information(
+    df,
+    features: list[str],
+    label: str,
+):
+    """Scalar mutual information I(feature; label) per feature — the
+    filter-method feature-RANKING step of training-set assembly (which
+    raw columns carry signal about the label), complementing
+    ``pmi_cells`` (per-cell diagnostics) with one comparable number
+    per feature.
+
+    Feature columns must already be discrete (bin continuous columns
+    first — floor/width buckets keep it row-local). All features melt
+    into one long frame so the contingency counts for EVERY feature
+    come out of a single groupBy pass over the data; marginals are
+    window sums over the (tiny) contingency rows.
+
+    Determinism: each cell term (n_xy/N)·ln(n_xy·N/(n_x·n_y)) is one
+    IEEE ln over exact bigint ratios (bit-reproducible), then
+    round(12) → DECIMAL so the per-feature SUM is order-proof (the
+    q75/BM25 rule; a raw double sum would flip last bits with
+    partial-agg order). Output rounds to 6.
+
+    Shape at 100 TB: ONE scan (explode ×|features| is row-local),
+    one map-side-combinable groupBy on (feature, value, label);
+    everything after runs on contingency rows (≤ cells, not rows).
+    """
+    from pyspark.sql import Window
+
+    melted = df.select(
+        F.col(label).cast("string").alias("label"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("feature"),
+                        F.col(c).cast("string").alias("fval"),
+                    )
+                    for c in features
+                ]
+            )
+        ).alias("fv"),
+    ).select("fv.feature", "fv.fval", "label")
+    cells = melted.groupBy("feature", "fval", "label").agg(
+        F.count(F.lit(1)).alias("n_xy")
+    )
+    n_x = F.sum("n_xy").over(Window.partitionBy("feature", "fval"))
+    n_y = F.sum("n_xy").over(Window.partitionBy("feature", "label"))
+    n = F.sum("n_xy").over(Window.partitionBy("feature"))
+    term = F.round(
+        (F.col("n_xy").cast("double") / F.col("n").cast("double"))
+        * F.log(
+            (F.col("n_xy").cast("double") * F.col("n").cast("double"))
+            / (F.col("n_x").cast("double") * F.col("n_y").cast("double"))
+        ),
+        12,
+    ).cast("decimal(20,12)")
+    return (
+        cells.withColumn("n_x", n_x)
+        .withColumn("n_y", n_y)
+        .withColumn("n", n)
+        .withColumn("__term", term)
+        .groupBy("feature")
+        .agg(
+            (F.round(F.sum("__term").cast("double"), 6) + F.lit(0.0)).alias("mi"),
+            F.count(F.lit(1)).alias("n_cells"),
+            F.max("n").alias("n_rows"),
+        )
+    )

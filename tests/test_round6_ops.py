@@ -528,3 +528,111 @@ def test_embedding_drift_detects_shift(spark):
     c_mean = np.round(np.mean([r[1] for r in rows_cur if r[2] == 1], axis=0), 6)
     exp = float(r_mean @ c_mean / (np.linalg.norm(r_mean) * np.linalg.norm(c_mean)))
     assert abs(got.loc[1, "centroid_cosine"] - exp) < 1e-6
+
+
+def test_aspect_bucket_pack_laws(spark):
+    from lbf_spark.operators.images import aspect_bucket_pack
+
+    rng = np.random.default_rng(7)
+    rows = [
+        (int(i), int(w), int(h))
+        for i, (w, h) in enumerate(
+            zip(rng.integers(32, 257, 400), rng.integers(32, 257, 400))
+        )
+    ]
+    df = spark.createDataFrame(rows, "image_id long, w long, h long")
+    out = aspect_bucket_pack(df, batch_size=8, n_shards=4, seed=3).toPandas()
+    assert len(out) == 400  # lossless
+    # bucket assignment == independent python argmin over exact fractions
+    from lbf_spark.operators.images import DEFAULT_ASPECT_BUCKETS as B
+
+    lcm = 144
+    for _, r in out.sample(60, random_state=0).iterrows():
+        keys = [
+            (abs(r.w * q - p * r.h) * (lcm // q), i) for i, (p, q) in enumerate(B)
+        ]
+        assert r.bucket_id == min(keys)[1]
+    # packing laws per (bucket, shard): positions are 0..B-1 per complete
+    # batch, batch_no consecutive from 0, exactly floor(n/B) complete batches
+    for (_, _), g in out.groupby(["bucket_id", "shard"]):
+        n = len(g)
+        assert set(g.batch_no) == set(range((n + 7) // 8))
+        comp = g[g.is_complete]
+        assert len(comp) == (n // 8) * 8
+        for _, bg in comp.groupby("batch_no"):
+            assert sorted(bg.pos) == list(range(8))
+    # deterministic: same seed → identical frame
+    again = aspect_bucket_pack(df, batch_size=8, n_shards=4, seed=3).toPandas()
+    pd.testing.assert_frame_equal(
+        out.sort_values("image_id").reset_index(drop=True),
+        again.sort_values("image_id").reset_index(drop=True),
+    )
+    # different seed reshuffles at least some shard assignments
+    other = aspect_bucket_pack(df, batch_size=8, n_shards=4, seed=4).toPandas()
+    assert (
+        other.sort_values("image_id").shard.values
+        != out.sort_values("image_id").shard.values
+    ).any()
+
+
+def test_aspect_bucket_exact_tie_break(spark):
+    from lbf_spark.operators.images import aspect_bucket_pack
+
+    # 128x128 is distance 0 from (1,1) only; 96x48 exactly matches (2,1);
+    # a true tie (equidistant) breaks to the smaller index
+    df = spark.createDataFrame(
+        [(1, 128, 128), (2, 96, 48), (3, 48, 96)],
+        "image_id long, w long, h long",
+    )
+    out = (
+        aspect_bucket_pack(df, batch_size=2, n_shards=1)
+        .toPandas()
+        .set_index("image_id")
+    )
+    assert out.loc[1].bucket_id == 0
+    assert out.loc[2].bucket_id == 5
+    assert out.loc[3].bucket_id == 6
+
+
+def test_mutual_information_matches_numpy(spark):
+    from lbf_spark.operators.stats import mutual_information
+
+    rng = np.random.default_rng(5)
+    lab = rng.integers(0, 3, 500)
+    dep = (lab * 10 + rng.integers(0, 2, 500)).astype(int)  # strongly informative
+    ind = rng.integers(0, 4, 500)  # independent of label
+    df = spark.createDataFrame(
+        [(int(a), int(b), int(c)) for a, b, c in zip(lab, dep, ind)],
+        "label long, dep long, ind long",
+    )
+    got = (
+        mutual_information(df, features=["dep", "ind"], label="label")
+        .toPandas()
+        .set_index("feature")
+    )
+
+    def mi_np(xs, ys):
+        n = len(xs)
+        from collections import Counter
+
+        cxy, cx, cy = Counter(zip(xs, ys)), Counter(xs), Counter(ys)
+        tot = 0.0
+        for (x, y), nxy in cxy.items():
+            tot += round(nxy / n * math.log(nxy * n / (cx[x] * cy[y])), 12)
+        return round(tot, 6)
+
+    assert got.loc["dep"].mi == pytest.approx(mi_np(dep, lab), abs=1e-9)
+    assert got.loc["ind"].mi == pytest.approx(mi_np(ind, lab), abs=1e-9)
+    # the informative feature ranks above the independent one, which is ~0
+    assert got.loc["dep"].mi > got.loc["ind"].mi
+    assert abs(got.loc["ind"].mi) < 0.05
+    # perfect dependence: MI(label; label) == H(label)
+    same = mutual_information(
+        df.withColumn("copy", F.col("label")), features=["copy"], label="label"
+    ).toPandas()
+    n = len(lab)
+    from collections import Counter
+
+    h = -sum(c / n * math.log(c / n) for c in Counter(lab).values())
+    assert same.mi.iloc[0] == pytest.approx(h, abs=1e-5)
+    assert int(got.loc["dep"].n_rows) == 500
