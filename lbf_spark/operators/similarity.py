@@ -641,3 +641,43 @@ def embedding_drift(
         )
         .drop("__rc", "__rr", "__cc")
     )
+
+
+def crossmodal_alignment(
+    pairs: DataFrame,
+    a_col: str,
+    b_col: str,
+    threshold: float = 0.0,
+    digits: int = 4,
+    out_score: str = "alignment",
+    out_keep: str = "keep",
+) -> DataFrame:
+    """CLIP-score-style image-text alignment filter — the web-scale
+    pair-curation step (LAION-style corpora keep an (image, caption)
+    pair only when the two embeddings agree): cosine between the two
+    embedding columns of an already-paired frame, rounded to
+    ``digits`` (+0.0 normalizes the tiny-negative −0.0 case), and a
+    ``keep`` flag testing the ROUNDED score against ``threshold`` so
+    the boundary decision is bit-identical on any engine.
+
+    Row-local JVM fold (``cosine_similarity_col``) — zero shuffle:
+    pairing is the CALLER's join (at 100 TB image and text embeddings
+    of one sample normally live in the same row of the training
+    table; when they don't, the pair join shuffles on pair id once
+    and this operator adds nothing on top). Reference analog: none —
+    LBF is single-modality; this extends the curation family (Gopher
+    gates, dedup, decontamination) to paired-modality corpora.
+    """
+    score = (
+        F.round(
+            cosine_similarity_col(
+                F.col(a_col).cast("array<double>"),
+                F.col(b_col).cast("array<double>"),
+            ),
+            digits,
+        )
+        + F.lit(0.0)
+    )
+    return pairs.withColumn(out_score, score).withColumn(
+        out_keep, F.col(out_score) >= F.lit(float(threshold))
+    )

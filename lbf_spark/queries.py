@@ -7451,6 +7451,55 @@ def q159(spark, sf_dir):
     return out.select("feature", "mi", "n_cells", "n_rows")
 
 
+@q(
+    "q160_crossmodal_alignment",
+    """
+    with v as (
+      select vec_id, vec_id // 2 as pair_id, embedding::DOUBLE[] as e
+      from embeddings
+    ),
+    p as (
+      select a.pair_id, a.vec_id as img_id, b.vec_id as txt_id,
+             a.e as ea, b.e as eb
+      from v a join v b
+        on a.pair_id = b.pair_id and a.vec_id % 2 = 0 and b.vec_id % 2 = 1
+    ),
+    s as (
+      select pair_id, img_id, txt_id,
+             round(list_dot_product(ea, eb)
+                   / (sqrt(list_dot_product(ea, ea))
+                      * sqrt(list_dot_product(eb, eb))), 4) + 0 as alignment
+      from p
+    )
+    select pair_id, img_id, txt_id, alignment, alignment >= 0.0 as keep
+    from s
+    """,
+)
+def q160(spark, sf_dir):
+    """CLIP-score-style cross-modal pair filter
+    (operators/similarity.py:crossmodal_alignment — the LAION-style
+    image-text curation step): even vec_ids play the image embedding,
+    odd the caption embedding of pair vec_id div 2; cosine via the
+    q26 JVM fold on double-cast arrays, round(4)+0, keep decided on
+    the ROUNDED score so the threshold boundary is engine-identical.
+    The pair join shuffles on pair_id once; the score is row-local."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("vec_id div 2").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "pair_id", F.col("vec_id").alias("img_id"), F.col("e").alias("ea")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "pair_id", F.col("vec_id").alias("txt_id"), F.col("e").alias("eb")
+    )
+    out = S.crossmodal_alignment(
+        a.join(b, "pair_id"), "ea", "eb", threshold=0.0
+    )
+    return out.select("pair_id", "img_id", "txt_id", "alignment", "keep")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

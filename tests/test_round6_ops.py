@@ -636,3 +636,50 @@ def test_mutual_information_matches_numpy(spark):
     h = -sum(c / n * math.log(c / n) for c in Counter(lab).values())
     assert same.mi.iloc[0] == pytest.approx(h, abs=1e-5)
     assert int(got.loc["dep"].n_rows) == 500
+
+
+def test_crossmodal_alignment_known_and_numpy(spark):
+    from lbf_spark.operators.similarity import crossmodal_alignment
+
+    rows = [
+        (1, [1.0, 0.0, 0.0], [1.0, 0.0, 0.0]),   # identical → 1.0
+        (2, [1.0, 0.0, 0.0], [0.0, 1.0, 0.0]),   # orthogonal → 0.0
+        (3, [1.0, 2.0, 3.0], [-1.0, -2.0, -3.0]),  # opposite → −1.0
+    ]
+    df = spark.createDataFrame(
+        rows, "pair_id long, ea array<double>, eb array<double>"
+    )
+    got = (
+        crossmodal_alignment(df, "ea", "eb", threshold=0.5)
+        .toPandas()
+        .set_index("pair_id")
+    )
+    assert got.loc[1].alignment == 1.0 and bool(got.loc[1].keep)
+    assert got.loc[2].alignment == 0.0 and not got.loc[2].keep
+    assert got.loc[3].alignment == -1.0 and not got.loc[3].keep
+    # boundary decided on the ROUNDED score: 0.49996 rounds to 0.5 → kept
+    near = spark.createDataFrame(
+        [(4, [1.0, 0.0], [0.49996, math.sqrt(1 - 0.49996**2)])],
+        "pair_id long, ea array<double>, eb array<double>",
+    )
+    row = crossmodal_alignment(near, "ea", "eb", threshold=0.5).collect()[0]
+    assert row.alignment == 0.5 and row.keep
+    # numpy twin on random floats (float32 storage, double math)
+    rng = np.random.default_rng(9)
+    a = rng.normal(size=(40, 8)).astype(np.float32)
+    b = rng.normal(size=(40, 8)).astype(np.float32)
+    df2 = spark.createDataFrame(
+        [(int(i), x.tolist(), y.tolist()) for i, (x, y) in enumerate(zip(a, b))],
+        "pair_id long, ea array<float>, eb array<float>",
+    )
+    got2 = (
+        crossmodal_alignment(df2, "ea", "eb")
+        .toPandas()
+        .sort_values("pair_id")
+    )
+    ad, bd = a.astype(np.float64), b.astype(np.float64)
+    want = (ad * bd).sum(1) / (
+        np.sqrt((ad * ad).sum(1)) * np.sqrt((bd * bd).sum(1))
+    )
+    assert np.allclose(got2.alignment.values, np.round(want, 4), atol=1e-9)
+    assert (got2.keep.values == (got2.alignment.values >= 0.0)).all()
