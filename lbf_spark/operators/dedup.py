@@ -795,3 +795,52 @@ def split_decontaminate(
         )
         .drop("__bad")
     )
+
+
+def select_representatives(
+    docs: DataFrame,
+    clusters: DataFrame,
+    score_col: str,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Quality-ranked survivor selection — the keep/drop decision that
+    turns near-dup clusters into a curated corpus. ``dup_clusters``
+    (and the curation chain) canonically keep the MIN-ID member;
+    production pipelines keep the BEST member (longest text, highest
+    quality score) so dedup doesn't discard the most complete copy.
+    Keeper per cluster = argmax(score, min-id tiebreak) — a total
+    order, so the surviving corpus is bit-identical on any engine.
+
+    Returns every input doc with ``cluster_id`` (own id for docs in no
+    cluster) and ``is_keeper`` (true for cluster winners AND
+    untouched singletons).
+
+    Shape at 100 TB: the ranking window runs over CLUSTER MEMBERS
+    only (the clusters frame — pair-connected docs, typically ≪
+    corpus), never the full corpus; the corpus pays one left join on
+    id to pick up its verdict. One exchange on cluster_id for the
+    window + the id-keyed join. Reference analog: none — LBF stops at
+    cluster ids (dedup.py:578 dup_clusters); this is the downstream
+    decision step.
+    """
+    from pyspark.sql import Window
+
+    member_rank = Window.partitionBy("cluster_id").orderBy(
+        F.desc("__score"), F.col(id_col).asc()
+    )
+    members = (
+        clusters.select(id_col, "cluster_id")
+        .join(docs.select(id_col, F.col(score_col).alias("__score")), id_col)
+        .withColumn("__is_keeper", F.row_number().over(member_rank) == 1)
+        .select(
+            id_col,
+            F.col("cluster_id").alias("__cl"),
+            "__is_keeper",
+        )
+    )
+    return (
+        docs.join(members, id_col, "left")
+        .withColumn("cluster_id", F.coalesce(F.col("__cl"), F.col(id_col)))
+        .withColumn("is_keeper", F.coalesce(F.col("__is_keeper"), F.lit(True)))
+        .drop("__cl", "__is_keeper")
+    )

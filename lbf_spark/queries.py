@@ -7500,6 +7500,55 @@ def q160(spark, sf_dir):
     return out.select("pair_id", "img_id", "txt_id", "alignment", "keep")
 
 
+@q(
+    "q161_dedup_representatives",
+    f"""
+    with recursive
+    pairs as ( {_minhash_oracle_sql()} ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b, id_a from pairs
+    ),
+    reach as (
+      select src, dst from edges
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src
+    ),
+    clusters as (
+      select src as doc_id, least(src, min(dst)) as cluster_id
+      from reach group by src
+    ),
+    ranked as (
+      select c.doc_id, c.cluster_id,
+             row_number() over (partition by c.cluster_id
+                                order by d.n_chars desc, c.doc_id asc) = 1
+               as is_keeper
+      from clusters c join documents d on c.doc_id = d.doc_id
+    )
+    select d.doc_id,
+           coalesce(r.cluster_id, d.doc_id) as cluster_id,
+           d.n_chars,
+           coalesce(r.is_keeper, true) as is_keeper
+    from documents d left join ranked r on d.doc_id = r.doc_id
+    """,
+)
+def q161(spark, sf_dir):
+    """Quality-ranked dedup survivor selection
+    (operators/dedup.py:select_representatives): q55's near-dup
+    clusters decided into keep/drop — keeper = argmax(n_chars, min-id
+    tiebreak) per cluster, i.e. dedup keeps the LONGEST copy instead
+    of the lowest id; singletons keep themselves. The ranking window
+    runs over cluster MEMBERS only; the corpus pays one id join."""
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.1
+    )
+    clusters = dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
+    out = dedup.select_representatives(docs, clusters, score_col="n_chars")
+    return out.select("doc_id", "cluster_id", "n_chars", "is_keeper")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

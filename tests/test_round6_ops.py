@@ -683,3 +683,31 @@ def test_crossmodal_alignment_known_and_numpy(spark):
     )
     assert np.allclose(got2.alignment.values, np.round(want, 4), atol=1e-9)
     assert (got2.keep.values == (got2.alignment.values >= 0.0)).all()
+
+
+def test_select_representatives_laws(spark):
+    from lbf_spark.operators.dedup import select_representatives
+
+    docs = spark.createDataFrame(
+        [(1, 10), (2, 99), (3, 99), (4, 7), (5, 50)],
+        "doc_id long, score long",
+    )
+    # cluster A = {1,2,3} (2 and 3 tie on score → min id 2 wins);
+    # cluster B = {4}; doc 5 is in no cluster (singleton keeper)
+    clusters = spark.createDataFrame(
+        [(1, 1), (2, 1), (3, 1), (4, 4)], "doc_id long, cluster_id long"
+    )
+    out = (
+        select_representatives(docs, clusters, score_col="score")
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert len(out) == 5  # lossless: every doc gets a verdict
+    assert list(out.is_keeper) == [False, True, False, True, True]
+    assert list(out.cluster_id) == [1, 1, 1, 4, 5]
+    # exactly one keeper per cluster
+    kept = out[out.is_keeper].groupby("cluster_id").size()
+    assert (kept == 1).all()
+    # keeper is the argmax(score) of its cluster
+    assert out[out.is_keeper].loc[2].score == 99
