@@ -40,6 +40,7 @@ def curate_corpus(
     near_dup: bool = False,
     near_dup_threshold: float = 0.8,
     near_dup_method: str = "minhash",
+    rep_score_col: str | None = None,
     seed: int = 42,
 ) -> dict:
     """Run the curation pipeline; returns ``{"kept": DataFrame,
@@ -52,7 +53,12 @@ def curate_corpus(
     ``"jaccard"`` (exact recall via the unified
     ``dedup.jaccard_pairs_auto`` entry point, which itself dispatches
     the physical plan — prefix-filtered at this stage's high default
-    threshold)."""
+    threshold).
+
+    ``rep_score_col``: when set, near-dup clusters keep the member
+    with the HIGHEST value of this column (min-id tiebreak; e.g. a
+    length or quality score — ``dedup.select_representatives``)
+    instead of the default min-id keeper."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     g = text.gopher_quality(docs, text_col, min_words=min_words)
@@ -91,10 +97,16 @@ def curate_corpus(
         clusters = dedup.dup_clusters(pairs).withColumnRenamed(
             "doc_id", id_col
         )
-        drop = clusters.filter(F.col(id_col) != F.col("cluster_id")).select(
-            id_col
-        )
-        s3 = s3.join(drop, id_col, "left_anti")
+        if rep_score_col is not None:
+            verdicts = dedup.select_representatives(
+                s3, clusters, score_col=rep_score_col, id_col=id_col
+            )
+            s3 = verdicts.filter(F.col("is_keeper")).select(*s3.columns)
+        else:
+            drop = clusters.filter(
+                F.col(id_col) != F.col("cluster_id")
+            ).select(id_col)
+            s3 = s3.join(drop, id_col, "left_anti")
         stages.append(("near_dedup", s3))
 
     kept = s3

@@ -275,3 +275,32 @@ def test_curate_corpus_stages_and_near_dup(spark):
                          near_dup_threshold=0.5)
     kept2 = [r["doc_id"] for r in res2["kept"].collect()]
     assert len(kept2) == 1 and kept2[0] == 1    # only 'web' listed; 1 survives
+
+
+def test_curate_corpus_quality_ranked_keeper(spark):
+    """rep_score_col flips the near-dup keeper from min-id to
+    argmax(score): the LONGER near-copy survives even with the larger
+    id; default (no score col) still keeps the min id."""
+    from pyspark.sql import functions as F
+
+    from lbf_spark.plans.corpus import curate_corpus
+
+    base = (
+        "the quick brown fox jumps over one lazy dog while seven green "
+        "turtles swim under bright stars and many curious birds watch "
+        "from tall ancient trees near quiet rivers"
+    )
+    longer = base + " during calm violet evenings full of soft light"
+    rows = [(1, base, "web"), (2, longer, "web")]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, source string"
+    ).withColumn("n_chars", F.length("text"))
+    # default: min-id keeper → doc 1
+    res = curate_corpus(docs, near_dup=True, near_dup_threshold=0.5)
+    assert [r.doc_id for r in res["kept"].collect()] == [1]
+    # quality-ranked: longest keeper → doc 2
+    res2 = curate_corpus(
+        docs, near_dup=True, near_dup_threshold=0.5, rep_score_col="n_chars"
+    )
+    assert [r.doc_id for r in res2["kept"].collect()] == [2]
+    assert res2["kept"].columns == docs.columns  # schema preserved
