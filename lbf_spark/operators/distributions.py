@@ -462,3 +462,97 @@ def negative_sample_pairs(
             F.col("__pair.neg").alias("neg_id"),
         )
     )
+
+
+def temperature_mixture(
+    df: DataFrame,
+    by: str,
+    id_col: str,
+    alpha: float = 0.5,
+    total_n: int = 1000,
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source mixture — the multilingual/multi-source
+    rebalancing law (Devlin et al. 2019 mBERT; Conneau & Lample 2019):
+    source i gets sampling weight c_i^alpha / Σ c_j^alpha, so alpha=1
+    is proportional (head sources dominate) and alpha→0 is uniform
+    (tail sources up-weighted). Quotas come from LARGEST-REMAINDER
+    apportionment of ``total_n`` — exact integer quotas that sum to
+    total_n, no float accumulation:
+
+      * w_i = round(c_i^alpha, 6): ONE IEEE pow per source, rounded
+        immediately (the q149 single-op rule — never summed raw);
+      * W = Σ decimal(28,6) w_i — exact, order-free;
+      * ideal_i = total_n·w_i/W in fixed-order scalar double ops
+        (bit-identical on any IEEE engine), quota_i = ⌊ideal_i⌋ plus
+        one bonus for the largest fractional parts (frac desc, source
+        asc total order) until Σ quota = total_n;
+      * selection inside each source = the md5(seed:source:id) ranked
+        prefix (``mixture_sample``'s law) — append-stable, RNG-free.
+
+    The global windows run over the SOURCE-COUNT frame (k rows — a
+    mixture is specification-sized, never corpus-sized); the corpus
+    pays one groupBy(source) count, one broadcast quota join and one
+    per-source ranking window (skew bound = largest stratum). A quota
+    exceeding its source's row count keeps the whole source (total
+    then undershoots — same contract as mixture_sample).
+
+    Returns the sampled rows plus (n_source, quota) audit columns.
+    """
+    cnt = df.groupBy(by).agg(F.count("*").alias("n_source"))
+    wq = (
+        cnt.withColumn(
+            "__w",
+            F.round(
+                F.pow(F.col("n_source").cast("double"), F.lit(float(alpha))),
+                6,
+            ),
+        )
+        .withColumn(
+            "__Wd",
+            F.sum(F.col("__w").cast("decimal(28,6)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+        )
+        .withColumn(
+            "__ideal",
+            F.lit(float(total_n)) * F.col("__w") / F.col("__Wd"),
+        )
+        .withColumn("__floor", F.floor(F.col("__ideal")).cast("long"))
+        .withColumn("__frac", F.col("__ideal") - F.floor(F.col("__ideal")))
+        .withColumn(
+            "__leftover",
+            F.lit(int(total_n))
+            - F.sum("__floor").over(Window.partitionBy()),
+        )
+        .withColumn(
+            "__bonus_rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.desc("__frac"), F.asc(by)
+                )
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.col("__floor")
+            + F.when(
+                F.col("__bonus_rk") <= F.col("__leftover"), F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .select(by, "n_source", "quota")
+    )
+    key = F.md5(
+        F.concat_ws(
+            ":", F.lit(str(seed)), F.col(by).cast("string"),
+            F.col(id_col).cast("string"),
+        )
+    )
+    w = Window.partitionBy(by).orderBy(F.col("__key"), F.col(id_col))
+    return (
+        df.join(F.broadcast(wq), by)
+        .withColumn("__key", key)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("quota"))
+        .drop("__key", "__rk")
+    )

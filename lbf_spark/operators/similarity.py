@@ -681,3 +681,93 @@ def crossmodal_alignment(
     return pairs.withColumn(out_score, score).withColumn(
         out_keep, F.col(out_score) >= F.lit(float(threshold))
     )
+
+
+def semantic_dedup(
+    df: DataFrame,
+    centroids: DataFrame,
+    threshold: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+    round_digits: int = 4,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540), the production-scale embedding dedup shape:
+    pairwise cosine is computed ONLY within k-means cells, never
+    corpus-wide, so candidate volume is Σ|cell|² instead of n².
+
+    Stages (all relational, zero Python):
+      1. assign every vector to its nearest centroid
+         (``nearest_centroid_join`` — broadcast k rows, squared-L2
+         argmin total-ordered on (round-6 dist2, centroid id));
+      2. within-cell pairs via an equi-join on ``cluster_id``
+         (one hash exchange per side), cosine round-4 ≥ ``threshold``;
+      3. keep rule per the paper — among semantic duplicates the
+         vector with LOW similarity to its centroid (= HIGH dist2)
+         survives, preserving cell diversity. Each pair names exactly
+         one loser: ``dist2`` tie → the higher id drops. A row is
+         kept iff it dominates every near-dup neighbor in its cell.
+
+    Dominance needs no iteration (contrast ``dup_clusters``' O(diameter)
+    rounds): one pair join + one distinct + one left anti shape. dist2
+    priorities are the round-6 values from the assignment, so engines
+    pick identical survivors. Scale: centroid side broadcasts (k×dim
+    driver state, same as IVF); the pair join shuffles on cluster_id —
+    cell skew is the k-means balance question, handled upstream by
+    choosing k (cells ~n/k) exactly as in ``ivf_topk``.
+
+    Returns (id, cluster_id, dist2, is_kept) for EVERY input row —
+    auditable drop decisions; filter ``is_kept`` for the surviving set.
+    Reference analog: none (LBF has no embedding ops) — this completes
+    the dedup family (exact, MinHash, SimHash, Jaccard, phash, cosine)
+    with the cluster-scoped semantic variant used on web-scale
+    image/text corpora.
+    """
+    assign = nearest_centroid_join(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    )
+    vecs = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("__v")
+    )
+    member = assign.join(vecs, id_col)
+    a = member.select(
+        F.col(id_col).alias("id_a"),
+        F.col("cluster_id").alias("__ca"),
+        F.col("dist2").alias("__da"),
+        F.col("__v").alias("__va"),
+    )
+    b = member.select(
+        F.col(id_col).alias("id_b"),
+        F.col("cluster_id").alias("__cb"),
+        F.col("dist2").alias("__db"),
+        F.col("__v").alias("__vb"),
+    )
+    sim = F.round(
+        cosine_similarity_col(F.col("__va"), F.col("__vb")), round_digits
+    )
+    pairs = (
+        a.join(
+            b,
+            (F.col("__ca") == F.col("__cb"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .withColumn("__sim", sim)
+        .filter(F.col("__sim") >= F.lit(float(threshold)))
+    )
+    # exactly one loser per pair: higher dist2 survives, tie -> lower id
+    losers = pairs.select(
+        F.when(F.col("__db") > F.col("__da"), F.col("id_a"))
+        .otherwise(F.col("id_b"))
+        .alias(id_col)
+    ).distinct()
+    return assign.join(
+        losers.withColumn("__lost", F.lit(True)), id_col, "left"
+    ).select(
+        id_col,
+        "cluster_id",
+        "dist2",
+        F.col("__lost").isNull().alias("is_kept"),
+    )

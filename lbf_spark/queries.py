@@ -7549,6 +7549,118 @@ def q161(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "n_chars", "is_keeper")
 
 
+@q(
+    "q162_semantic_dedup",
+    """
+    with c as (
+      select vec_id as cid, cast(embedding as double[]) as cvec
+      from embeddings where vec_id < 8
+    ),
+    e as (select vec_id, cast(embedding as double[]) as ev
+          from embeddings),
+    d as (
+      select e.vec_id, c.cid,
+             round(list_sum([ (ev[i] - c.cvec[i]) * (ev[i] - c.cvec[i])
+                              for i in range(1, len(ev) + 1)]), 6) as dist2
+      from e cross join c
+    ),
+    r as (
+      select vec_id, cid, dist2,
+             row_number() over (partition by vec_id
+                                order by dist2 asc, cid asc) as rk
+      from d
+    ),
+    asg as (select vec_id, cid as cluster_id, dist2 from r where rk = 1),
+    m as (
+      select a.vec_id, a.cluster_id, a.dist2, e.ev
+      from asg a join e on a.vec_id = e.vec_id
+    ),
+    p as (
+      select x.vec_id as id_a, y.vec_id as id_b,
+             x.dist2 as da, y.dist2 as db
+      from m x join m y
+        on x.cluster_id = y.cluster_id and x.vec_id < y.vec_id
+      where round(list_dot_product(x.ev, y.ev)
+                  / (sqrt(list_dot_product(x.ev, x.ev))
+                     * sqrt(list_dot_product(y.ev, y.ev))), 4) >= 0.35
+    ),
+    losers as (
+      select distinct case when db > da then id_a else id_b end as vec_id
+      from p
+    )
+    select a.vec_id, a.cluster_id, a.dist2,
+           (l.vec_id is null) as is_kept
+    from asg a left join losers l on a.vec_id = l.vec_id
+    """,
+)
+def q162(spark, sf_dir):
+    """SemDeDup semantic dedup (similarity.py:semantic_dedup; Abbas et
+    al. 2023): embeddings assigned to 8 fixed centroids (vec_id < 8
+    seed rows, the q79 E-step), cosine near-dup pairs computed ONLY
+    within cells (Σ|cell|² never n²), survivor = the member farther
+    from its centroid (paper's diversity-keeping rule), dist2 tie →
+    lower id. Keep/drop decision for EVERY row, driver-hashed."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return S.semantic_dedup(emb, cents, threshold=0.35)
+
+
+@q(
+    "q163_temperature_mixture",
+    """
+    with c as (select lang, count(*) as n_source from documents
+               group by lang),
+    w as (select lang, n_source,
+                 round(pow(cast(n_source as double), 0.5), 6) as w
+          from c),
+    t1 as (select lang, n_source, w,
+                  cast(sum(cast(w as decimal(28,6))) over () as double)
+                    as wd
+           from w),
+    t2 as (select lang, n_source,
+                  cast(300 as double) * w / wd as ideal
+           from t1),
+    t3 as (select lang, n_source,
+                  cast(floor(ideal) as bigint) as fl,
+                  ideal - floor(ideal) as frac
+           from t2),
+    t4 as (select lang, n_source, fl, frac,
+                  300 - cast(sum(fl) over () as bigint) as leftover,
+                  row_number() over (order by frac desc, lang asc) as brk
+           from t3),
+    qt as (select lang, n_source,
+                  fl + (case when brk <= leftover then 1 else 0 end)
+                    as quota
+           from t4),
+    k as (select d.doc_id, d.lang, qt.n_source, qt.quota,
+                 md5('42:' || d.lang || ':' || cast(d.doc_id as varchar))
+                   as key
+          from documents d join qt on d.lang = qt.lang),
+    r as (select doc_id, lang, n_source, quota,
+                 row_number() over (partition by lang
+                                    order by key, doc_id) as rk
+          from k)
+    select doc_id, lang, n_source, quota from r where rk <= quota
+    """,
+)
+def q163(spark, sf_dir):
+    """Temperature-scaled source mixture
+    (distributions.py:temperature_mixture): multilingual rebalancing —
+    lang i sampled with weight count^0.5 (alpha=0.5 up-weights tail
+    languages), integer quotas by largest-remainder apportionment of
+    300 (exact: Σ quota == 300), selection = md5-ranked prefix per
+    lang. The oracle recomputes the pow/decimal-sum/floor/bonus
+    arithmetic AND the ranked draw relationally — a quota off by one,
+    an unstable bonus order, or a different pick all fail the hash."""
+    docs = t(spark, sf_dir, "documents")
+    out = D.temperature_mixture(
+        docs, by="lang", id_col="doc_id", alpha=0.5, total_n=300
+    )
+    return out.select("doc_id", "lang", "n_source", "quota")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -711,3 +711,126 @@ def test_select_representatives_laws(spark):
     assert (kept == 1).all()
     # keeper is the argmax(score) of its cluster
     assert out[out.is_keeper].loc[2].score == 99
+
+
+def test_semantic_dedup_laws(spark):
+    """Planted two-cell geometry: near-dups are dropped only within
+    their cell, the farther-from-centroid member survives (SemDeDup
+    diversity rule), dist2 ties keep the lower id, singletons and
+    cross-cell lookalikes are untouched."""
+    from lbf_spark.operators.similarity import semantic_dedup
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.0, 1.0, 0.0])],
+        "cid long, embedding array<double>",
+    )
+    rows = [
+        # cell 0: 10/11 near-dup (cos≈1), 11 farther from centroid -> keeps
+        (10, [1.0, 0.0, 0.0]),
+        (11, [0.9, 0.1, 0.0]),
+        # cell 0 singleton, orthogonal-ish to the pair
+        (12, [0.7, 0.0, 0.7]),
+        # cell 1: same direction as 10/11's dup axis but in the OTHER
+        # cell -- never compared against cell 0 members
+        (20, [0.1, 0.9, 0.0]),
+        # cell 1: exact dist2 tie pair (identical vectors, cos<0.9 to
+        # row 20 so only the tie law decides them) -> lower id kept
+        (21, [0.0, 0.8, 0.6]),
+        (22, [0.0, 0.8, 0.6]),
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = semantic_dedup(df, cents, threshold=0.9).toPandas().set_index("vec_id")
+
+    assert out.loc[10, "cluster_id"] == 0 and out.loc[20, "cluster_id"] == 1
+    # diversity rule: 11 (farther from centroid 0) survives, 10 drops
+    assert bool(out.loc[11, "is_kept"]) and not bool(out.loc[10, "is_kept"])
+    # singleton untouched
+    assert bool(out.loc[12, "is_kept"])
+    # cross-cell lookalike untouched (scoping law)
+    assert bool(out.loc[20, "is_kept"])
+    # exact tie -> lower id survives
+    assert bool(out.loc[21, "is_kept"]) and not bool(out.loc[22, "is_kept"])
+    # every input row is present with an explicit decision
+    assert len(out) == len(rows) and out["is_kept"].notna().all()
+
+
+def test_semantic_dedup_matches_brute_force_within_cells(spark):
+    """The cell-scoped plan equals the definitionally-direct recompute:
+    drop set == rows dominated in the (same-cell, cos>=t) graph."""
+    import numpy as np
+    from lbf_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(60, 8)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(60)],
+        "vec_id long, embedding array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(4)],
+        "cid long, embedding array<double>",
+    )
+    out = semantic_dedup(df, cents, threshold=0.5).toPandas().set_index("vec_id")
+
+    cvec = vecs[:4]
+    d2 = np.round(((vecs[:, None, :] - cvec[None, :, :]) ** 2).sum(-1), 6)
+    cell = d2.argmin(1)  # ties impossible at this precision w/ rng data
+    dist2 = d2[np.arange(60), cell]
+    norms = np.sqrt((vecs**2).sum(-1))
+    cos = np.round(vecs @ vecs.T / np.outer(norms, norms), 4)
+    dropped = set()
+    for a in range(60):
+        for b in range(a + 1, 60):
+            if cell[a] == cell[b] and cos[a, b] >= 0.5:
+                dropped.add(a if dist2[b] > dist2[a] else b)
+    assert dropped, "fixture must actually produce near-dups"
+    for i in range(60):
+        assert bool(out.loc[i, "is_kept"]) == (i not in dropped)
+        assert out.loc[i, "cluster_id"] == cell[i]
+
+
+def test_temperature_mixture_laws(spark):
+    """Largest-remainder quotas: exact total, python-twin equality,
+    alpha=0 -> near-uniform, alpha=1 -> proportional, quota > group
+    size keeps the whole group."""
+    from decimal import Decimal
+    from lbf_spark.operators.distributions import temperature_mixture
+
+    counts = {"a": 100, "b": 40, "c": 30, "d": 20}
+    rows = [(f"{s}{i}", s) for s, n in counts.items() for i in range(n)]
+    df = spark.createDataFrame(rows, "doc_id string, src string")
+
+    def twin_quota(alpha, total):
+        w = {s: round(math.pow(n, alpha), 6) for s, n in counts.items()}
+        W = float(sum(Decimal(str(v)).quantize(Decimal("0.000001"))
+                      for v in w.values()))
+        ideal = {s: float(total) * w[s] / W for s in counts}
+        fl = {s: math.floor(ideal[s]) for s in counts}
+        leftover = total - sum(fl.values())
+        order = sorted(counts, key=lambda s: (-(ideal[s] - fl[s]), s))
+        return {
+            s: fl[s] + (1 if order.index(s) < leftover else 0)
+            for s in counts
+        }
+
+    for alpha, total in [(0.5, 50), (1.0, 50), (0.0, 50)]:
+        out = temperature_mixture(
+            df, by="src", id_col="doc_id", alpha=alpha, total_n=total
+        ).toPandas()
+        got = out.groupby("src").size().to_dict()
+        assert sum(got.values()) == total
+        exp = twin_quota(alpha, total)
+        assert {s: n for s, n in exp.items() if n} == got
+        assert (out.groupby("src")["quota"].first().to_dict()
+                == {s: n for s, n in exp.items() if n})
+    # proportional sanity at alpha=1: head source ~100/190 of 50,
+    # bonus seats go to the largest fractional parts (c then b)
+    q1 = twin_quota(1.0, 50)
+    assert q1 == {"a": 26, "b": 11, "c": 8, "d": 5}
+    # quota above group size: keep whole group, undershoot documented
+    out = temperature_mixture(
+        df, by="src", id_col="doc_id", alpha=0.0, total_n=200
+    ).toPandas()
+    # alpha=0: equal 50-per-source ideals; b, c and d cap at their sizes
+    got = out.groupby("src").size().to_dict()
+    assert got == {"a": 50, "b": 40, "c": 30, "d": 20}
