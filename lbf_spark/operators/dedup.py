@@ -844,3 +844,51 @@ def select_representatives(
         .withColumn("is_keeper", F.coalesce(F.col("__is_keeper"), F.lit(True)))
         .drop("__cl", "__is_keeper")
     )
+
+
+def tile_overlap_pairs(
+    patches: DataFrame,
+    min_shared: int = 2,
+    id_col: str = "image_id",
+    hash_col: str = "patch_md5",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Crop/overlay-resistant image near-dup candidates: pairs of
+    images sharing ≥ ``min_shared`` identical tile digests (from
+    ``images.extract_patches``). Exact byte-level tile matching
+    complements phash (global, blur-tolerant) — a crop that keeps any
+    ``min_shared`` aligned tiles, a watermark/overlay that touches only
+    some tiles, or a collage reusing regions all still match, which a
+    whole-image hash misses.
+
+    Physical shape is the inverted-index join (the image analog of
+    ``jaccard_pairs``): distinct (image, tile-digest) postings, an
+    equi-join per digest (bucketed — candidate volume is Σ df(tile)²,
+    never n²), one map-side-combined groupBy counting shared tiles.
+    ``max_df`` drops digests present in more than that many images —
+    flat-color tiles are the image analog of stopword shingles and the
+    cap is what bounds the posting-list blowup at corpus scale
+    (identical role to ``jaccard_pairs(max_df=…)``). Payload never
+    enters: the patch table carries 32-char digests only.
+    """
+    post = (
+        patches.select(F.col(id_col), F.col(hash_col).alias("__h"))
+        .distinct()
+    )
+    if max_df is not None:
+        keep = (
+            post.groupBy("__h")
+            .agg(F.count(F.lit(1)).alias("__df"))
+            .filter(F.col("__df") <= int(max_df))
+            .select("__h")
+        )
+        post = post.join(keep, "__h")
+    a = post.select(F.col(id_col).alias("id_a"), "__h")
+    b = post.select(F.col(id_col).alias("id_b"), "__h")
+    return (
+        a.join(b, "__h")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("shared_tiles"))
+        .filter(F.col("shared_tiles") >= int(min_shared))
+    )

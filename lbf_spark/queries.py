@@ -7661,6 +7661,80 @@ def q163(spark, sf_dir):
     return out.select("doc_id", "lang", "n_source", "quota")
 
 
+@q("q164_tile_overlap_cert", _EMPTY_CERT3)
+def q164(spark, sf_dir):
+    """Crop-resistant tile-overlap near-dup CERTIFICATE
+    (operators/dedup.py:tile_overlap_pairs): the image+caption corpus
+    is salted with ~31 % verbatim copies (md5-selected, new ids) whose
+    first tile ROW is then dropped — a grid-aligned crop. The
+    inverted-index plan (distinct postings → max_df 20 cap → per-digest
+    equi-join → shared-tile counts ≥ 2) must equal the
+    definitionally-direct twin: per-image tile SETS intersected across
+    ALL image pairs. A lost posting, a broken cap, a double-counted
+    digest, or a dropped pair each surface as a row; a zero-pair
+    engine result raises its own `no_pairs` violation so the
+    certificate can never pass vacuously. Violations → rows; oracle =
+    empty set."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.dedup import tile_overlap_pairs
+    from lbf_spark.operators.images import extract_patches
+    from lbf_spark.util import fan_out
+
+    n = 400 if "0.001" in sf_dir else 900
+    ev = fixtures.events_to_spark(
+        spark, fixtures.generate_events(n_rows=n, n_entities=8)
+    ).select("image_id", "bytes", "fmt")
+    copies = ev.filter(
+        F.substring(F.md5(F.col("image_id")), 1, 1).isin(
+            "0", "1", "2", "3", "4"
+        )
+    ).withColumn("image_id", F.concat(F.col("image_id"), F.lit("_c")))
+    pt = extract_patches(fan_out(ev.unionByName(copies)), patch=8)
+    pt = pt.filter(
+        ~(F.col("image_id").endswith("_c") & (F.col("patch_row") == 0))
+    )
+    eng = tile_overlap_pairs(pt, min_shared=2, max_df=20)
+
+    post = pt.select("image_id", "patch_md5").distinct()
+    capped = post.withColumn(
+        "__df", F.count(F.lit(1)).over(Window.partitionBy("patch_md5"))
+    ).filter(F.col("__df") <= 20)
+    sets = capped.groupBy("image_id").agg(
+        F.collect_set("patch_md5").alias("s")
+    )
+    x = sets.select(F.col("image_id").alias("id_a"), F.col("s").alias("sa"))
+    y = sets.select(F.col("image_id").alias("id_b"), F.col("s").alias("sb"))
+    twin = (
+        x.join(y, F.col("id_a") < F.col("id_b"))
+        .withColumn("shared_twin", F.size(F.array_intersect("sa", "sb")))
+        .filter(F.col("shared_twin") >= 2)
+        .select("id_a", "id_b", "shared_twin")
+    )
+    cmp = eng.join(twin, ["id_a", "id_b"], "full_outer")
+    viol = cmp.filter(
+        F.col("shared_tiles").isNull()
+        | F.col("shared_twin").isNull()
+        | (F.col("shared_tiles") != F.col("shared_twin"))
+    ).select(
+        F.lit("pair_mismatch").alias("family"),
+        F.concat_ws(":", "id_a", "id_b").alias("key"),
+        (
+            F.coalesce(F.col("shared_tiles"), F.lit(0))
+            - F.coalesce(F.col("shared_twin"), F.lit(0))
+        ).cast("double").alias("err"),
+    )
+    guard = (
+        eng.agg(F.count(F.lit(1)).alias("__n"))
+        .filter(F.col("__n") == 0)
+        .select(
+            F.lit("no_pairs").alias("family"),
+            F.lit("corpus").alias("key"),
+            F.lit(0.0).alias("err"),
+        )
+    )
+    return viol.unionByName(guard)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -834,3 +834,67 @@ def test_temperature_mixture_laws(spark):
     # alpha=0: equal 50-per-source ideals; b, c and d cap at their sizes
     got = out.groupby("src").size().to_dict()
     assert got == {"a": 50, "b": 40, "c": 30, "d": 20}
+
+
+def test_tile_overlap_pairs_laws(spark):
+    """Shared-tile counting over a hand-built patch table: intra-image
+    repeats count once (distinct postings), max_df drops flat tiles,
+    min_shared thresholds pairs."""
+    from lbf_spark.operators.dedup import tile_overlap_pairs
+
+    rows = [
+        # img A and B share t1, t2; A repeats t1 internally
+        ("A", "t1"), ("A", "t1"), ("A", "t2"), ("A", "t3"),
+        ("B", "t1"), ("B", "t2"), ("B", "t9"),
+        # img C shares only t3 with A
+        ("C", "t3"), ("C", "t8"),
+        # 'flat' tile in every image (the stopword analog)
+        ("A", "flat"), ("B", "flat"), ("C", "flat"), ("D", "flat"),
+        ("D", "t7"),
+    ]
+    pt = spark.createDataFrame(rows, "image_id string, patch_md5 string")
+
+    got = tile_overlap_pairs(pt, min_shared=2, max_df=3).toPandas()
+    got = {(r.id_a, r.id_b): r.shared_tiles for r in got.itertuples()}
+    # flat (df=4 > 3) is capped out; A-B share {t1,t2} = 2 (t1 once!)
+    assert got == {("A", "B"): 2}
+    # without the cap, flat joins everything: A-B=3, A-C=2, others via flat only
+    got2 = tile_overlap_pairs(pt, min_shared=2, max_df=None).toPandas()
+    got2 = {(r.id_a, r.id_b): r.shared_tiles for r in got2.itertuples()}
+    assert got2[("A", "B")] == 3 and got2[("A", "C")] == 2
+    assert ("C", "D") not in got2  # only flat shared -> below min_shared
+    # min_shared=1 admits single-tile matches
+    got3 = tile_overlap_pairs(pt, min_shared=1, max_df=3).toPandas()
+    assert (("A", "C") in {(r.id_a, r.id_b) for r in got3.itertuples()})
+
+
+def test_tile_overlap_survives_grid_crop(spark):
+    """End-to-end crop resistance on real decoded tiles: a verbatim
+    copy missing its first tile row still pairs with its source, and
+    phash-unrelated images do not pair."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.dedup import tile_overlap_pairs
+    from lbf_spark.operators.images import extract_patches
+
+    ev = fixtures.events_to_spark(
+        spark, fixtures.generate_events(n_rows=40, n_entities=4)
+    ).select("image_id", "bytes", "fmt")
+    copy = ev.limit(6).withColumn(
+        "image_id", F.concat(F.col("image_id"), F.lit("_c"))
+    )
+    pt = extract_patches(ev.unionByName(copy), patch=8)
+    pt = pt.filter(
+        ~(F.col("image_id").endswith("_c") & (F.col("patch_row") == 0))
+    )
+    pairs = tile_overlap_pairs(pt, min_shared=2).toPandas()
+    matched = {
+        (r.id_a, r.id_b) for r in pairs.itertuples()
+    }
+    # every copy with >=2 surviving tiles finds its source
+    surv = (
+        pt.filter(F.col("image_id").endswith("_c"))
+        .groupBy("image_id").count().toPandas()
+    )
+    for cid, nt in zip(surv.image_id, surv["count"]):
+        if nt >= 2:
+            assert (cid[:-2], cid) in matched or (cid, cid[:-2]) in matched
