@@ -464,6 +464,67 @@ def negative_sample_pairs(
     )
 
 
+def temperature_quotas(
+    counts: DataFrame,
+    by: str,
+    n_col: str,
+    alpha: float,
+    total_n: int,
+) -> DataFrame:
+    """Largest-remainder apportionment of ``total_n`` over groups with
+    temperature-scaled weights count^alpha — the exact-integer quota
+    core shared by ``temperature_mixture`` (md5 draws per source) and
+    ``similarity.diversity_sample`` (farthest-from-centroid draws per
+    cell). Engine-portable arithmetic: ONE IEEE pow per group rounded
+    to 6 (q149 single-op rule), Σ weights as exact decimal(28,6),
+    fixed-order double ideals, bonus seats by (frac desc, group asc)
+    total order. Input is the GROUP-COUNT frame (k rows — global
+    windows here are specification-sized, never corpus-sized).
+    Returns (by, n_col, quota) with Σ quota == total_n exactly."""
+    return (
+        counts.withColumn(
+            "__w",
+            F.round(
+                F.pow(F.col(n_col).cast("double"), F.lit(float(alpha))),
+                6,
+            ),
+        )
+        .withColumn(
+            "__Wd",
+            F.sum(F.col("__w").cast("decimal(28,6)"))
+            .over(Window.partitionBy())
+            .cast("double"),
+        )
+        .withColumn(
+            "__ideal",
+            F.lit(float(total_n)) * F.col("__w") / F.col("__Wd"),
+        )
+        .withColumn("__floor", F.floor(F.col("__ideal")).cast("long"))
+        .withColumn("__frac", F.col("__ideal") - F.floor(F.col("__ideal")))
+        .withColumn(
+            "__leftover",
+            F.lit(int(total_n))
+            - F.sum("__floor").over(Window.partitionBy()),
+        )
+        .withColumn(
+            "__bonus_rk",
+            F.row_number().over(
+                Window.partitionBy().orderBy(
+                    F.desc("__frac"), F.asc(by)
+                )
+            ),
+        )
+        .withColumn(
+            "quota",
+            F.col("__floor")
+            + F.when(
+                F.col("__bonus_rk") <= F.col("__leftover"), F.lit(1)
+            ).otherwise(F.lit(0)).cast("long"),
+        )
+        .select(by, n_col, "quota")
+    )
+
+
 def temperature_mixture(
     df: DataFrame,
     by: str,
@@ -500,48 +561,7 @@ def temperature_mixture(
     Returns the sampled rows plus (n_source, quota) audit columns.
     """
     cnt = df.groupBy(by).agg(F.count("*").alias("n_source"))
-    wq = (
-        cnt.withColumn(
-            "__w",
-            F.round(
-                F.pow(F.col("n_source").cast("double"), F.lit(float(alpha))),
-                6,
-            ),
-        )
-        .withColumn(
-            "__Wd",
-            F.sum(F.col("__w").cast("decimal(28,6)"))
-            .over(Window.partitionBy())
-            .cast("double"),
-        )
-        .withColumn(
-            "__ideal",
-            F.lit(float(total_n)) * F.col("__w") / F.col("__Wd"),
-        )
-        .withColumn("__floor", F.floor(F.col("__ideal")).cast("long"))
-        .withColumn("__frac", F.col("__ideal") - F.floor(F.col("__ideal")))
-        .withColumn(
-            "__leftover",
-            F.lit(int(total_n))
-            - F.sum("__floor").over(Window.partitionBy()),
-        )
-        .withColumn(
-            "__bonus_rk",
-            F.row_number().over(
-                Window.partitionBy().orderBy(
-                    F.desc("__frac"), F.asc(by)
-                )
-            ),
-        )
-        .withColumn(
-            "quota",
-            F.col("__floor")
-            + F.when(
-                F.col("__bonus_rk") <= F.col("__leftover"), F.lit(1)
-            ).otherwise(F.lit(0)).cast("long"),
-        )
-        .select(by, "n_source", "quota")
-    )
+    wq = temperature_quotas(cnt, by, "n_source", alpha, total_n)
     key = F.md5(
         F.concat_ws(
             ":", F.lit(str(seed)), F.col(by).cast("string"),

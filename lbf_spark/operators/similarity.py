@@ -771,3 +771,52 @@ def semantic_dedup(
         "dist2",
         F.col("__lost").isNull().alias("is_kept"),
     )
+
+
+def diversity_sample(
+    df: DataFrame,
+    centroids: DataFrame,
+    total_n: int,
+    alpha: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+) -> DataFrame:
+    """Cluster-balanced diversity sampling — the coreset-style subset
+    selector used to down-sample web corpora without collapsing onto
+    head modes: cells (nearest-centroid assignment) receive exact
+    integer quotas ∝ |cell|^alpha by largest-remainder apportionment
+    (``distributions.temperature_quotas`` — alpha<1 up-weights tail
+    clusters), and WITHIN a cell the rows farthest from the centroid
+    draw first (dist2 desc, id asc total order) — edge-of-cell examples
+    carry the diversity, prototypical ones are redundant (the same
+    geometry SemDeDup exploits, inverted into a sampler).
+
+    Scale shape: one broadcast centroid assignment (k×dim), one k-row
+    quota frame broadcast back, one per-cell ranking window (skew bound
+    = largest cell, i.e. the k-means balance knob). Σ picked ==
+    total_n exactly whenever every quota ≤ its cell size (quotas above
+    cell size keep the whole cell and undershoot — mixture contract).
+
+    Returns the picked rows' (id, cluster_id, dist2, n_cell, quota).
+    """
+    from lbf_spark.operators.distributions import temperature_quotas
+
+    assign = nearest_centroid_join(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    )
+    cnt = assign.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_cell")
+    )
+    quotas = temperature_quotas(cnt, "cluster_id", "n_cell", alpha, total_n)
+    w = Window.partitionBy("cluster_id").orderBy(
+        F.desc("dist2"), F.asc(id_col)
+    )
+    return (
+        assign.join(F.broadcast(quotas), "cluster_id")
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= F.col("quota"))
+        .select(id_col, "cluster_id", "dist2", "n_cell", "quota")
+    )

@@ -7735,6 +7735,80 @@ def q164(spark, sf_dir):
     return viol.unionByName(guard)
 
 
+@q(
+    "q165_diversity_sample",
+    """
+    with c as (
+      select vec_id as cid, cast(embedding as double[]) as cvec
+      from embeddings where vec_id < 8
+    ),
+    e as (select vec_id, cast(embedding as double[]) as ev
+          from embeddings),
+    d as (
+      select e.vec_id, c.cid,
+             round(list_sum([ (ev[i] - c.cvec[i]) * (ev[i] - c.cvec[i])
+                              for i in range(1, len(ev) + 1)]), 6) as dist2
+      from e cross join c
+    ),
+    r as (
+      select vec_id, cid, dist2,
+             row_number() over (partition by vec_id
+                                order by dist2 asc, cid asc) as rk
+      from d
+    ),
+    asg as (select vec_id, cid as cluster_id, dist2 from r where rk = 1),
+    cnt as (select cluster_id, count(*) as n_cell from asg
+            group by cluster_id),
+    w as (select cluster_id, n_cell,
+                 round(pow(cast(n_cell as double), 0.5), 6) as w
+          from cnt),
+    t1 as (select cluster_id, n_cell, w,
+                  cast(sum(cast(w as decimal(28,6))) over () as double)
+                    as wd
+           from w),
+    t2 as (select cluster_id, n_cell,
+                  cast(200 as double) * w / wd as ideal
+           from t1),
+    t3 as (select cluster_id, n_cell,
+                  cast(floor(ideal) as bigint) as fl,
+                  ideal - floor(ideal) as frac
+           from t2),
+    t4 as (select cluster_id, n_cell, fl, frac,
+                  200 - cast(sum(fl) over () as bigint) as leftover,
+                  row_number() over (order by frac desc, cluster_id asc)
+                    as brk
+           from t3),
+    qt as (select cluster_id, n_cell,
+                  fl + (case when brk <= leftover then 1 else 0 end)
+                    as quota
+           from t4),
+    pick as (
+      select a.vec_id, a.cluster_id, a.dist2, qt.n_cell, qt.quota,
+             row_number() over (partition by a.cluster_id
+                                order by a.dist2 desc, a.vec_id asc)
+               as prk
+      from asg a join qt on a.cluster_id = qt.cluster_id
+    )
+    select vec_id, cluster_id, dist2, n_cell, quota
+    from pick where prk <= quota
+    """,
+)
+def q165(spark, sf_dir):
+    """Cluster-balanced diversity sampling
+    (similarity.py:diversity_sample): 500 embeddings → 200-row coreset.
+    Cells get largest-remainder quotas ∝ |cell|^0.5 (tail clusters
+    up-weighted — same exact-integer law as q163, reused via
+    temperature_quotas), and within each cell the FARTHEST-from-
+    centroid rows draw first. The oracle replays assignment, quota
+    arithmetic AND the diversity ranking relationally — a flipped
+    order, a quota off by one, or a lost cell all fail the hash."""
+    emb = t(spark, sf_dir, "embeddings")
+    cents = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return S.diversity_sample(emb, cents, total_n=200, alpha=0.5)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

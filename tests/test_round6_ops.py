@@ -898,3 +898,38 @@ def test_tile_overlap_survives_grid_crop(spark):
     for cid, nt in zip(surv.image_id, surv["count"]):
         if nt >= 2:
             assert (cid[:-2], cid) in matched or (cid, cid[:-2]) in matched
+
+
+def test_diversity_sample_laws(spark):
+    """Quota ∝ |cell|^alpha by largest remainder; within-cell picks are
+    the farthest-from-centroid prefix; exact total when quotas fit."""
+    from lbf_spark.operators.similarity import diversity_sample
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cid long, embedding array<double>",
+    )
+    rows = []
+    # cell 0: 16 rows at increasing offsets from the centroid
+    for i in range(16):
+        rows.append((i, [1.0, 0.01 * i]))
+    # cell 1: 4 rows
+    for i in range(4):
+        rows.append((100 + i, [0.02 * i, 1.0]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = diversity_sample(df, cents, total_n=10, alpha=0.5).toPandas()
+    assert len(out) == 10
+    by_cell = out.groupby("cluster_id").size().to_dict()
+    # sqrt weights: w0=4, w1=2 -> ideals 6.67/3.33 -> floors 6/3,
+    # leftover 1 -> frac .667 > .333 -> cell 0 gets it: 7/3
+    assert by_cell == {0: 7, 1: 3}
+    # farthest-first: cell 0's picks are the 7 largest offsets (ids 9..15)
+    got0 = sorted(out[out.cluster_id == 0].vec_id)
+    assert got0 == list(range(9, 16))
+    # cell 1's picks are its 3 largest offsets (ids 101..103)
+    got1 = sorted(out[out.cluster_id == 1].vec_id)
+    assert got1 == [101, 102, 103]
+    # alpha=1 proportional: 16/20 vs 4/20 of 10 -> 8/2
+    out1 = diversity_sample(df, cents, total_n=10, alpha=1.0).toPandas()
+    assert out1.groupby("cluster_id").size().to_dict() == {0: 8, 1: 2}
