@@ -152,3 +152,76 @@ def stage_counts(
         spark = frames[0].sparkSession
         return spark.createDataFrame(rows, "stage string, n_docs long")
     return out
+
+
+def curate_pairs(
+    pairs: DataFrame,
+    img_vec: str,
+    txt_vec: str,
+    pair_id: str = "pair_id",
+    align_threshold: float = 0.0,
+    centroids: DataFrame | None = None,
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+    semdedup_threshold: float = 0.9,
+    by: str | None = None,
+    alpha: float = 0.5,
+    total_n: int | None = None,
+    seed: int = 42,
+) -> dict:
+    """Multimodal (image, caption) pair curation — the LAION/DataComp
+    recipe composed from the engine's own oracled operators, ONE lazy
+    relational plan end-to-end (no iteration anywhere in this chain):
+
+    1. **alignment gate** (`similarity.crossmodal_alignment`) — drop
+       pairs whose image/text embedding cosine < ``align_threshold``
+       (CLIP-score filtering, row-local);
+    2. **semantic dedup** (`similarity.semantic_dedup`, when
+       ``centroids`` given) — over the IMAGE embedding of surviving
+       pairs, cell-scoped cosine ≥ ``semdedup_threshold`` duplicates
+       drop, farthest-from-centroid survivor (SemDeDup rule);
+    3. **temperature rebalance** (`distributions.temperature_mixture`,
+       when ``by`` + ``total_n`` given) — α-scaled exact quotas over
+       the grouping column with md5-ranked draws.
+
+    Same contract as ``curate_corpus``: returns ``{"kept", "stages"}``
+    with ``kept`` carrying the input columns plus the ``alignment``
+    score; all frames lazy. The chain's shuffles: one pair join the
+    CALLER paid to build ``pairs``, one cluster_id exchange inside
+    semantic dedup, one count + per-group ranking in the rebalance —
+    nothing quadratic, payload vectors never leave their stage."""
+    from lbf_spark.operators.similarity import (
+        crossmodal_alignment,
+        semantic_dedup,
+    )
+
+    stages: list[tuple[str, DataFrame]] = [("input", pairs)]
+    out_cols = pairs.columns + ["alignment"]
+
+    a = crossmodal_alignment(
+        pairs, img_vec, txt_vec, threshold=align_threshold
+    )
+    s1 = a.filter(F.col("keep")).select(*out_cols)
+    stages.append(("alignment_gate", s1))
+
+    s2 = s1
+    if centroids is not None:
+        verdict = semantic_dedup(
+            s1, centroids, threshold=semdedup_threshold,
+            id_col=pair_id, vec_col=img_vec,
+            cent_id=cent_id, cent_vec=cent_vec,
+        )
+        s2 = s1.join(
+            verdict.filter(F.col("is_kept")).select(pair_id),
+            pair_id, "left_semi",
+        )
+        stages.append(("semantic_dedup", s2))
+
+    kept = s2
+    if by is not None and total_n is not None:
+        kept = D.temperature_mixture(
+            s2, by=by, id_col=pair_id, alpha=alpha,
+            total_n=total_n, seed=seed,
+        ).select(*out_cols)
+        stages.append(("temperature_rebalance", kept))
+    return {"kept": kept, "stages": stages}

@@ -7809,6 +7809,139 @@ def q165(spark, sf_dir):
     return S.diversity_sample(emb, cents, total_n=200, alpha=0.5)
 
 
+@q(
+    "q166_multimodal_curation",
+    """
+    with emb as (
+      select vec_id, vec_id // 2 as pair_id,
+             cast(embedding as double[]) as e, label
+      from embeddings
+    ),
+    img as (select pair_id, e as ea, label from emb where vec_id % 2 = 0),
+    txt as (select pair_id, e as eb from emb where vec_id % 2 = 1),
+    p0 as (
+      select i.pair_id, i.label, i.ea,
+             round(list_dot_product(i.ea, t.eb)
+                   / (sqrt(list_dot_product(i.ea, i.ea))
+                      * sqrt(list_dot_product(t.eb, t.eb))), 4) + 0
+               as alignment
+      from img i join txt t on i.pair_id = t.pair_id
+    ),
+    s1 as (select * from p0 where alignment >= 0.0),
+    c as (
+      select vec_id as cid, cast(embedding as double[]) as cvec
+      from embeddings where vec_id < 16 and vec_id % 2 = 0
+    ),
+    d as (
+      select s1.pair_id, c.cid,
+             round(list_sum([ (ea[i] - c.cvec[i]) * (ea[i] - c.cvec[i])
+                              for i in range(1, len(ea) + 1)]), 6) as dist2
+      from s1 cross join c
+    ),
+    r as (
+      select pair_id, cid, dist2,
+             row_number() over (partition by pair_id
+                                order by dist2 asc, cid asc) as rk
+      from d
+    ),
+    asg as (select pair_id, cid as cluster_id, dist2 from r where rk = 1),
+    m as (
+      select a.pair_id, a.cluster_id, a.dist2, s1.ea
+      from asg a join s1 on a.pair_id = s1.pair_id
+    ),
+    pr as (
+      select x.pair_id as id_a, y.pair_id as id_b,
+             x.dist2 as da, y.dist2 as db
+      from m x join m y
+        on x.cluster_id = y.cluster_id and x.pair_id < y.pair_id
+      where round(list_dot_product(x.ea, y.ea)
+                  / (sqrt(list_dot_product(x.ea, x.ea))
+                     * sqrt(list_dot_product(y.ea, y.ea))), 4) >= 0.35
+    ),
+    losers as (
+      select distinct case when db > da then id_a else id_b end as pair_id
+      from pr
+    ),
+    s2 as (
+      select s1.* from s1 left join losers l on s1.pair_id = l.pair_id
+      where l.pair_id is null
+    ),
+    cn as (select label, count(*) as n_source from s2 group by label),
+    w as (select label, n_source,
+                 round(pow(cast(n_source as double), 0.5), 6) as w
+          from cn),
+    t1 as (select label, n_source, w,
+                  cast(sum(cast(w as decimal(28,6))) over () as double)
+                    as wd
+           from w),
+    t2 as (select label, n_source,
+                  cast(60 as double) * w / wd as ideal
+           from t1),
+    t3 as (select label, n_source,
+                  cast(floor(ideal) as bigint) as fl,
+                  ideal - floor(ideal) as frac
+           from t2),
+    t4 as (select label, n_source, fl, frac,
+                  60 - cast(sum(fl) over () as bigint) as leftover,
+                  row_number() over (order by frac desc, label asc) as brk
+           from t3),
+    qt as (select label,
+                  fl + (case when brk <= leftover then 1 else 0 end)
+                    as quota
+           from t4),
+    k as (
+      select s2.pair_id, s2.label, s2.alignment, qt.quota,
+             md5('42:' || cast(s2.label as varchar) || ':'
+                 || cast(s2.pair_id as varchar)) as key
+      from s2 join qt on s2.label = qt.label
+    ),
+    rr as (
+      select pair_id, label, alignment, quota,
+             row_number() over (partition by label
+                                order by key, pair_id) as rk2
+      from k
+    )
+    select pair_id, label, alignment from rr where rk2 <= quota
+    """,
+)
+def q166(spark, sf_dir):
+    """Multimodal pair-curation chain (plans/corpus.py:curate_pairs —
+    the LAION/DataComp recipe): 250 (image, caption) embedding pairs
+    (q160's even/odd pairing, label from the image side) → CLIP-score
+    alignment gate at 0.0 → SemDeDup over the image embedding (8 even
+    seed centroids, threshold 0.35) → temperature rebalance to 60
+    pairs over label at α=0.5. ONE lazy relational plan; the oracle
+    replays alignment, assignment, cell-scoped dedup, quota arithmetic
+    and the md5 draw end-to-end — any stage drifting fails the hash."""
+    from lbf_spark.plans.corpus import curate_pairs
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr("vec_id div 2").alias("pair_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+        "label",
+    )
+    a = emb.filter(F.col("vec_id") % 2 == 0).select(
+        "pair_id", "label", F.col("e").alias("ea")
+    )
+    b = emb.filter(F.col("vec_id") % 2 == 1).select(
+        "pair_id", F.col("e").alias("eb")
+    )
+    cents = (
+        t(spark, sf_dir, "embeddings")
+        .filter((F.col("vec_id") < 16) & (F.col("vec_id") % 2 == 0))
+        .select(F.col("vec_id").alias("cid"), "embedding")
+    )
+    out = curate_pairs(
+        a.join(b, "pair_id"),
+        img_vec="ea", txt_vec="eb", pair_id="pair_id",
+        align_threshold=0.0,
+        centroids=cents, semdedup_threshold=0.35,
+        by="label", alpha=0.5, total_n=60,
+    )
+    return out["kept"].select("pair_id", "label", "alignment")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -933,3 +933,49 @@ def test_diversity_sample_laws(spark):
     # alpha=1 proportional: 16/20 vs 4/20 of 10 -> 8/2
     out1 = diversity_sample(df, cents, total_n=10, alpha=1.0).toPandas()
     assert out1.groupby("cluster_id").size().to_dict() == {0: 8, 1: 2}
+
+
+def test_curate_pairs_chain(spark):
+    """Multimodal curation chain: alignment gate drops misaligned
+    pairs, semantic dedup drops the centroid-nearest twin, rebalance
+    hits the exact total; stages report in order."""
+    from lbf_spark.plans.corpus import curate_pairs
+
+    rows = [
+        # (pair_id, label, img, txt): aligned identical-embedding dups
+        (1, 0, [1.0, 0.0], [1.0, 0.0]),
+        (2, 0, [0.98, 0.05], [0.98, 0.05]),
+        # aligned, far from the dup pair
+        (3, 0, [0.0, 1.0], [0.0, 1.0]),
+        (4, 1, [0.6, 0.8], [0.6, 0.8]),  # cell 1, cos(3,4)=0.8 < 0.9
+        # misaligned: orthogonal image/text -> alignment 0 < threshold
+        (5, 1, [1.0, 0.0], [0.0, 1.0]),
+    ]
+    pairs = spark.createDataFrame(
+        rows,
+        "pair_id long, label int, ea array<double>, eb array<double>",
+    )
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "cid long, embedding array<double>",
+    )
+    out = curate_pairs(
+        pairs, "ea", "eb", align_threshold=0.5,
+        centroids=cents, semdedup_threshold=0.9,
+        by="label", alpha=0.5, total_n=3,
+    )
+    assert [s[0] for s in out["stages"]] == [
+        "input", "alignment_gate", "semantic_dedup",
+        "temperature_rebalance",
+    ]
+    got = out["kept"].toPandas()
+    ids = set(got.pair_id)
+    assert 5 not in ids                 # alignment gate
+    assert not ({1, 2} <= ids)          # semantic dedup kept only one
+    assert 2 in ids                     # ... the farther-from-centroid one
+    assert len(got) == 3                # exact rebalance total
+    assert "alignment" in got.columns
+    # chain without optional stages = alignment gate only
+    out2 = curate_pairs(pairs, "ea", "eb", align_threshold=0.5)
+    assert [s[0] for s in out2["stages"]] == ["input", "alignment_gate"]
+    assert out2["kept"].count() == 4
