@@ -234,3 +234,41 @@ def tscv_folds(
         )
         .drop("__seg")
     )
+
+
+def cluster_atomic_split(
+    df: DataFrame,
+    clusters: DataFrame,
+    weights: dict[str, float],
+    id_col: str = "doc_id",
+    seed: int = 42,
+    out: str = "split",
+) -> DataFrame:
+    """Leakage-free split under duplication: ``hash_split`` keyed on
+    the NEAR-DUP CLUSTER id instead of the row id, so every member of
+    a duplicate cluster lands in the SAME split atomically. Row-level
+    splits leak — a near-dup pair straddling train/test is the
+    contamination ``split_decontaminate`` has to repair by dropping
+    training rows; splitting on the cluster key prevents the straddle
+    instead (Lee et al. 2022's dedup-before-split discipline as an
+    operator). Rows absent from ``clusters`` are singletons and key on
+    their own id, so the marginal split fractions still track
+    ``weights``.
+
+    Scale shape: one id join against the cluster frame (bounded by
+    corpus size, usually far smaller — only near-dup members need
+    rows); the split itself stays row-local md5 arithmetic, stable
+    under append exactly like ``hash_split``.
+
+    Returns ``df`` + (cluster_id, split).
+    """
+    keyed = df.join(
+        clusters.select(
+            F.col(id_col), F.col("cluster_id").alias("__cl")
+        ),
+        id_col,
+        "left",
+    ).withColumn("cluster_id", F.coalesce(F.col("__cl"), F.col(id_col)))
+    return hash_split(
+        keyed.drop("__cl"), "cluster_id", weights, seed=seed, out=out
+    )

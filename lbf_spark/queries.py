@@ -7942,6 +7942,66 @@ def q166(spark, sf_dir):
     return out["kept"].select("pair_id", "label", "alignment")
 
 
+@q(
+    "q167_cluster_atomic_split",
+    f"""
+    with recursive
+    pairs as ( {_minhash_oracle_sql()} ),
+    edges as (
+      select id_a as src, id_b as dst from pairs
+      union
+      select id_b, id_a from pairs
+    ),
+    reach as (
+      select src, dst from edges
+      union
+      select r.src, e.dst from reach r join edges e on r.dst = e.src
+    ),
+    clusters as (
+      select src as doc_id, least(src, min(dst)) as cluster_id
+      from reach group by src
+    ),
+    keyed as (
+      select d.doc_id,
+             coalesce(c.cluster_id, d.doc_id) as cluster_id
+      from documents d left join clusters c on d.doc_id = c.doc_id
+    ),
+    u as (
+      select doc_id, cluster_id,
+             ('0x' || substr(md5('42:' || cast(cluster_id as varchar)),
+                             1, 13))::bigint
+               / 4503599627370496.0 as u
+      from keyed
+    )
+    select doc_id, cluster_id,
+           case when u < 0.8 then 'train'
+                when u < 0.9 then 'val'
+                else 'test' end as split
+    from u
+    """,
+)
+def q167(spark, sf_dir):
+    """Cluster-atomic train/val/test split
+    (operators/encoding.py:cluster_atomic_split): q55's near-dup
+    clusters become the SPLIT KEY, so duplicate documents can never
+    straddle train/test — the leak q144's decontamination repairs is
+    prevented outright (dedup-before-split discipline). Weights
+    0.8/0.1/0.1 over md5(seed:cluster_id); singletons key on their own
+    id. The oracle replays clusters (recursive CTE), the coalesce and
+    the 52-bit split law — a cluster split apart fails the hash."""
+    from lbf_spark.operators.encoding import cluster_atomic_split
+
+    docs = t(spark, sf_dir, "documents")
+    pairs = dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.1
+    )
+    clusters = dedup.dup_clusters(pairs).select("doc_id", "cluster_id")
+    out = cluster_atomic_split(
+        docs, clusters, {"train": 0.8, "val": 0.1, "test": 0.1}
+    )
+    return out.select("doc_id", "cluster_id", "split")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -979,3 +979,36 @@ def test_curate_pairs_chain(spark):
     out2 = curate_pairs(pairs, "ea", "eb", align_threshold=0.5)
     assert [s[0] for s in out2["stages"]] == ["input", "alignment_gate"]
     assert out2["kept"].count() == 4
+
+
+def test_cluster_atomic_split_laws(spark):
+    """All members of a near-dup cluster share one split; singletons
+    key on their own id (== plain hash_split); append stability."""
+    from lbf_spark.operators.encoding import cluster_atomic_split, hash_split
+
+    docs = spark.createDataFrame(
+        [(i,) for i in range(200)], "doc_id long"
+    )
+    # three clusters with scattered members + 194 singletons
+    clusters = spark.createDataFrame(
+        [(1, 1), (50, 1), (199, 1), (7, 7), (8, 7), (20, 20), (21, 20)],
+        "doc_id long, cluster_id long",
+    )
+    w = {"train": 0.8, "val": 0.1, "test": 0.1}
+    got = cluster_atomic_split(docs, clusters, w).toPandas().set_index("doc_id")
+    # atomicity
+    for members in ([1, 50, 199], [7, 8], [20, 21]):
+        assert len({got.loc[m, "split"] for m in members}) == 1
+    # singletons == row-level hash_split on their own id
+    plain = (
+        hash_split(docs, "doc_id", w).toPandas().set_index("doc_id")
+    )
+    cluster_members = {1, 50, 199, 7, 8, 20, 21}
+    for i in range(200):
+        if i not in cluster_members:
+            assert got.loc[i, "split"] == plain.loc[i, "split"]
+            assert got.loc[i, "cluster_id"] == i
+    # every split present at these weights over 200 keys
+    assert set(got.split.unique()) == {"train", "val", "test"}
+    # no row loss/duplication through the left join
+    assert len(got) == 200
