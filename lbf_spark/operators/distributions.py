@@ -576,3 +576,53 @@ def temperature_mixture(
         .filter(F.col("__rk") <= F.col("quota"))
         .drop("__key", "__rk")
     )
+
+
+def curriculum_interleave(
+    df: DataFrame,
+    score_col: str,
+    edges: list[float],
+    id_col: str,
+    seed: int = 42,
+) -> DataFrame:
+    """Curriculum mixing schedule (Bengio et al. 2009 lineage, the
+    balanced-batch variant): rows are bucketed by difficulty
+    thresholds ``edges`` (row-local comparisons — bucket 0 is
+    score < edges[0], …, bucket K−1 the tail), deterministically
+    shuffled WITHIN each bucket (md5(seed:id) total order), and
+    assigned a schedule position that round-robins the buckets:
+    ``sched_pos = (rank_in_bucket − 1)·K + bucket``. Reading the
+    export in sched_pos order, every consecutive window of K rows
+    carries one item per difficulty level (until a bucket exhausts and
+    its slots vanish) — the data-loader never sees a difficulty clump,
+    with NO global sort anywhere: the only exchange is the per-bucket
+    ranking window (skew bound = largest bucket; sub-key by
+    shuffle_shards if one bucket is a corpus-scale fraction).
+
+    Injective by construction ((rank, bucket) ↔ sched_pos), so the
+    schedule is a total order. Returns df + (bucket, sched_pos).
+    """
+    k = len(edges) + 1
+    bucket = None
+    for i, e in enumerate(edges):
+        cond = F.col(score_col) < F.lit(float(e))
+        bucket = (
+            F.when(cond, F.lit(i))
+            if bucket is None
+            else bucket.when(cond, F.lit(i))
+        )
+    bucket = F.lit(0) if bucket is None else bucket.otherwise(F.lit(len(edges)))
+    key = F.md5(
+        F.concat_ws(":", F.lit(str(seed)), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy("bucket").orderBy(F.col("__key"), F.col(id_col))
+    return (
+        df.withColumn("bucket", bucket.cast("int"))
+        .withColumn("__key", key)
+        .withColumn(
+            "sched_pos",
+            (F.row_number().over(w) - F.lit(1)) * F.lit(int(k))
+            + F.col("bucket").cast("long"),
+        )
+        .drop("__key")
+    )

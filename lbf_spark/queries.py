@@ -8002,6 +8002,44 @@ def q167(spark, sf_dir):
     return out.select("doc_id", "cluster_id", "split")
 
 
+@q(
+    "q168_curriculum_interleave",
+    """
+    with b as (
+      select doc_id, n_chars,
+             case when n_chars < 220 then 0
+                  when n_chars < 370 then 1
+                  else 2 end as bucket,
+             md5('42:' || cast(doc_id as varchar)) as key
+      from documents
+    ),
+    r as (
+      select doc_id, n_chars, bucket,
+             row_number() over (partition by bucket
+                                order by key, doc_id) as rk
+      from b
+    )
+    select doc_id, n_chars, bucket,
+           cast((rk - 1) * 3 + bucket as bigint) as sched_pos
+    from r
+    """,
+)
+def q168(spark, sf_dir):
+    """Curriculum mixing schedule
+    (distributions.py:curriculum_interleave): documents bucketed by
+    length difficulty (edges 220/370), md5-shuffled within bucket, and
+    round-robin interleaved — every consecutive window of 3 schedule
+    positions carries one item per difficulty level, with NO global
+    sort (only per-bucket ranking windows). The oracle replays
+    bucketing, the in-bucket shuffle and the position arithmetic —
+    a clumped schedule or an unstable shuffle fails the hash."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = D.curriculum_interleave(
+        docs, score_col="n_chars", edges=[220.0, 370.0], id_col="doc_id"
+    )
+    return out.select("doc_id", "n_chars", "bucket", "sched_pos")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1012,3 +1012,46 @@ def test_cluster_atomic_split_laws(spark):
     assert set(got.split.unique()) == {"train", "val", "test"}
     # no row loss/duplication through the left join
     assert len(got) == 200
+
+
+def test_curriculum_interleave_laws(spark):
+    """Round-robin law: sorted by sched_pos, every window of K rows has
+    one item per bucket while buckets last; positions are unique;
+    within-bucket order is the md5 shuffle; edge cases (no edges)."""
+    import hashlib
+    from lbf_spark.operators.distributions import curriculum_interleave
+
+    rows = [(i, float(i)) for i in range(30)]  # scores 0..29
+    df = spark.createDataFrame(rows, "doc_id long, score double")
+    got = (
+        curriculum_interleave(df, "score", edges=[10.0, 20.0], id_col="doc_id")
+        .toPandas()
+        .sort_values("sched_pos")
+    )
+    assert got.sched_pos.is_unique and len(got) == 30
+    # equal 10-row buckets: every consecutive window of 3 covers {0,1,2}
+    seq = got.bucket.to_numpy()
+    for w in range(0, 30, 3):
+        assert set(seq[w : w + 3]) == {0, 1, 2}
+    # bucketing law
+    assert (got[got.score < 10].bucket == 0).all()
+    assert (got[(got.score >= 10) & (got.score < 20)].bucket == 1).all()
+    assert (got[got.score >= 20].bucket == 2).all()
+    # within-bucket order is md5(42:id)
+    b0 = got[got.bucket == 0]
+    exp = sorted(
+        b0.doc_id, key=lambda i: hashlib.md5(f"42:{i}".encode()).hexdigest()
+    )
+    assert list(b0.sort_values("sched_pos").doc_id) == exp
+    # unequal buckets: exhausted bucket's slots vanish but order holds
+    got2 = (
+        curriculum_interleave(df, "score", edges=[3.0], id_col="doc_id")
+        .toPandas()
+        .sort_values("sched_pos")
+    )
+    assert got2.sched_pos.is_unique
+    head = got2.head(6).bucket.to_numpy()  # both buckets alive early on
+    assert set(head) == {0, 1}
+    # no edges -> single bucket, pure md5 shuffle, consecutive even pos
+    got3 = curriculum_interleave(df, "score", edges=[], id_col="doc_id").toPandas()
+    assert (got3.bucket == 0).all() and got3.sched_pos.is_unique
