@@ -619,3 +619,105 @@ def aspect_bucket_pack(
         )
         .drop("__draw", "__rn")
     )
+
+
+def pixel_moments(df: DataFrame, low: int = 8, high: int = 247) -> DataFrame:
+    """Exact integer pixel MOMENTS per image: ``pixel_sums`` plus
+    Σ x² (``px_sum2``) and the clipped-pixel tallies ``n_low``
+    (values < ``low`` — crushed blacks) / ``n_high`` (values >
+    ``high`` — blown-out highlights). All int64 (255²·n_px overflows
+    nothing at real image sizes), so every statistic downstream —
+    mean, variance, extreme-pixel fraction — is a closed-form IEEE
+    expression over exact integers: partial-agg order can never touch
+    it, and the tallies COMPOSE across tilings like px_sum does
+    (the q169 certificate's conservation law). Payload dropped on
+    output; one decode per image."""
+    keep = [c for c in df.columns if c != "bytes"]
+    schema = T.StructType(
+        [f for f in df.schema.fields if f.name != "bytes"]
+        + [
+            T.StructField("dec_w", T.IntegerType(), True),
+            T.StructField("dec_h", T.IntegerType(), True),
+            T.StructField("n_px", T.LongType(), True),
+            T.StructField("px_sum", T.LongType(), True),
+            T.StructField("px_sum2", T.LongType(), True),
+            T.StructField("n_low", T.LongType(), True),
+            T.StructField("n_high", T.LongType(), True),
+        ]
+    )
+    lo, hi = int(low), int(high)
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            cols: dict[str, list] = {
+                k: [] for k in
+                ("dec_w", "dec_h", "n_px", "px_sum", "px_sum2",
+                 "n_low", "n_high")
+            }
+            for data, fmt in zip(pdf["bytes"], pdf["fmt"]):
+                if data is None:
+                    for k in cols:
+                        cols[k].append(None)
+                    continue
+                img = decode_image(bytes(data), fmt)
+                h, w, c = img.shape
+                a = img.astype(np.int64)
+                cols["dec_w"].append(w)
+                cols["dec_h"].append(h)
+                cols["n_px"].append(int(h * w * c))
+                cols["px_sum"].append(int(a.sum()))
+                cols["px_sum2"].append(int((a * a).sum()))
+                cols["n_low"].append(int((a < lo).sum()))
+                cols["n_high"].append(int((a > hi).sum()))
+            out = pdf[keep].copy()
+            out["dec_w"] = pd.array(cols["dec_w"], dtype="Int32")
+            out["dec_h"] = pd.array(cols["dec_h"], dtype="Int32")
+            for k in ("n_px", "px_sum", "px_sum2", "n_low", "n_high"):
+                out[k] = pd.array(cols[k], dtype="Int64")
+            yield out
+
+    return df.mapInPandas(batches, schema)
+
+
+def image_quality_gate(
+    moments: DataFrame,
+    min_mean: float = 16.0,
+    max_mean: float = 240.0,
+    min_std: float = 4.0,
+    max_extreme_frac: float = 0.5,
+) -> DataFrame:
+    """Perceptual-quality curation gate over the EXACT moments frame
+    (``pixel_moments`` output) — the LAION-style junk-image filters
+    (too dark / too bright / near-constant / clipped) as pure
+    relational arithmetic, decode-free and reusable on stored moment
+    columns:
+
+      mean   = px_sum / n_px            (one IEEE div over exact ints)
+      var    = (n·Σx² − (Σx)²) / n²     (exact bigint numerator)
+      ext    = (n_low + n_high) / n_px
+
+    each round(4)ed before comparison so the keep/drop boundary is
+    engine-identical (the q160 rounded-threshold rule). ``reason`` is
+    the FIRST failing check ('dark','bright','flat','clipped') or
+    null — ordered, so the verdict is deterministic. Row-local: zero
+    shuffles, folds into the moments scan."""
+    n = F.col("n_px").cast("double")
+    mean = F.round(F.col("px_sum") / F.col("n_px"), 4)
+    var_num = (
+        F.col("n_px") * F.col("px_sum2") - F.col("px_sum") * F.col("px_sum")
+    ).cast("double")
+    var = F.round(var_num / (n * n), 4)
+    ext = F.round((F.col("n_low") + F.col("n_high")) / F.col("n_px"), 4)
+    reason = (
+        F.when(mean < F.lit(float(min_mean)), F.lit("dark"))
+        .when(mean > F.lit(float(max_mean)), F.lit("bright"))
+        .when(var < F.lit(float(min_std) ** 2), F.lit("flat"))
+        .when(ext > F.lit(float(max_extreme_frac)), F.lit("clipped"))
+    )
+    return (
+        moments.withColumn("pix_mean", mean + F.lit(0.0))
+        .withColumn("pix_var", var + F.lit(0.0))
+        .withColumn("extreme_frac", ext + F.lit(0.0))
+        .withColumn("reason", reason)
+        .withColumn("keep", F.col("reason").isNull())
+    )

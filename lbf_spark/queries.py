@@ -8040,6 +8040,95 @@ def q168(spark, sf_dir):
     return out.select("doc_id", "n_chars", "bucket", "sched_pos")
 
 
+@q("q169_image_quality_cert", _EMPTY_CERT3)
+def q169(spark, sf_dir):
+    """Image-quality curation gate CERTIFICATE
+    (operators/images.py:pixel_moments + image_quality_gate): exact
+    integer moments (Σx, Σx², clipped-pixel tallies) feed the
+    LAION-style dark/bright/flat/clipped gate as pure relational
+    arithmetic. Certified two ways: (a) moments are INVARIANT under a
+    png transcode — a fully independent encode+decode path must
+    reproduce every int64 moment bit-for-bit; (b) gate decisions
+    (keep + reason) recomputed from the roundtrip moments must match —
+    the curation verdict cannot depend on which codec path produced
+    the pixels. Guards: a corpus with zero drops or zero keeps raises
+    its own violation, so thresholds are provably discriminative.
+    Violations → rows; oracle = empty set."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.images import (
+        image_quality_gate,
+        pixel_moments,
+        transcode,
+    )
+    from lbf_spark.util import fan_out
+
+    n = 1200 if "0.001" in sf_dir else 3000
+    ev = fan_out(
+        fixtures.events_to_spark(
+            spark, fixtures.generate_events(n_rows=n, n_entities=8)
+        )
+    ).select("image_id", "bytes", "fmt")
+    # thresholds sit inside the fixture's stat spread (mean 122.8-131.8,
+    # std 73.1-74.3, extreme-frac .036-.089) so every reason family
+    # fires on a minority and the majority keeps
+    gate_args = dict(
+        min_mean=124.5, max_mean=130.5, min_std=73.3,
+        max_extreme_frac=0.08,
+    )
+    g1 = image_quality_gate(pixel_moments(ev), **gate_args).select(
+        "image_id", "n_px", "px_sum", "px_sum2", "n_low", "n_high",
+        "keep", "reason",
+    )
+    rt = transcode(ev, "png")
+    g2 = image_quality_gate(pixel_moments(rt), **gate_args).select(
+        F.col("image_id"),
+        F.col("n_px").alias("n_px2"),
+        F.col("px_sum").alias("px_sum_2"),
+        F.col("px_sum2").alias("px_sum2_2"),
+        F.col("n_low").alias("n_low_2"),
+        F.col("n_high").alias("n_high_2"),
+        F.col("keep").alias("keep2"),
+        F.col("reason").alias("reason2"),
+    )
+    j = g1.join(g2, "image_id", "full_outer")
+    viol = j.withColumn(
+        "family",
+        F.when(
+            (F.col("n_px") != F.col("n_px2"))
+            | (F.col("px_sum") != F.col("px_sum_2"))
+            | (F.col("px_sum2") != F.col("px_sum2_2"))
+            | (F.col("n_low") != F.col("n_low_2"))
+            | (F.col("n_high") != F.col("n_high_2"))
+            | F.col("n_px").isNull()
+            | F.col("n_px2").isNull(),
+            F.lit("moment_roundtrip"),
+        ).when(
+            (F.col("keep") != F.col("keep2"))
+            | ~(
+                F.col("reason").eqNullSafe(F.col("reason2"))
+            ),
+            F.lit("decision_roundtrip"),
+        ),
+    ).filter(F.col("family").isNotNull()).select(
+        "family",
+        F.col("image_id").alias("key"),
+        (F.col("px_sum2") - F.col("px_sum2_2")).cast("double").alias("err"),
+    )
+    counts = g1.agg(
+        F.sum(F.when(F.col("keep"), 1).otherwise(0)).alias("__k"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).alias("__d"),
+    )
+    guard = (
+        counts.filter((F.col("__k") == 0) | (F.col("__d") == 0))
+        .select(
+            F.lit("gate_not_discriminative").alias("family"),
+            F.lit("corpus").alias("key"),
+            F.lit(0.0).alias("err"),
+        )
+    )
+    return viol.unionByName(guard)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

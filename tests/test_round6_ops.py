@@ -1055,3 +1055,60 @@ def test_curriculum_interleave_laws(spark):
     # no edges -> single bucket, pure md5 shuffle, consecutive even pos
     got3 = curriculum_interleave(df, "score", edges=[], id_col="doc_id").toPandas()
     assert (got3.bucket == 0).all() and got3.sched_pos.is_unique
+
+
+def test_pixel_moments_and_quality_gate(spark):
+    """Moments match a direct numpy decode; the gate's reasons follow
+    the documented priority order; keep == no reason; transcode
+    roundtrip preserves every moment."""
+    import numpy as np
+    from lbf_spark import fixtures
+    from lbf_spark.functions.codec import decode_image
+    from lbf_spark.operators.images import (
+        image_quality_gate, pixel_moments, transcode,
+    )
+
+    pdf = fixtures.generate_events(n_rows=24, n_entities=4)
+    ev = fixtures.events_to_spark(spark, pdf).select(
+        "image_id", "bytes", "fmt"
+    )
+    got = pixel_moments(ev).toPandas().set_index("image_id")
+    for iid, data, fmt in zip(pdf["image_id"], pdf["bytes"], pdf["fmt"]):
+        img = decode_image(bytes(data), fmt).astype(np.int64)
+        r = got.loc[iid]
+        assert r.n_px == img.size and r.px_sum == img.sum()
+        assert r.px_sum2 == (img * img).sum()
+        assert r.n_low == (img < 8).sum() and r.n_high == (img > 247).sum()
+    # roundtrip invariance (the q169 law, spot-checked here)
+    rt = pixel_moments(transcode(ev, "png")).toPandas().set_index("image_id")
+    for c in ("n_px", "px_sum", "px_sum2", "n_low", "n_high"):
+        assert (got[c].sort_index() == rt[c].sort_index()).all()
+
+    # gate semantics on a hand-built moments frame
+    mrows = [
+        # (id, n_px, px_sum, px_sum2, n_low, n_high)
+        ("ok",      1000, 128_000, 21_000_000, 10, 10),
+        ("dark",    1000,  10_000, 21_000_000,  0,  0),
+        ("bright",  1000, 250_000, 63_000_000,  0,  0),
+        # mean inside, variance ~0 -> flat
+        ("flat",    1000, 128_000, 1000 * 128 * 128, 0, 0),
+        # dark AND clipped: priority order reports 'dark' first
+        ("darkclip", 1000, 10_000, 21_000_000, 600, 0),
+        ("clipped", 1000, 128_000, 21_000_000, 400, 200),
+    ]
+    m = spark.createDataFrame(
+        mrows,
+        "image_id string, n_px long, px_sum long, px_sum2 long,"
+        " n_low long, n_high long",
+    )
+    g = image_quality_gate(
+        m, min_mean=16.0, max_mean=240.0, min_std=4.0,
+        max_extreme_frac=0.5,
+    ).toPandas().set_index("image_id")
+    assert bool(g.loc["ok", "keep"]) and g.loc["ok", "reason"] is None
+    assert g.loc["dark", "reason"] == "dark"
+    assert g.loc["bright", "reason"] == "bright"
+    assert g.loc["flat", "reason"] == "flat"
+    assert g.loc["darkclip", "reason"] == "dark"  # priority order
+    assert g.loc["clipped", "reason"] == "clipped"
+    assert not g.loc["clipped", "keep"]
