@@ -820,3 +820,72 @@ def diversity_sample(
         .filter(F.col("__rk") <= F.col("quota"))
         .select(id_col, "cluster_id", "dist2", "n_cell", "quota")
     )
+
+
+def pq_codes(
+    df: DataFrame,
+    codebooks: DataFrame,
+    dim: int,
+    m: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+) -> DataFrame:
+    """Product quantization (Jégou et al. 2011) — the third member of
+    the embedding-compression family (int8 scalar, JL projection, PQ):
+    the vector splits into ``m`` contiguous subspaces of dim/m and each
+    sub-vector is replaced by the id of its nearest codeword slice —
+    m small ints instead of dim floats (this m=4×k=8 layout is 12
+    bits/vector; production PQ is m=8..64, k=256 — one byte per
+    subspace).
+
+    Fully relational: subspaces come from a RANGE cross join (m rows),
+    sub-vectors are ``F.slice`` projections (no Python), distances the
+    usual zip_with fold, argmin total-ordered on (round-6 dist2,
+    codeword id). The codebook side broadcasts (k×dim). One ranking
+    window per (vector, subspace) — the same exchange the assignment
+    shuffle already needs. Codebooks here are caller-provided full-dim
+    rows (seed rows / kmeans_fit output) sliced per subspace, matching
+    the IVF convention.
+
+    Returns long-form (id, subspace, code, dist2) — ``groupBy(id)``
+    with ``sum(dist2)`` is the reconstruction distortion; pivoting to
+    an array is the caller's presentation choice.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = df.sparkSession
+    subs = spark.range(m).select(F.col("id").cast("int").alias("subspace"))
+    sl = lambda col: F.slice(  # noqa: E731
+        col.cast("array<double>"),
+        (F.col("subspace") * sub + 1).cast("int"),
+        sub,
+    )
+    es = df.select(F.col(id_col), F.col(vec_col)).crossJoin(
+        F.broadcast(subs)
+    ).select(id_col, "subspace", sl(F.col(vec_col)).alias("__sv"))
+    cs = codebooks.select(
+        F.col(cent_id).alias("__cid"), F.col(cent_vec)
+    ).crossJoin(F.broadcast(subs)).select(
+        "__cid", "subspace", sl(F.col(cent_vec)).alias("__cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__sv"), F.col("__cw"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = es.join(F.broadcast(cs), "subspace").withColumn(
+        "dist2", F.round(d2, 6)
+    )
+    w = Window.partitionBy(id_col, "subspace").orderBy(
+        F.asc_nulls_last("dist2"), F.asc("__cid")
+    )
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .select(id_col, "subspace", F.col("__cid").alias("code"), "dist2")
+    )

@@ -8129,6 +8129,50 @@ def q169(spark, sf_dir):
     return viol.unionByName(guard)
 
 
+@q(
+    "q170_pq_codes",
+    """
+    with e as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings),
+    c as (select vec_id as cid, cast(embedding as double[]) as cv
+          from embeddings where vec_id < 8),
+    s as (select j from range(4) t(j)),
+    es as (select e.vec_id, s.j,
+                  list_slice(ev, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as sv
+           from e cross join s),
+    cs as (select c.cid, s.j,
+                  list_slice(cv, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as cw
+           from c cross join s),
+    d as (select es.vec_id, es.j, cs.cid,
+                 round(list_sum([ (sv[i] - cw[i]) * (sv[i] - cw[i])
+                                  for i in range(1, len(sv) + 1)]), 6)
+                   as dist2
+          from es join cs on es.j = cs.j),
+    r as (select vec_id, j, cid, dist2,
+                 row_number() over (partition by vec_id, j
+                                    order by dist2 asc, cid asc) as rk
+          from d)
+    select vec_id, cast(j as int) as subspace, cid as code, dist2
+    from r where rk = 1
+    """,
+)
+def q170(spark, sf_dir):
+    """Product-quantization codes (similarity.py:pq_codes — Jégou et
+    al. 2011): 64-dim embeddings → 4 subspaces × 8 codewords (seed
+    rows vec_id < 8 sliced per subspace), nearest codeword slice per
+    (vector, subspace) under the (round-6 dist2, code) total order.
+    Completes the compression family (int8 q95, JL q96). The oracle
+    replays slicing, distances and the argmin relationally — 2000
+    rows, every code and distortion term hash-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    return S.pq_codes(emb, books, dim=64, m=4)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1112,3 +1112,46 @@ def test_pixel_moments_and_quality_gate(spark):
     assert g.loc["darkclip", "reason"] == "dark"  # priority order
     assert g.loc["clipped", "reason"] == "clipped"
     assert not g.loc["clipped", "keep"]
+
+
+def test_pq_codes_matches_numpy(spark):
+    """PQ codes equal the numpy per-subspace argmin; distortion is the
+    per-subspace squared error; self-coding of codebook rows is exact;
+    indivisible dim raises."""
+    import numpy as np
+    from lbf_spark.operators.similarity import pq_codes
+
+    rng = np.random.default_rng(13)
+    dim, m, k, n = 24, 3, 4, 40
+    vecs = rng.normal(size=(n, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    books = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(k)],
+        "cid long, embedding array<double>",
+    )
+    got = (
+        pq_codes(df, books, dim=dim, m=m)
+        .toPandas()
+        .set_index(["vec_id", "subspace"])
+        .sort_index()
+    )
+    sub = dim // m
+    for i in range(n):
+        for j in range(m):
+            sv = vecs[i, j * sub : (j + 1) * sub]
+            d = np.round(
+                ((vecs[:k, j * sub : (j + 1) * sub] - sv) ** 2).sum(1), 6
+            )
+            code = int(np.argmin(d))  # ties break to lowest cid = argmin
+            assert got.loc[(i, j), "code"] == code
+            assert abs(got.loc[(i, j), "dist2"] - d[code]) < 1e-9
+    # codebook rows code to themselves with zero distortion
+    for i in range(k):
+        for j in range(m):
+            assert got.loc[(i, j), "code"] == i
+            assert got.loc[(i, j), "dist2"] == 0.0
+    with pytest.raises(ValueError):
+        pq_codes(df, books, dim=25, m=m)
