@@ -889,3 +889,80 @@ def pq_codes(
         .filter(F.col("__rk") == 1)
         .select(id_col, "subspace", F.col("__cid").alias("code"), "dist2")
     )
+
+
+def pq_adc_topk(
+    codes: DataFrame,
+    codebooks: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    m: int = 4,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+) -> DataFrame:
+    """PQ asymmetric-distance top-k search (the FAISS ADC pattern):
+    the corpus exists ONLY as its PQ codes (m small ints per vector —
+    ``pq_codes`` output), probes stay full-precision, and the probe↔
+    vector distance is the sum over subspaces of the probe-slice→
+    codeword-slice distance, read from a lookup table computed ONCE
+    per probe (k·m entries — the classic ADC trick: at 10^12 vectors
+    the corpus never rematerializes floats; only the code table joins).
+
+    Plan: probe×subspace×codeword LUT (probes × m × k rows, broadcast
+    — probe sets are query-sized), equi-join corpus codes on
+    (subspace, code), per-(probe, vector) SUM of the m per-subspace
+    terms as DECIMAL(18,6) — m doubles summed raw would expose
+    partial-agg order; the round-6→decimal sum is exact at any
+    parallelism (the q115 rule) — then (adc asc, id asc) top-k. One
+    groupBy exchange on (probe, vector), one ranking window per probe.
+
+    Returns (probe_id, vec_id, adc_dist2, rnk) — approximate
+    distances; recall versus exact search is the m/k sizing knob.
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = codes.sparkSession
+    subs = spark.range(m).select(F.col("id").cast("int").alias("subspace"))
+    sl = lambda col: F.slice(  # noqa: E731
+        col.cast("array<double>"),
+        (F.col("subspace") * sub + 1).cast("int"),
+        sub,
+    )
+    ps = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col)
+    ).crossJoin(F.broadcast(subs)).select(
+        "probe_id", "subspace", sl(F.col(vec_col)).alias("__pv")
+    )
+    cs = codebooks.select(
+        F.col(cent_id).alias("code"), F.col(cent_vec)
+    ).crossJoin(F.broadcast(subs)).select(
+        "code", "subspace", sl(F.col(cent_vec)).alias("__cw")
+    )
+    d2 = F.aggregate(
+        F.zip_with(
+            F.col("__pv"), F.col("__cw"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = ps.join(F.broadcast(cs), "subspace").select(
+        "probe_id", "subspace", "code",
+        F.round(d2, 6).cast("decimal(18,6)").alias("__term"),
+    )
+    scored = (
+        codes.join(F.broadcast(lut), ["subspace", "code"])
+        .groupBy("probe_id", id_col)
+        .agg(F.sum("__term").cast("double").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k_top))
+        .select("probe_id", id_col, "adc_dist2", "rnk")
+    )

@@ -8173,6 +8173,79 @@ def q170(spark, sf_dir):
     return S.pq_codes(emb, books, dim=64, m=4)
 
 
+@q(
+    "q171_pq_adc_topk",
+    """
+    with e as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings),
+    c as (select vec_id as cid, cast(embedding as double[]) as cv
+          from embeddings where vec_id < 8),
+    s as (select j from range(4) t(j)),
+    es as (select e.vec_id, s.j,
+                  list_slice(ev, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as sv
+           from e cross join s),
+    cs as (select c.cid, s.j,
+                  list_slice(cv, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as cw
+           from c cross join s),
+    d as (select es.vec_id, es.j, cs.cid,
+                 round(list_sum([ (sv[i] - cw[i]) * (sv[i] - cw[i])
+                                  for i in range(1, len(sv) + 1)]), 6)
+                   as dist2
+          from es join cs on es.j = cs.j),
+    codes as (
+      select vec_id, j, cid as code, dist2,
+             row_number() over (partition by vec_id, j
+                                order by dist2 asc, cid asc) as rk
+      from d
+    ),
+    pcodes as (select vec_id, j, code from codes where rk = 1),
+    probes as (select vec_id as probe_id, ev from e where vec_id >= 490),
+    psl as (select p.probe_id, s.j,
+                   list_slice(ev, cast(j*16+1 as int),
+                              cast(j*16+16 as int)) as pv
+            from probes p cross join s),
+    lut as (select psl.probe_id, psl.j, cs.cid as code,
+                   cast(round(list_sum([ (pv[i] - cw[i]) * (pv[i] - cw[i])
+                                         for i in range(1, len(pv) + 1)]),
+                              6) as decimal(18,6)) as term
+            from psl join cs on psl.j = cs.j),
+    adc as (
+      select l.probe_id, pc.vec_id,
+             cast(sum(l.term) as double) as adc_dist2
+      from pcodes pc join lut l on pc.j = l.j and pc.code = l.code
+      group by l.probe_id, pc.vec_id
+    ),
+    rr as (
+      select probe_id, vec_id, adc_dist2,
+             row_number() over (partition by probe_id
+                                order by adc_dist2 asc, vec_id asc)
+               as rnk
+      from adc
+    )
+    select probe_id, vec_id, adc_dist2, rnk from rr where rnk <= 5
+    """,
+)
+def q171(spark, sf_dir):
+    """PQ asymmetric-distance top-k search
+    (similarity.py:pq_adc_topk — the FAISS ADC pattern): corpus = PQ
+    codes only (q170's 4×8 layout), 10 probe vectors (vec_id ≥ 490)
+    build k·m lookup tables once, per-(probe, vector) distance = the
+    DECIMAL-exact sum of 4 table terms, (adc asc, id asc) top-5. The
+    oracle replays code assignment, LUT, decimal sum and ranking —
+    50 rows, every approximate distance hash-checked."""
+    emb = t(spark, sf_dir, "embeddings")
+    books = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    codes = S.pq_codes(emb, books, dim=64, m=4).select(
+        "vec_id", "subspace", "code"
+    )
+    probes = emb.filter(F.col("vec_id") >= 490)
+    return S.pq_adc_topk(codes, books, probes, dim=64, m=4, k_top=5)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

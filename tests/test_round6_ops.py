@@ -1155,3 +1155,72 @@ def test_pq_codes_matches_numpy(spark):
             assert got.loc[(i, j), "dist2"] == 0.0
     with pytest.raises(ValueError):
         pq_codes(df, books, dim=25, m=m)
+
+
+def test_pq_adc_topk_matches_numpy(spark):
+    """ADC distances equal the numpy lookup-table sum; ranking is the
+    (dist, id) total order; a probe that IS a codebook row ranks its
+    own exact-coded corpus rows by true subspace distance."""
+    import numpy as np
+    from lbf_spark.operators.similarity import pq_adc_topk, pq_codes
+
+    rng = np.random.default_rng(21)
+    dim, m, k, n = 24, 3, 4, 30
+    vecs = rng.normal(size=(n, dim)).round(3)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(n)],
+        "vec_id long, embedding array<double>",
+    )
+    books = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(k)],
+        "cid long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(100 + i, [float(x) for x in vecs[i] * 0.5]) for i in range(3)],
+        "vec_id long, embedding array<double>",
+    )
+    codes = pq_codes(df, books, dim=dim, m=m).select(
+        "vec_id", "subspace", "code"
+    )
+    got = (
+        pq_adc_topk(codes, books, probes, dim=dim, m=m, k_top=n)
+        .toPandas()
+        .set_index(["probe_id", "vec_id"])
+        .sort_index()
+    )
+    sub = dim // m
+    pvecs = {100 + i: vecs[i] * 0.5 for i in range(3)}
+    # numpy twin: codes then LUT sums
+    np_codes = np.empty((n, m), dtype=int)
+    for i in range(n):
+        for j in range(m):
+            d = np.round(
+                ((vecs[:k, j*sub:(j+1)*sub] - vecs[i, j*sub:(j+1)*sub]) ** 2).sum(1), 6
+            )
+            np_codes[i, j] = int(np.argmin(d))
+    from decimal import ROUND_HALF_UP, Decimal
+
+    def r6(x):  # Spark F.round is HALF_UP; np.round is half-even
+        return Decimal(repr(float(x))).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP
+        )
+
+    def seqd2(a, b):  # engine folds LEFT-TO-RIGHT; numpy .sum is pairwise
+        acc = 0.0
+        for x, y in zip(a, b):
+            acc += (x - y) * (x - y)
+        return acc
+
+    for pid, pv in pvecs.items():
+        lut = [
+            [r6(seqd2(vecs[c, j*sub:(j+1)*sub], pv[j*sub:(j+1)*sub]))
+             for c in range(k)]
+            for j in range(m)
+        ]  # (m, k) exact decimals
+        for i in range(n):
+            exp = float(sum(lut[j][np_codes[i, j]] for j in range(m)))
+            assert abs(got.loc[(pid, i), "adc_dist2"] - exp) < 1e-9
+        # rank law: sorted by (dist, id)
+        g = got.loc[pid].reset_index().sort_values("rnk")
+        pairs = list(zip(g.adc_dist2, g.vec_id))
+        assert pairs == sorted(pairs)
