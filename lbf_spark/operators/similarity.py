@@ -966,3 +966,121 @@ def pq_adc_topk(
         .filter(F.col("rnk") <= int(k_top))
         .select("probe_id", id_col, "adc_dist2", "rnk")
     )
+
+
+def ivfpq_topk(
+    df: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    m: int = 4,
+    nprobe: int = 2,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ search (the FAISS IVFPQ index, ``by_residual=False``
+    flavor): a coarse quantizer prunes the corpus to each probe's
+    ``nprobe`` nearest cells, and ONLY those candidates pay the
+    PQ-ADC distance — the two scale levers composed: IVF makes the
+    candidate count n·nprobe/k_coarse, PQ makes each candidate m
+    code-table lookups instead of a dim-float fold.
+
+    All stages are the already-proven parts: cell assignment and the
+    probe→cell shortlist are ``nearest_centroid_join`` geometry
+    (round-6 argmin/rank total orders), codes are ``pq_codes``, the
+    distance is ``pq_adc_topk``'s DECIMAL-exact LUT sum. Shuffles:
+    the candidate equi-join on cell id plus one (probe, vector)
+    groupBy — never a probe×corpus product. Approximate on BOTH axes
+    (cell recall × code distortion), sized by (k_coarse, nprobe, m).
+
+    Returns (probe_id, vec_id, cell_id, adc_dist2, rnk).
+    """
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = df.sparkSession
+    assign = nearest_centroid_join(
+        df, coarse, id_col=id_col, vec_col=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    ).select(id_col, "cluster_id")
+    codes = pq_codes(
+        df, codebooks, dim=dim, m=m, id_col=id_col, vec_col=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    ).select(id_col, "subspace", "code")
+
+    # probe -> nprobe nearest coarse cells (same fold/total order)
+    c = F.broadcast(
+        coarse.select(
+            F.col(cent_id).alias("__cell"),
+            F.col(cent_vec).cast("array<double>").alias("__cv"),
+        )
+    )
+    pd2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wcell = Window.partitionBy("probe_id").orderBy(
+        F.asc_nulls_last("__cd"), F.asc("__cell")
+    )
+    pcells = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col))
+        .crossJoin(c)
+        .withColumn("__cd", F.round(pd2, 6))
+        .withColumn("__crk", F.row_number().over(wcell))
+        .filter(F.col("__crk") <= int(nprobe))
+        .select("probe_id", F.col("__cell").alias("cluster_id"))
+    )
+    cand = F.broadcast(pcells).join(assign, "cluster_id").select(
+        "probe_id", id_col, "cluster_id"
+    )
+
+    subs = spark.range(m).select(F.col("id").cast("int").alias("subspace"))
+    sl = lambda col: F.slice(  # noqa: E731
+        col.cast("array<double>"),
+        (F.col("subspace") * sub + 1).cast("int"),
+        sub,
+    )
+    ps = probes.select(
+        F.col(id_col).alias("probe_id"), F.col(vec_col)
+    ).crossJoin(F.broadcast(subs)).select(
+        "probe_id", "subspace", sl(F.col(vec_col)).alias("__pv")
+    )
+    cs = codebooks.select(
+        F.col(cent_id).alias("code"), F.col(cent_vec)
+    ).crossJoin(F.broadcast(subs)).select(
+        "code", "subspace", sl(F.col(cent_vec)).alias("__cw")
+    )
+    td2 = F.aggregate(
+        F.zip_with(
+            F.col("__pv"), F.col("__cw"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = ps.join(F.broadcast(cs), "subspace").select(
+        "probe_id", "subspace", "code",
+        F.round(td2, 6).cast("decimal(18,6)").alias("__term"),
+    )
+    scored = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["probe_id", "subspace", "code"])
+        .groupBy("probe_id", id_col, "cluster_id")
+        .agg(F.sum("__term").cast("double").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k_top))
+        .select("probe_id", id_col, "cluster_id", "adc_dist2", "rnk")
+    )

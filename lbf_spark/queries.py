@@ -8246,6 +8246,100 @@ def q171(spark, sf_dir):
     return S.pq_adc_topk(codes, books, probes, dim=64, m=4, k_top=5)
 
 
+@q(
+    "q172_ivfpq_topk",
+    """
+    with e as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings),
+    cc as (select vec_id as cid, cast(embedding as double[]) as cv
+           from embeddings where vec_id < 8),
+    cb as (select vec_id as bid, cast(embedding as double[]) as bv
+           from embeddings where vec_id >= 8 and vec_id < 16),
+    s as (select j from range(4) t(j)),
+    dca as (select e.vec_id, cc.cid,
+                   round(list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i])
+                                    for i in range(1, len(ev) + 1)]), 6)
+                     as d2
+            from e cross join cc),
+    asg as (select vec_id, cid as cell_id from (
+              select vec_id, cid, row_number() over (
+                partition by vec_id order by d2 asc, cid asc) as rk
+              from dca) where rk = 1),
+    es as (select e.vec_id, s.j,
+                  list_slice(ev, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as sv
+           from e cross join s),
+    bs as (select cb.bid, s.j,
+                  list_slice(bv, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as bw
+           from cb cross join s),
+    dc as (select es.vec_id, es.j, bs.bid,
+                  round(list_sum([ (sv[i] - bw[i]) * (sv[i] - bw[i])
+                                   for i in range(1, len(sv) + 1)]), 6)
+                    as d2
+           from es join bs on es.j = bs.j),
+    codes as (select vec_id, j, bid as code from (
+                select vec_id, j, bid, row_number() over (
+                  partition by vec_id, j order by d2 asc, bid asc) as rk
+                from dc) where rk = 1),
+    p as (select vec_id as probe_id, ev from e where vec_id >= 490),
+    pcd as (select p.probe_id, cc.cid,
+                   round(list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i])
+                                    for i in range(1, len(ev) + 1)]), 6)
+                     as d2
+            from p cross join cc),
+    pcell as (select probe_id, cid as cell_id from (
+                select probe_id, cid, row_number() over (
+                  partition by probe_id order by d2 asc, cid asc) as rk
+                from pcd) where rk <= 2),
+    cand as (select pc.probe_id, a.vec_id, a.cell_id
+             from pcell pc join asg a on pc.cell_id = a.cell_id),
+    psl as (select p.probe_id, s.j,
+                   list_slice(ev, cast(j*16+1 as int),
+                              cast(j*16+16 as int)) as pv
+            from p cross join s),
+    lut as (select psl.probe_id, psl.j, bs.bid as code,
+                   cast(round(list_sum([ (pv[i] - bw[i]) * (pv[i] - bw[i])
+                                         for i in range(1, len(pv) + 1)]),
+                              6) as decimal(18,6)) as term
+            from psl join bs on psl.j = bs.j),
+    adc as (select cd.probe_id, cd.vec_id, cd.cell_id,
+                   cast(sum(l.term) as double) as adc_dist2
+            from cand cd
+            join codes co on cd.vec_id = co.vec_id
+            join lut l on l.probe_id = cd.probe_id
+                      and l.j = co.j and l.code = co.code
+            group by cd.probe_id, cd.vec_id, cd.cell_id),
+    rr as (select probe_id, vec_id, cell_id, adc_dist2,
+                  row_number() over (partition by probe_id
+                                     order by adc_dist2 asc, vec_id asc)
+                    as rnk
+           from adc)
+    select probe_id, vec_id, cell_id as cluster_id, adc_dist2, rnk
+    from rr where rnk <= 5
+    """,
+)
+def q172(spark, sf_dir):
+    """IVF-PQ search (similarity.py:ivfpq_topk — FAISS IVFPQ,
+    by_residual=False): coarse cells from seed rows vec_id < 8 prune
+    each of 10 probes to its 2 nearest cells; candidates pay the
+    PQ-ADC lookup distance over the 4×8 codebook (seed rows 8-15);
+    decimal-exact term sums, (adc asc, id asc) top-5. The capstone
+    composition of q79 (assignment), q170 (codes) and q171 (ADC) —
+    the oracle replays the entire index relationally."""
+    emb = t(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    books = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    ).select(F.col("vec_id").alias("cid"), "embedding")
+    probes = emb.filter(F.col("vec_id") >= 490)
+    return S.ivfpq_topk(
+        emb, coarse, books, probes, dim=64, m=4, nprobe=2, k_top=5
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1224,3 +1224,56 @@ def test_pq_adc_topk_matches_numpy(spark):
         g = got.loc[pid].reset_index().sort_values("rnk")
         pairs = list(zip(g.adc_dist2, g.vec_id))
         assert pairs == sorted(pairs)
+
+
+def test_ivfpq_topk_laws(spark):
+    """Candidates come only from the probe's nprobe nearest cells;
+    with nprobe = all cells the ranking degenerates to plain PQ-ADC;
+    a probe sitting on a cell centroid retrieves that cell's members."""
+    import numpy as np
+    from lbf_spark.operators.similarity import (
+        ivfpq_topk, pq_adc_topk, pq_codes,
+    )
+
+    rng = np.random.default_rng(31)
+    dim, m = 12, 3
+    # three well-separated cells along different axes
+    base = np.zeros((3, dim))
+    base[0, 0] = base[1, 4] = base[2, 8] = 10.0
+    vecs = np.vstack([
+        base[i] + rng.normal(0, 0.3, (8, dim)) for i in range(3)
+    ]).round(3)  # 24 vectors, 8 per cell
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(24)],
+        "vec_id long, embedding array<double>",
+    )
+    coarse = spark.createDataFrame(
+        [(i, [float(x) for x in base[i]]) for i in range(3)],
+        "cid long, embedding array<double>",
+    )
+    books = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[8 * i]]) for i in range(3)],
+        "cid long, embedding array<double>",
+    )
+    probes = spark.createDataFrame(
+        [(100, [float(x) for x in base[1]])],
+        "vec_id long, embedding array<double>",
+    )
+    got = ivfpq_topk(
+        df, coarse, books, probes, dim=dim, m=m, nprobe=1, k_top=8
+    ).toPandas()
+    # nprobe=1 at centroid 1: every hit from cell 1 = vectors 8..15
+    assert (got.cluster_id == 1).all()
+    assert set(got.vec_id) <= set(range(8, 16)) and len(got) == 8
+    # nprobe = all cells ==> identical to flat PQ-ADC over all codes
+    codes = pq_codes(df, books, dim=dim, m=m).select(
+        "vec_id", "subspace", "code"
+    )
+    flat = pq_adc_topk(
+        codes, books, probes, dim=dim, m=m, k_top=10
+    ).toPandas().sort_values("rnk")
+    full = ivfpq_topk(
+        df, coarse, books, probes, dim=dim, m=m, nprobe=3, k_top=10
+    ).toPandas().sort_values("rnk")
+    assert list(full.vec_id) == list(flat.vec_id)
+    assert np.allclose(full.adc_dist2, flat.adc_dist2)
