@@ -11,6 +11,7 @@ drives via ``spark-submit jobs/*.py``:
     python -m lbf_spark extract --events E --anchors A --checkpoint-dir C
     python -m lbf_spark curate  --documents D --out O [--near-dup ...]
     python -m lbf_spark dedup   --documents D --out O [--threshold ...]
+                                [--method minhash|jaccard|semantic|tile]
     python -m lbf_spark table snapshots|compact|expire|orphans|export-iceberg PATH
     python -m lbf_spark plot signal|heatmap --summary S --out O.svg ...
 
@@ -127,10 +128,42 @@ def _cmd_dedup(args) -> int:
 
     spark = _session(args)
     docs = spark.read.parquet(args.documents)
-    if args.exact_jaccard:
+    method = args.method or ("jaccard" if args.exact_jaccard else "minhash")
+    if method == "jaccard":
         sh = dedup.with_shingles(docs, args.id_col, args.text_col, args.ngram)
         pairs = dedup.jaccard_pairs_auto(
             sh, threshold=args.threshold, id_col=args.id_col
+        ).select("id_a", "id_b")
+    elif method == "semantic":
+        from lbf_spark.operators.similarity import semantic_dedup
+
+        cents = (
+            docs.orderBy(args.id_col).limit(args.n_cells)
+            .select(F.col(args.id_col).alias("cid"), args.vec_col)
+        )
+        verdict = semantic_dedup(
+            docs, cents, threshold=args.threshold,
+            id_col=args.id_col, vec_col=args.vec_col,
+            cent_vec=args.vec_col,
+        )
+        # dropped rows cluster under their cell's kept argmin-id member;
+        # simplest faithful pairing: loser -> (cell, keeper) join
+        keep = verdict.filter(F.col("is_kept")).groupBy("cluster_id").agg(
+            F.min(args.id_col).alias("id_a")
+        )
+        pairs = (
+            verdict.filter(~F.col("is_kept"))
+            .join(keep, "cluster_id")
+            .select("id_a", F.col(args.id_col).alias("id_b"))
+        )
+    elif method == "tile":
+        from lbf_spark.operators.images import extract_patches
+        from lbf_spark.util import fan_out
+
+        pt = extract_patches(fan_out(docs), patch=8, id_col=args.id_col)
+        pairs = dedup.tile_overlap_pairs(
+            pt, min_shared=args.min_shared, id_col=args.id_col,
+            max_df=args.max_df,
         ).select("id_a", "id_b")
     else:
         pairs = dedup.minhash_dedup_pairs(
@@ -258,6 +291,22 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--threshold", type=float, default=0.8)
     p.add_argument("--exact-jaccard", action="store_true",
                    help="exact recall via jaccard_pairs_auto instead of LSH")
+    p.add_argument(
+        "--method",
+        choices=["minhash", "jaccard", "semantic", "tile"],
+        default=None,
+        help="pair source: minhash LSH (default), exact jaccard, "
+        "SemDeDup over an embedding column (--vec-col, --n-cells), or "
+        "crop-resistant tile overlap over image payloads "
+        "(--min-shared, --max-df)",
+    )
+    p.add_argument("--vec-col", default="embedding")
+    p.add_argument("--n-cells", type=int, default=16,
+                   help="semantic: k-means cells = first n ids as seeds")
+    p.add_argument("--min-shared", type=int, default=2,
+                   help="tile: shared 8x8 digests required per pair")
+    p.add_argument("--max-df", type=int, default=1024,
+                   help="tile: drop digests present in more images")
     _add_session_flags(p)
     p.set_defaults(fn=_cmd_dedup)
 

@@ -125,3 +125,45 @@ def test_cli_unknown_stage_config_rejected(spark, tmp_path):
         main(["extract", "--events", "x", "--anchors", "y",
               "--checkpoint-dir", "z",
               "--config-json", '{"not_a_field": 1}'])
+
+
+def test_cli_dedup_semantic_and_tile(spark, tmp_path, capsys):
+    """--method semantic clusters near-identical embeddings; --method
+    tile clusters an image with its verbatim copy."""
+    import pandas as pd
+
+    # seeds are the FIRST n-cells ids, so ids 0/1 must be the two
+    # distinct directions; near-dups of each follow.
+    emb = pd.DataFrame({
+        "doc_id": range(6),
+        "embedding": [
+            [1.0, 0.0], [0.0, 1.0],              # diverse cell seeds
+            [0.99, 0.05], [0.05, 0.99],          # near-dups of 0 / 1
+            [0.7, 0.7], [-1.0, 0.2],             # loners
+        ],
+    })
+    src = str(tmp_path / "emb.parquet")
+    spark.createDataFrame(emb).write.parquet(src)
+    out_dir = str(tmp_path / "sem_out")
+    assert main(["dedup", "--documents", src, "--out", out_dir,
+                 "--method", "semantic", "--threshold", "0.95",
+                 "--n-cells", "2"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["docs"] == 6 and rep["keepers"] < 6
+    cl = spark.read.parquet(f"{out_dir}/clusters").toPandas()
+    c02 = cl[cl.doc_id.isin([0, 2])]
+    assert c02.cluster_id.nunique() == 1 and c02.is_keeper.sum() == 1
+
+    from lbf_spark import fixtures
+    ev = fixtures.generate_events(n_rows=12, n_entities=3)
+    ev = ev[["image_id", "bytes", "fmt"]]
+    dup = ev.head(3).copy()
+    dup["image_id"] = dup["image_id"] + "_c"
+    img_src = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(pd.concat([ev, dup])).write.parquet(img_src)
+    tile_dir = str(tmp_path / "tile_out")
+    assert main(["dedup", "--documents", img_src, "--out", tile_dir,
+                 "--method", "tile", "--id-col", "image_id",
+                 "--min-shared", "1"]) == 0
+    rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep2["docs"] == 15 and rep2["keepers"] == 12
