@@ -621,6 +621,102 @@ def aspect_bucket_pack(
     )
 
 
+def bucket_fit(
+    df: DataFrame,
+    targets: list[tuple[int, int]],
+    mode: str = "cover",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Exact resize + crop/pad geometry for bucketed image training —
+    the step downstream of ``aspect_bucket_pack``: once an image is
+    assigned an aspect bucket, the loader must resize it to the
+    bucket's TARGET RESOLUTION and either center-crop the overhang
+    (``mode="cover"``, the SDXL training path) or letterbox-pad the
+    shortfall (``mode="fit"``, the eval/inference path). Emitting the
+    geometry as columns makes the decode stage a pure executor of
+    precomputed integer plans — no per-image float math at decode
+    time, and two engines (or two loader versions) provably agree on
+    every pixel boundary.
+
+    All arithmetic is exact bigint. Bucket assignment reuses the
+    ``aspect_bucket_pack`` argmin (|w·th_i − tw_i·h| on one common
+    denominator, tie → smallest index). The binding axis is decided
+    by the integer cross-product test tw·h ≥ th·w (cover: the axis
+    that must OVERSHOOT; fit: tw·h ≤ th·w, the axis that must fit),
+    the scaled length is a single bigint ``div``, and offsets are
+    centered by ``div 2``:
+
+    - cover: resize ≥ target on both axes (one exact); ``off_x`` /
+      ``off_y`` are CROP offsets into the resized image.
+    - fit: resize ≤ target on both axes (one exact); ``off_x`` /
+      ``off_y`` are PAD offsets into the target canvas.
+
+    Shape at 100 TB: entirely row-local JVM expressions — zero
+    shuffle, zero Python; folds into whatever scan already reads the
+    (w, h) metadata columns. Reference analog: LBF has no image
+    training prep; this completes the q158 batch-assembly family.
+    """
+    tgts = [(int(a), int(b)) for a, b in targets]
+    if not tgts or any(a <= 0 or b <= 0 for a, b in tgts):
+        raise ValueError("targets must be non-empty positive (w, h) pairs")
+    if mode not in ("cover", "fit"):
+        raise ValueError("mode must be 'cover' or 'fit'")
+    lcm = 1
+    for _, q_ in tgts:
+        g, a = lcm, q_
+        while a:
+            g, a = a, g % a
+        lcm = lcm * q_ // g
+    w = F.col(w_col).cast("long")
+    h = F.col(h_col).cast("long")
+    cands = [
+        F.struct(
+            (F.abs(w * F.lit(int(th)) - F.lit(int(tw)) * h)
+             * F.lit(lcm // int(th))).alias("k"),
+            F.lit(i).alias("i"),
+        )
+        for i, (tw, th) in enumerate(tgts)
+    ]
+    tw_arr = F.array(*[F.lit(int(a)) for a, _ in tgts])
+    th_arr = F.array(*[F.lit(int(b)) for _, b in tgts])
+    tw = F.col("tgt_w")
+    th = F.col("tgt_h")
+    # binding-axis test: cover must overshoot the SLACK axis, fit must
+    # land inside it — same cross product, opposite comparison
+    wb = (tw * h >= th * w) if mode == "cover" else (tw * h <= th * w)
+    out = (
+        df.withColumn("bucket_id", F.array_min(F.array(*cands)).getField("i"))
+        .withColumn(
+            "tgt_w", F.element_at(tw_arr, F.col("bucket_id") + 1).cast("long")
+        )
+        .withColumn(
+            "tgt_h", F.element_at(th_arr, F.col("bucket_id") + 1).cast("long")
+        )
+        .withColumn("__wb", wb)
+        .withColumn("__num", F.when(F.col("__wb"), h * tw).otherwise(w * th))
+        .withColumn("__den", F.when(F.col("__wb"), w).otherwise(h))
+        .withColumn("__q", F.expr("__num div __den"))
+        .withColumn(
+            "resize_w",
+            F.when(F.col("__wb"), tw).otherwise(F.col("__q")).cast("long"),
+        )
+        .withColumn(
+            "resize_h",
+            F.when(F.col("__wb"), F.col("__q")).otherwise(th).cast("long"),
+        )
+    )
+    if mode == "cover":
+        out = out.withColumn(
+            "off_x", F.expr("(resize_w - tgt_w) div 2")
+        ).withColumn("off_y", F.expr("(resize_h - tgt_h) div 2"))
+    else:
+        out = out.withColumn(
+            "off_x", F.expr("(tgt_w - resize_w) div 2")
+        ).withColumn("off_y", F.expr("(tgt_h - resize_h) div 2"))
+    return out.drop("__wb", "__num", "__den", "__q")
+
+
 def pixel_moments(df: DataFrame, low: int = 8, high: int = 247) -> DataFrame:
     """Exact integer pixel MOMENTS per image: ``pixel_sums`` plus
     Σ x² (``px_sum2``) and the clipped-pixel tallies ``n_low``

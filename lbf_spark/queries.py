@@ -8340,6 +8340,73 @@ def q172(spark, sf_dir):
     )
 
 
+@q(
+    "q173_bucket_fit_geometry",
+    """
+    with img as (
+      select event_id,
+             64 * (3 + ('0x' || substr(md5('bw' || cast(event_id as varchar)), 1, 13))::bigint % 20) as width,
+             64 * (3 + ('0x' || substr(md5('bh' || cast(event_id as varchar)), 1, 13))::bigint % 20) as height
+      from events
+    ),
+    bk as (
+      select * from (values (0, 512, 512, 315), (1, 576, 448, 360),
+                            (2, 448, 576, 280), (3, 640, 384, 420),
+                            (4, 384, 640, 252)) as v(i, tw, th, mult)
+    ),
+    pick as (
+      select event_id, width, height, i as bucket_id,
+             cast(tw as bigint) as tgt_w, cast(th as bigint) as tgt_h,
+             row_number() over (
+               partition by event_id
+               order by abs(width * th - tw * height) * mult, i
+             ) as rk
+      from img cross join bk
+    ),
+    geo as (
+      select event_id, width, height, bucket_id, tgt_w, tgt_h,
+             tgt_w * height >= tgt_h * width as wb,
+             case when tgt_w * height >= tgt_h * width
+                  then (height * tgt_w) // width
+                  else (width * tgt_h) // height end as q
+      from pick where rk = 1
+    )
+    select event_id, width, height, bucket_id, tgt_w, tgt_h,
+           case when wb then tgt_w else q end as resize_w,
+           case when wb then q else tgt_h end as resize_h,
+           ((case when wb then tgt_w else q end) - tgt_w) // 2 as off_x,
+           ((case when wb then q else tgt_h end) - tgt_h) // 2 as off_y
+    from geo
+    """,
+)
+def q173(spark, sf_dir):
+    """Bucket-fit resize/crop geometry (operators/images.py:
+    bucket_fit, mode="cover" — the SDXL loader step downstream of
+    q158's bucket assignment): each image resizes so the slack axis
+    overshoots its bucket's target resolution exactly (binding axis
+    decided by the integer cross product tw·h ≥ th·w, scaled length
+    one bigint div), then center-crops the overhang (off_x/off_y).
+    Width/height are md5-synthesized (the q106/q158 rule); every
+    output is exact bigint arithmetic — zero shuffle, zero floats,
+    the oracle replays resize and offsets closed-form."""
+    from lbf_spark.operators.images import bucket_fit
+
+    img = _events(spark, sf_dir).select(
+        "event_id",
+        (64 * (3 + F.conv(F.substring(F.md5(F.concat(F.lit("bw"), F.col("event_id").cast("string"))), 1, 13), 16, 10).cast("long") % 20)).alias("width"),
+        (64 * (3 + F.conv(F.substring(F.md5(F.concat(F.lit("bh"), F.col("event_id").cast("string"))), 1, 13), 16, 10).cast("long") % 20)).alias("height"),
+    )
+    out = bucket_fit(
+        img,
+        targets=[(512, 512), (576, 448), (448, 576), (640, 384), (384, 640)],
+        mode="cover", w_col="width", h_col="height",
+    )
+    return out.select(
+        "event_id", "width", "height", "bucket_id",
+        "tgt_w", "tgt_h", "resize_w", "resize_h", "off_x", "off_y",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

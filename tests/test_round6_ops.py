@@ -575,6 +575,63 @@ def test_aspect_bucket_pack_laws(spark):
     ).any()
 
 
+def test_bucket_fit_geometry_laws(spark):
+    from lbf_spark.operators.images import bucket_fit
+
+    tgts = [(512, 512), (576, 448), (448, 576), (640, 384), (384, 640)]
+    rng = np.random.default_rng(11)
+    rows = [
+        (int(i), int(w), int(h))
+        for i, (w, h) in enumerate(
+            zip(rng.integers(96, 1537, 300), rng.integers(96, 1537, 300))
+        )
+    ] + [(300, 512, 512), (301, 1152, 896)]  # exact-aspect rows
+    df = spark.createDataFrame(rows, "image_id long, w long, h long")
+
+    cov = bucket_fit(df, tgts, mode="cover").toPandas().set_index("image_id")
+    fit = bucket_fit(df, tgts, mode="fit").toPandas().set_index("image_id")
+    assert len(cov) == len(fit) == 302
+
+    # python twin: binding axis by exact cross product, floor-div scale
+    for _, r in cov.sample(60, random_state=0).iterrows():
+        tw, th = int(r.tgt_w), int(r.tgt_h)
+        if tw * r.h >= th * r.w:
+            rw, rh = tw, (r.h * tw) // r.w
+        else:
+            rw, rh = (r.w * th) // r.h, th
+        assert (r.resize_w, r.resize_h) == (rw, rh)
+        assert (r.off_x, r.off_y) == ((rw - tw) // 2, (rh - th) // 2)
+
+    # cover: resize >= target on both axes, one axis exact, crop fits
+    assert (cov.resize_w >= cov.tgt_w).all() and (cov.resize_h >= cov.tgt_h).all()
+    assert ((cov.resize_w == cov.tgt_w) | (cov.resize_h == cov.tgt_h)).all()
+    assert (cov.off_x + cov.tgt_w <= cov.resize_w).all()
+    assert (cov.off_y + cov.tgt_h <= cov.resize_h).all()
+    # fit: resize <= target on both axes, one axis exact, pad fits
+    assert (fit.resize_w <= fit.tgt_w).all() and (fit.resize_h <= fit.tgt_h).all()
+    assert ((fit.resize_w == fit.tgt_w) | (fit.resize_h == fit.tgt_h)).all()
+    assert (fit.off_x + fit.resize_w <= fit.tgt_w).all()
+    assert (fit.off_y + fit.resize_h <= fit.tgt_h).all()
+    # exact-aspect rows: both modes land exactly on target, zero offsets
+    for i in (300, 301):
+        for g in (cov.loc[i], fit.loc[i]):
+            assert (g.resize_w, g.resize_h) == (g.tgt_w, g.tgt_h)
+            assert (g.off_x, g.off_y) == (0, 0)
+    # bucket assignment matches aspect_bucket_pack's argmin rule
+    lcm = 161280
+    for _, r in cov.sample(40, random_state=1).iterrows():
+        keys = [
+            (abs(r.w * th - tw * r.h) * (lcm // th), i)
+            for i, (tw, th) in enumerate(tgts)
+        ]
+        assert r.bucket_id == min(keys)[1]
+
+    with pytest.raises(ValueError):
+        bucket_fit(df, tgts, mode="stretch")
+    with pytest.raises(ValueError):
+        bucket_fit(df, [])
+
+
 def test_aspect_bucket_exact_tie_break(spark):
     from lbf_spark.operators.images import aspect_bucket_pack
 
