@@ -717,6 +717,70 @@ def bucket_fit(
     return out.drop("__wb", "__num", "__den", "__q")
 
 
+def apply_bucket_fit(
+    df: DataFrame,
+    mode: str = "cover",
+    w_col: str = "w",
+    h_col: str = "h",
+) -> DataFrame:
+    """Execute a ``bucket_fit`` plan on the pixels: one Arrow decode
+    per image, exact nearest-neighbor gather to (resize_w, resize_h)
+    (index map ``i·src div dst`` — the same integer arithmetic the
+    planner used, so two engines agree on every source pixel picked),
+    then center-crop the overhang (``cover``) or paste onto a black
+    target canvas (``fit``); re-encode in the row's own format.
+
+    The input frame must carry ``bytes``/``fmt`` plus the geometry
+    columns ``bucket_fit`` emitted (resize_w/resize_h, tgt_w/tgt_h,
+    off_x/off_y). Decode, transform and re-encode happen inside ONE
+    ``mapInPandas`` stage — the payload never shuffles — and the
+    output ``w_col``/``h_col`` are rewritten to the target resolution
+    so downstream stages see consistent metadata. q174 certifies the
+    executor against a direct composed-gather twin (out[i,j] ==
+    orig[(off_y+i)·h div rh, (off_x+j)·w div rw] for cover) plus
+    pad-conservation laws. Reference analog: none (LBF has no image
+    step); completes the q158/q173 training-prep family.
+    """
+    if mode not in ("cover", "fit"):
+        raise ValueError("mode must be 'cover' or 'fit'")
+    schema = df.schema
+    cover = mode == "cover"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            new_bytes = []
+            for data, fmt, rw, rh, tw, th, ox, oy in zip(
+                pdf["bytes"], pdf["fmt"], pdf["resize_w"], pdf["resize_h"],
+                pdf["tgt_w"], pdf["tgt_h"], pdf["off_x"], pdf["off_y"],
+            ):
+                if data is None:
+                    new_bytes.append(None)
+                    continue
+                img = decode_image(bytes(data), fmt)
+                h, w, c = img.shape
+                rw, rh, tw, th, ox, oy = (
+                    int(rw), int(rh), int(tw), int(th), int(ox), int(oy)
+                )
+                yi = np.arange(rh) * h // rh
+                xi = np.arange(rw) * w // rw
+                resized = img[yi][:, xi]
+                if cover:
+                    out = resized[oy:oy + th, ox:ox + tw]
+                else:
+                    out = np.zeros((th, tw, c), dtype=img.dtype)
+                    out[oy:oy + rh, ox:ox + rw] = resized
+                new_bytes.append(encode_image(out, fmt))
+            out_pdf = pdf.copy()
+            out_pdf["bytes"] = new_bytes
+            if w_col in out_pdf.columns:
+                out_pdf[w_col] = pdf["tgt_w"].astype(out_pdf[w_col].dtype)
+            if h_col in out_pdf.columns:
+                out_pdf[h_col] = pdf["tgt_h"].astype(out_pdf[h_col].dtype)
+            yield out_pdf
+
+    return df.mapInPandas(batches, schema)
+
+
 def pixel_moments(df: DataFrame, low: int = 8, high: int = 247) -> DataFrame:
     """Exact integer pixel MOMENTS per image: ``pixel_sums`` plus
     Σ x² (``px_sum2``) and the clipped-pixel tallies ``n_low``

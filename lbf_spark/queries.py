@@ -8407,6 +8407,118 @@ def q173(spark, sf_dir):
     )
 
 
+@q("q174_bucket_fit_exec_cert", _EMPTY_CERT3)
+def q174(spark, sf_dir):
+    """Bucket-fit EXECUTOR certificate (operators/images.py:
+    apply_bucket_fit — q173 proves the integer geometry PLAN, this
+    proves the pixel EXECUTION): the deterministic image corpus is
+    normalized to the lossless png codec, planned with bucket_fit and
+    executed in BOTH modes; a verify stage decodes each output next
+    to its original and emits a violation row when (a) output dims
+    differ from the bucket target, (b) any cover pixel differs from
+    the direct composed gather orig[(off_y+i)·h div rh][(off_x+j)·w
+    div rw] — an independent one-step twin of the executor's
+    resize-then-slice, (c) any fit interior pixel differs from the
+    gather or any letterbox border pixel is nonzero. A zero-row
+    corpus raises its own `no_rows` violation (never vacuous). Empty
+    ⇔ the distributed executor places every pixel exactly where the
+    integer plan says, end-to-end through encode/decode."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lbf_spark import fixtures
+    from lbf_spark.functions.codec import decode_image
+    from lbf_spark.operators.images import (
+        apply_bucket_fit, bucket_fit, transcode,
+    )
+    from lbf_spark.util import fan_out
+
+    n = 1200 if "0.001" in sf_dir else 3000
+    ev = fan_out(
+        fixtures.events_to_spark(
+            spark, fixtures.generate_events(n_rows=n, n_entities=8)
+        )
+    ).select("image_id", "bytes", "fmt", "w", "h")
+    src = transcode(ev, "png")
+    tgts = [(16, 16), (24, 16), (16, 24)]
+    cert_schema = T.StructType(
+        [
+            T.StructField("family", T.StringType(), True),
+            T.StructField("key", T.StringType(), True),
+            T.StructField("err", T.DoubleType(), True),
+        ]
+    )
+    orig = src.select(
+        "image_id",
+        F.col("bytes").alias("orig_bytes"),
+        F.col("w").alias("src_w"),
+        F.col("h").alias("src_h"),
+    )
+
+    def checked(mode: str):
+        fitted = apply_bucket_fit(bucket_fit(src, tgts, mode=mode), mode=mode)
+        joined = fitted.select(
+            "image_id", F.col("bytes").alias("out_bytes"),
+            "resize_w", "resize_h", "tgt_w", "tgt_h", "off_x", "off_y",
+        ).join(orig, "image_id")
+
+        def verify(it):
+            for pdf in it:
+                rows = []
+                for r in pdf.itertuples(index=False):
+                    out = decode_image(bytes(r.out_bytes), "png")
+                    img = decode_image(bytes(r.orig_bytes), "png")
+                    h, w = int(r.src_h), int(r.src_w)
+                    rw, rh = int(r.resize_w), int(r.resize_h)
+                    tw, th = int(r.tgt_w), int(r.tgt_h)
+                    ox, oy = int(r.off_x), int(r.off_y)
+                    if out.shape[:2] != (th, tw):
+                        rows.append((f"{mode}_dims", r.image_id,
+                                     float(out.shape[0] * out.shape[1])))
+                        continue
+                    if mode == "cover":
+                        yi = (oy + np.arange(th)) * h // rh
+                        xi = (ox + np.arange(tw)) * w // rw
+                        exp = img[yi][:, xi]
+                        if not np.array_equal(out, exp):
+                            rows.append((f"{mode}_pixels", r.image_id,
+                                         float(np.abs(
+                                             out.astype(np.int64)
+                                             - exp.astype(np.int64)).mean())))
+                    else:
+                        yi = np.arange(rh) * h // rh
+                        xi = np.arange(rw) * w // rw
+                        exp = img[yi][:, xi]
+                        inner = out[oy:oy + rh, ox:ox + rw]
+                        border = out.copy()
+                        border[oy:oy + rh, ox:ox + rw] = 0
+                        if not np.array_equal(inner, exp):
+                            rows.append((f"{mode}_pixels", r.image_id,
+                                         float(np.abs(
+                                             inner.astype(np.int64)
+                                             - exp.astype(np.int64)).mean())))
+                        elif border.any():
+                            rows.append((f"{mode}_border", r.image_id,
+                                         float(border.sum())))
+                yield pd.DataFrame(
+                    rows, columns=["family", "key", "err"]
+                ).astype({"err": "float64"})
+
+        guard = (
+            joined.agg(F.count(F.lit(1)).alias("n"))
+            .filter(F.col("n") < 1)
+            .select(
+                F.lit(f"{mode}_no_rows").alias("family"),
+                F.lit(None).cast("string").alias("key"),
+                F.lit(None).cast("double").alias("err"),
+            )
+        )
+        return joined.mapInPandas(verify, cert_schema).unionByName(guard)
+
+    return checked("cover").unionByName(checked("fit"))
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

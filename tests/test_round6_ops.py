@@ -632,6 +632,58 @@ def test_bucket_fit_geometry_laws(spark):
         bucket_fit(df, [])
 
 
+def test_apply_bucket_fit_executes_plan(spark):
+    """The pixel executor realizes the integer plan exactly: cover
+    output == composed gather from the original, fit output == gather
+    pasted on a black canvas; null payloads pass through."""
+    from lbf_spark.functions.codec import decode_image, encode_image
+    from lbf_spark.operators.images import apply_bucket_fit, bucket_fit
+
+    rng = np.random.default_rng(5)
+    imgs = {
+        "a": rng.integers(0, 256, (10, 30, 3), dtype=np.uint8),   # wide
+        "b": rng.integers(0, 256, (28, 9, 3), dtype=np.uint8),    # tall
+        "c": rng.integers(0, 256, (16, 16, 3), dtype=np.uint8),   # square
+    }
+    rows = [
+        (k, encode_image(v, "png"), "png", v.shape[1], v.shape[0])
+        for k, v in imgs.items()
+    ] + [("nul", None, "png", 4, 4)]
+    df = spark.createDataFrame(
+        rows, "image_id string, bytes binary, fmt string, w long, h long"
+    )
+    tgts = [(16, 16), (24, 16), (16, 24)]
+    for mode in ("cover", "fit"):
+        out = {
+            r["image_id"]: r
+            for r in apply_bucket_fit(
+                bucket_fit(df, tgts, mode=mode), mode=mode
+            ).collect()
+        }
+        assert out["nul"]["bytes"] is None
+        for k, src in imgs.items():
+            r = out[k]
+            h, w = src.shape[:2]
+            rw, rh, tw, th = r["resize_w"], r["resize_h"], r["tgt_w"], r["tgt_h"]
+            ox, oy = r["off_x"], r["off_y"]
+            got = decode_image(bytes(r["bytes"]), "png")
+            assert got.shape == (th, tw, 3)
+            assert (r["w"], r["h"]) == (tw, th)  # metadata rewritten
+            resized = src[np.arange(rh) * h // rh][:, np.arange(rw) * w // rw]
+            if mode == "cover":
+                exp = resized[oy:oy + th, ox:ox + tw]
+            else:
+                exp = np.zeros((th, tw, 3), dtype=np.uint8)
+                exp[oy:oy + rh, ox:ox + rw] = resized
+            assert np.array_equal(got, exp)
+    # square 16x16 image lands in the (16,16) bucket untouched
+    sq = apply_bucket_fit(bucket_fit(df, tgts, mode="cover"), mode="cover")
+    r = {x["image_id"]: x for x in sq.collect()}["c"]
+    assert np.array_equal(decode_image(bytes(r["bytes"]), "png"), imgs["c"])
+    with pytest.raises(ValueError):
+        apply_bucket_fit(df, mode="stretch")
+
+
 def test_aspect_bucket_exact_tie_break(spark):
     from lbf_spark.operators.images import aspect_bucket_pack
 
