@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""spark-submit entrypoint for image training-prep: aspect-bucket
+batch assembly + exact resize/crop execution.
+
+    spark-submit --py-files "$(python -c 'from lbf_spark.packaging import build_pyfiles_zip; print(build_pyfiles_zip())')" \
+        jobs/run_imageprep.py --images <parquet> --out <dir> \
+        [--targets 512x512,576x448,448x576 --mode cover \
+         --batch-size 32 --n-shards 64 --seed 42 --to-fmt png \
+         --plan-only]
+
+Chain (operators/images.py): optional codec normalization (transcode)
+→ ``bucket_fit`` integer resize/crop PLAN per image (q173) →
+``aspect_bucket_pack`` reproducible batch assembly over the same
+bucket argmin (q158) → ``apply_bucket_fit`` pixel execution (q174;
+skipped with --plan-only, which exports the metadata-only plan for a
+downstream loader to execute). Writes the prepared rows as parquet
+plus a per-bucket histogram JSON (the run's packing report).
+
+Every stage is payload-local: pixels decode/re-encode inside single
+Arrow stages, only the (bucket_id, shard) packing window shuffles —
+and that carries metadata columns, never bytes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+from pyspark.sql import SparkSession, functions as F
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def parse_targets(spec: str) -> list[tuple[int, int]]:
+    out = []
+    for part in spec.split(","):
+        w, _, h = part.strip().lower().partition("x")
+        out.append((int(w), int(h)))
+    return out
+
+
+def prep_images(
+    df,
+    targets: list[tuple[int, int]],
+    mode: str = "cover",
+    batch_size: int = 32,
+    n_shards: int = 64,
+    seed: int = 42,
+    to_fmt: str | None = None,
+    plan_only: bool = False,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+):
+    """The reusable chain behind the job (and importable from tests /
+    notebooks): returns the prepared DataFrame — planned, packed, and
+    (unless ``plan_only``) pixel-executed."""
+    from lbf_spark.operators.images import (
+        apply_bucket_fit, aspect_bucket_pack, bucket_fit, transcode,
+    )
+
+    if to_fmt:
+        df = transcode(df, to_fmt)
+    planned = bucket_fit(df, targets, mode=mode, w_col=w_col, h_col=h_col)
+    # aspect_bucket_pack recomputes the SAME exact-integer argmin over
+    # the same (tw, th) pairs, so its bucket_id overwrite is identical
+    packed = aspect_bucket_pack(
+        planned, batch_size=batch_size, n_shards=n_shards, buckets=targets,
+        id_col=id_col, w_col=w_col, h_col=h_col, seed=seed,
+    )
+    if plan_only:
+        return packed
+    return apply_bucket_fit(packed, mode=mode, w_col=w_col, h_col=h_col)
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--images", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--targets", default="512x512,576x448,448x576")
+    ap.add_argument("--mode", choices=["cover", "fit"], default="cover")
+    ap.add_argument("--batch-size", type=int, default=32)
+    ap.add_argument("--n-shards", type=int, default=64)
+    ap.add_argument("--seed", type=int, default=42)
+    ap.add_argument("--to-fmt", default=None)
+    ap.add_argument("--plan-only", action="store_true")
+    ap.add_argument("--id-col", default="image_id")
+    ap.add_argument("--w-col", default="w")
+    ap.add_argument("--h-col", default="h")
+    args = ap.parse_args()
+
+    from lbf_spark import fsio
+
+    spark = SparkSession.builder.appName("lbf-imageprep").getOrCreate()
+    df = spark.read.parquet(args.images)
+    out = prep_images(
+        df, parse_targets(args.targets), mode=args.mode,
+        batch_size=args.batch_size, n_shards=args.n_shards, seed=args.seed,
+        to_fmt=args.to_fmt, plan_only=args.plan_only,
+        id_col=args.id_col, w_col=args.w_col, h_col=args.h_col,
+    )
+    out.write.mode("overwrite").parquet(fsio.join(args.out, "prepared"))
+    prepared = spark.read.parquet(fsio.join(args.out, "prepared"))
+    report = {
+        "n_images": prepared.count(),
+        "buckets": {
+            str(r["bucket_id"]): {
+                "n": r["n"], "complete_batches": r["cb"],
+            }
+            for r in prepared.groupBy("bucket_id").agg(
+                F.count(F.lit(1)).alias("n"),
+                F.count_distinct(
+                    F.when(F.col("is_complete"),
+                           F.concat_ws(":", "shard", "batch_no"))
+                ).alias("cb"),
+            ).collect()
+        },
+    }
+    fsio.write_text_atomic(
+        spark, fsio.join(args.out, "report.json"), json.dumps(report, indent=1)
+    )
+    print(json.dumps(report))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -684,6 +684,42 @@ def test_apply_bucket_fit_executes_plan(spark):
         apply_bucket_fit(df, mode="stretch")
 
 
+def test_imageprep_job_chain(spark):
+    """jobs/run_imageprep.py:prep_images — plan + pack + execute in one
+    chain: every output image sits at its bucket's target resolution,
+    packing columns are present, and --plan-only leaves pixels alone."""
+    import sys as _sys
+
+    _sys.path.insert(0, "jobs")
+    from run_imageprep import parse_targets, prep_images
+
+    from lbf_spark import fixtures
+    from lbf_spark.functions.codec import decode_image
+
+    assert parse_targets("512x512, 24X16") == [(512, 512), (24, 16)]
+
+    ev = fixtures.events_to_spark(
+        spark, fixtures.generate_events(n_rows=40, n_entities=4)
+    ).select("image_id", "bytes", "fmt", "w", "h")
+    tgts = [(16, 16), (24, 16), (16, 24)]
+    out = prep_images(
+        ev, tgts, mode="cover", batch_size=4, n_shards=2, to_fmt="png"
+    ).collect()
+    assert len(out) == 40
+    for r in out:
+        assert (r["w"], r["h"]) == (r["tgt_w"], r["tgt_h"])
+        img = decode_image(bytes(r["bytes"]), "png")
+        assert img.shape[:2] == (r["tgt_h"], r["tgt_w"])
+        assert r["batch_no"] >= 0 and 0 <= r["pos"] < 4
+        # pack and plan agree on the bucket (same exact argmin)
+        assert (r["tgt_w"], r["tgt_h"]) == tgts[r["bucket_id"]]
+    plan = prep_images(
+        ev, tgts, mode="cover", batch_size=4, n_shards=2, plan_only=True
+    ).collect()
+    orig = {r["image_id"]: bytes(r["bytes"]) for r in ev.collect()}
+    assert all(bytes(r["bytes"]) == orig[r["image_id"]] for r in plan)
+
+
 def test_aspect_bucket_exact_tie_break(spark):
     from lbf_spark.operators.images import aspect_bucket_pack
 
