@@ -8,17 +8,10 @@ batch assembly + exact resize/crop execution.
          --batch-size 32 --n-shards 64 --seed 42 --to-fmt png \
          --plan-only]
 
-Chain (operators/images.py): optional codec normalization (transcode)
-→ ``bucket_fit`` integer resize/crop PLAN per image (q173) →
-``aspect_bucket_pack`` reproducible batch assembly over the same
-bucket argmin (q158) → ``apply_bucket_fit`` pixel execution (q174;
-skipped with --plan-only, which exports the metadata-only plan for a
-downstream loader to execute). Writes the prepared rows as parquet
-plus a per-bucket histogram JSON (the run's packing report).
-
-Every stage is payload-local: pixels decode/re-encode inside single
-Arrow stages, only the (bucket_id, shard) packing window shuffles —
-and that carries metadata columns, never bytes.
+Thin adapter over ``lbf_spark.plans.imageprep.prep_images`` (see its
+docstring for the chain and the shuffle shape). Writes the prepared
+rows as parquet plus a per-bucket histogram JSON (the run's packing
+report).
 """
 
 from __future__ import annotations
@@ -32,47 +25,7 @@ from pyspark.sql import SparkSession, functions as F
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-
-def parse_targets(spec: str) -> list[tuple[int, int]]:
-    out = []
-    for part in spec.split(","):
-        w, _, h = part.strip().lower().partition("x")
-        out.append((int(w), int(h)))
-    return out
-
-
-def prep_images(
-    df,
-    targets: list[tuple[int, int]],
-    mode: str = "cover",
-    batch_size: int = 32,
-    n_shards: int = 64,
-    seed: int = 42,
-    to_fmt: str | None = None,
-    plan_only: bool = False,
-    id_col: str = "image_id",
-    w_col: str = "w",
-    h_col: str = "h",
-):
-    """The reusable chain behind the job (and importable from tests /
-    notebooks): returns the prepared DataFrame — planned, packed, and
-    (unless ``plan_only``) pixel-executed."""
-    from lbf_spark.operators.images import (
-        apply_bucket_fit, aspect_bucket_pack, bucket_fit, transcode,
-    )
-
-    if to_fmt:
-        df = transcode(df, to_fmt)
-    planned = bucket_fit(df, targets, mode=mode, w_col=w_col, h_col=h_col)
-    # aspect_bucket_pack recomputes the SAME exact-integer argmin over
-    # the same (tw, th) pairs, so its bucket_id overwrite is identical
-    packed = aspect_bucket_pack(
-        planned, batch_size=batch_size, n_shards=n_shards, buckets=targets,
-        id_col=id_col, w_col=w_col, h_col=h_col, seed=seed,
-    )
-    if plan_only:
-        return packed
-    return apply_bucket_fit(packed, mode=mode, w_col=w_col, h_col=h_col)
+from lbf_spark.plans.imageprep import parse_targets, prep_images  # noqa: E402
 
 
 def main() -> None:

@@ -12,6 +12,7 @@ drives via ``spark-submit jobs/*.py``:
     python -m lbf_spark curate  --documents D --out O [--near-dup ...]
     python -m lbf_spark dedup   --documents D --out O [--threshold ...]
                                 [--method minhash|jaccard|semantic|tile]
+    python -m lbf_spark imageprep --images I --out O [--targets 512x512,...]
     python -m lbf_spark table snapshots|compact|expire|orphans|export-iceberg PATH
     python -m lbf_spark plot signal|heatmap --summary S --out O.svg ...
 
@@ -185,6 +186,31 @@ def _cmd_dedup(args) -> int:
     return 0
 
 
+def _cmd_imageprep(args) -> int:
+    from pyspark.sql import functions as F
+
+    from lbf_spark import fsio
+    from lbf_spark.plans.imageprep import parse_targets, prep_images
+
+    spark = _session(args)
+    df = spark.read.parquet(args.images)
+    out = prep_images(
+        df, parse_targets(args.targets), mode=args.mode,
+        batch_size=args.batch_size, n_shards=args.n_shards, seed=args.seed,
+        to_fmt=args.to_fmt, plan_only=args.plan_only,
+        id_col=args.id_col, w_col=args.w_col, h_col=args.h_col,
+    )
+    out.write.mode("overwrite").parquet(fsio.join(args.out, "prepared"))
+    prepared = spark.read.parquet(fsio.join(args.out, "prepared"))
+    buckets = {
+        str(r["bucket_id"]): r["n"]
+        for r in prepared.groupBy("bucket_id")
+        .agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    print(json.dumps({"n_images": prepared.count(), "buckets": buckets}))
+    return 0
+
+
 def _cmd_table(args) -> int:
     from lbf_spark.sources import table as TBL
 
@@ -309,6 +335,26 @@ def build_parser() -> argparse.ArgumentParser:
                    help="tile: drop digests present in more images")
     _add_session_flags(p)
     p.set_defaults(fn=_cmd_dedup)
+
+    p = sub.add_parser("imageprep", help="aspect-bucket image training prep")
+    p.add_argument("--images", required=True)
+    p.add_argument("--out", required=True)
+    p.add_argument("--targets", default="512x512,576x448,448x576",
+                   help="comma-separated WxH bucket target resolutions")
+    p.add_argument("--mode", choices=["cover", "fit"], default="cover")
+    p.add_argument("--batch-size", type=int, default=32)
+    p.add_argument("--n-shards", type=int, default=64)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--to-fmt", default=None,
+                   help="normalize every payload to this codec first")
+    p.add_argument("--plan-only", action="store_true",
+                   help="export the integer resize/crop plan without "
+                   "touching pixels")
+    p.add_argument("--id-col", default="image_id")
+    p.add_argument("--w-col", default="w")
+    p.add_argument("--h-col", default="h")
+    _add_session_flags(p)
+    p.set_defaults(fn=_cmd_imageprep)
 
     p = sub.add_parser("table", help="table maintenance")
     tsub = p.add_subparsers(dest="table_cmd", required=True)

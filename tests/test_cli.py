@@ -167,3 +167,21 @@ def test_cli_dedup_semantic_and_tile(spark, tmp_path, capsys):
                  "--min-shared", "1"]) == 0
     rep2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert rep2["docs"] == 15 and rep2["keepers"] == 12
+
+
+def test_cli_imageprep(spark, tmp_path, capsys):
+    from lbf_spark import fixtures
+
+    ev = fixtures.generate_events(n_rows=24, n_entities=3)
+    ev = ev[["image_id", "bytes", "fmt", "w", "h"]]
+    src = str(tmp_path / "imgs.parquet")
+    spark.createDataFrame(ev).write.parquet(src)
+    out_dir = str(tmp_path / "prep_out")
+    assert main(["imageprep", "--images", src, "--out", out_dir,
+                 "--targets", "16x16,24x16,16x24", "--mode", "cover",
+                 "--batch-size", "4", "--n-shards", "2",
+                 "--to-fmt", "png"]) == 0
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["n_images"] == 24 and sum(rep["buckets"].values()) == 24
+    got = spark.read.parquet(f"{out_dir}/prepared").toPandas()
+    assert ((got.w == got.tgt_w) & (got.h == got.tgt_h)).all()

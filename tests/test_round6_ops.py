@@ -685,13 +685,11 @@ def test_apply_bucket_fit_executes_plan(spark):
 
 
 def test_imageprep_job_chain(spark):
-    """jobs/run_imageprep.py:prep_images — plan + pack + execute in one
-    chain: every output image sits at its bucket's target resolution,
-    packing columns are present, and --plan-only leaves pixels alone."""
-    import sys as _sys
-
-    _sys.path.insert(0, "jobs")
-    from run_imageprep import parse_targets, prep_images
+    """plans/imageprep.py:prep_images (the jobs/run_imageprep.py and
+    CLI chain) — plan + pack + execute: every output image sits at its
+    bucket's target resolution, packing columns are present, and
+    plan_only leaves pixels alone."""
+    from lbf_spark.plans.imageprep import parse_targets, prep_images
 
     from lbf_spark import fixtures
     from lbf_spark.functions.codec import decode_image
