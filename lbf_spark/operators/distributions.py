@@ -346,6 +346,80 @@ def shuffle_shards(
     )
 
 
+def cost_balanced_shards(
+    df: DataFrame,
+    n_shards: int,
+    cost_col: str,
+    id_col: str,
+    out_shard: str = "shard",
+    out_rank: str = "cost_rank",
+) -> DataFrame:
+    """Skew-aware work sharding: rows rank globally by (cost desc, id
+    asc) and shards take turns in BOUSTROPHEDON (snake) order — shard s
+    receives ranks s+1, 2n−s, 2n+s+1, … so every consecutive round of
+    ``n_shards`` ranks places exactly one row on each shard and the
+    serpentine alternation cancels the within-round cost slope
+    pairwise. This is the deterministic relational stand-in for LPT
+    bin packing: for decode-heavy image stages (cost = payload bytes)
+    md5 sharding leaves a multi-× load spread under Zipf sizes, while
+    snake-on-sorted-costs lands every shard within ~one max-item of
+    the ideal load (law-tested, python twin).
+
+    ``shuffle_shards`` answers "reproducible pseudo-random ORDER";
+    this answers "equal WORK per task" — compose them: pack batches on
+    the md5 draw, then repartition the pixel-execution stage on the
+    cost-balanced shard (``plans/imageprep.py:prep_images(cost_shards=…)``).
+
+    Scale shape: the global rank never touches an unpartitioned
+    window. ``band = bit_length(cost)`` (exact integer log2 via
+    ``length(conv(cost, 10, 2))`` — float log2 could misband at power
+    boundaries) is monotone in cost, so (band desc, cost desc, id asc)
+    IS the global (cost desc, id asc) order: in-band ranks come from a
+    window partitioned by band (ONE hash exchange; skew bound = widest
+    band), band start-offsets are a running sum over the ≤64-row
+    band-count frame (metadata-sized — the only global window), and
+    rank = offset + in-band rank is exact. Snake arithmetic is
+    row-local. Physical placement: ``repartitionByRange(n_shards,
+    out_shard)`` ranges ≈1 shard id per partition; ids, never bytes,
+    drive the exchange.
+    """
+    n = int(n_shards)
+    cost = F.coalesce(F.col(cost_col).cast("long"), F.lit(0))
+    band = F.length(F.conv(cost, 10, 2)).cast("int")
+    with_band = df.withColumn("__cost", cost).withColumn("__band", band)
+    counts = with_band.groupBy("__band").agg(
+        F.count(F.lit(1)).alias("__bn")
+    )
+    w_off = (
+        Window.orderBy(F.desc("__band"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = counts.withColumn(
+        "__off", F.coalesce(F.sum("__bn").over(w_off), F.lit(0))
+    ).select("__band", "__off")
+    w_rk = Window.partitionBy("__band").orderBy(
+        F.desc("__cost"), F.asc(id_col)
+    )
+    ranked = (
+        with_band.join(F.broadcast(offsets), "__band")
+        .withColumn(
+            out_rank, (F.col("__off") + F.row_number().over(w_rk))
+        )
+    )
+    r0 = F.col(out_rank) - F.lit(1)
+    rnd = F.expr(f"div({out_rank} - 1, {n})")
+    pos = F.pmod(r0, F.lit(n))
+    return (
+        ranked.withColumn(
+            out_shard,
+            F.when(F.pmod(rnd, F.lit(2)) == 0, pos)
+            .otherwise(F.lit(n - 1) - pos)
+            .cast("int"),
+        )
+        .drop("__cost", "__band", "__off")
+    )
+
+
 def token_budget_sample(
     df: DataFrame,
     budgets: dict,

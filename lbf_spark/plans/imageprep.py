@@ -41,9 +41,20 @@ def prep_images(
     id_col: str = "image_id",
     w_col: str = "w",
     h_col: str = "h",
+    cost_shards: int | None = None,
 ) -> DataFrame:
     """Plan, pack and (unless ``plan_only``) pixel-execute the corpus
-    into training batches at the bucket target resolutions."""
+    into training batches at the bucket target resolutions.
+
+    ``cost_shards=N`` additionally load-balances the pixel-execution
+    stage: rows take a cost-balanced shard on payload BYTES (snake
+    over the cost rank, ``distributions.cost_balanced_shards``) and the
+    frame range-repartitions on it before ``apply_bucket_fit``, so
+    Zipf-sized payloads can't serialize the decode stage onto a few
+    md5-unlucky tasks. Batch composition (bucket_id/shard/batch_id) is
+    untouched — only the physical placement of the decode work moves;
+    output rows are bit-identical (law-tested).
+    """
     from lbf_spark.operators.images import (
         apply_bucket_fit, aspect_bucket_pack, bucket_fit, transcode,
     )
@@ -59,4 +70,21 @@ def prep_images(
     )
     if plan_only:
         return packed
+    if cost_shards:
+        from pyspark.sql import functions as F
+
+        from lbf_spark.operators.distributions import cost_balanced_shards
+
+        packed = (
+            cost_balanced_shards(
+                packed.withColumn("__bytes", F.length("bytes")),
+                n_shards=cost_shards,
+                cost_col="__bytes",
+                id_col=id_col,
+                out_shard="__cshard",
+                out_rank="__crank",
+            )
+            .repartitionByRange(cost_shards, "__cshard", id_col)
+            .drop("__bytes", "__cshard", "__crank")
+        )
     return apply_bucket_fit(packed, mode=mode, w_col=w_col, h_col=h_col)

@@ -8519,6 +8519,46 @@ def q174(spark, sf_dir):
     return checked("cover").unionByName(checked("fit"))
 
 
+@q(
+    "q175_cost_balanced_shards",
+    """
+    with r as (
+      select doc_id, cast(n_chars as bigint) as cost,
+             row_number() over (order by n_chars desc, doc_id)
+               as cost_rank
+      from documents
+    )
+    select doc_id, cost, cost_rank,
+           cast(case when ((cost_rank - 1) // 16) % 2 = 0
+                     then (cost_rank - 1) % 16
+                     else 15 - ((cost_rank - 1) % 16)
+                end as int) as shard
+    from r
+    """,
+)
+def q175(spark, sf_dir):
+    """Cost-balanced work sharding
+    (distributions.py:cost_balanced_shards): rows rank by (cost desc,
+    id asc) and 16 shards take turns in snake order, so each
+    consecutive round of 16 ranks lands one row per shard — the
+    deterministic LPT stand-in that keeps Zipf-sized decode payloads
+    from serializing onto md5-unlucky tasks. The engine computes the
+    global rank WITHOUT an unpartitioned window (exact bit-length
+    cost bands + per-band windows + metadata-sized offset prefix);
+    the oracle replays the plain global row_number + snake arithmetic
+    — a banding or offset error anywhere fails the hash."""
+    docs = t(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    out = D.cost_balanced_shards(
+        docs, n_shards=16, cost_col="n_chars", id_col="doc_id"
+    )
+    return out.select(
+        "doc_id",
+        F.col("n_chars").cast("long").alias("cost"),
+        "cost_rank",
+        "shard",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
