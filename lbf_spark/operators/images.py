@@ -881,3 +881,231 @@ def image_quality_gate(
         .withColumn("reason", reason)
         .withColumn("keep", F.col("reason").isNull())
     )
+
+
+def _paired(
+    df: DataFrame,
+    key: str,
+    id_col: str,
+    w_col: str,
+    h_col: str,
+    group_cols: tuple | list = (),
+):
+    """Deterministic within-(w,h[,group]) pairing: rows order by
+    md5(key:id) and rank 2i−1 marries rank 2i (odd tail unpaired —
+    omitted, callers union identity rows if they want them). Pixel
+    blending needs identical canvases, hence the dims in the group
+    key. ONE hash exchange on the group columns."""
+    from pyspark.sql import Window
+
+    grp = [w_col, h_col, *group_cols]
+    draw = F.md5(F.concat_ws(":", F.lit(key), F.col(id_col).cast("string")))
+    w = Window.partitionBy(*grp).orderBy(F.col("__draw"), F.col(id_col))
+    ranked = (
+        df.withColumn("__draw", draw)
+        .withColumn("__rk", F.row_number().over(w))
+    )
+    a = ranked.filter(F.col("__rk") % 2 == 1).select(
+        *[F.col(c) for c in grp],
+        F.col(id_col).alias("id_a"),
+        ((F.col("__rk") + 1) / 2).cast("long").alias("__pair"),
+    )
+    b = ranked.filter(F.col("__rk") % 2 == 0).select(
+        *[F.col(c) for c in grp],
+        F.col(id_col).alias("id_b"),
+        (F.col("__rk") / 2).cast("long").alias("__pair"),
+    )
+    return a.join(b, [*grp, "__pair"]).drop("__pair")
+
+
+def _hx(key, pos: int):
+    """Hex byte ``pos`` (0-based) of an md5 column → int 0..255."""
+    return F.conv(F.substring(key, 2 * pos + 1, 2), 16, 10).cast("int")
+
+
+def mixup_plan(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    group_cols: tuple | list = (),
+) -> DataFrame:
+    """Mixup augmentation PLAN (Zhang et al. 2018, deterministic):
+    same-dimension images pair via the md5 draw and each pair carries
+    an exact-rational blend weight ``lam_num``/256 — the executor
+    computes ``(lam·A + (256−lam)·B + 128) div 256`` in pure integer
+    arithmetic, so the augmented pixels are bit-reproducible on any
+    engine (no float Beta draw; the md5 byte is the λ source).
+    ``keep_a`` names the dominant side (λ ≥ ½ — caption/label of the
+    output, the standard hard-label convention).
+
+    Metadata-only: ids and dims, never pixels — export it to a loader
+    or feed ``pair_payloads`` + ``apply_mixup``. One exchange on the
+    (w, h) group, one pair equi-join."""
+    pairs = _paired(df, f"mx{seed}", id_col, w_col, h_col, group_cols)
+    lam_key = F.md5(
+        F.concat_ws(
+            ":", F.lit(f"lam{seed}"),
+            F.col("id_a").cast("string"), F.col("id_b").cast("string"),
+        )
+    )
+    return pairs.withColumn("lam_num", _hx(lam_key, 0)).withColumn(
+        "keep_a", F.col("lam_num") >= 128
+    )
+
+
+def cutmix_plan(
+    df: DataFrame,
+    seed: int = 42,
+    id_col: str = "image_id",
+    w_col: str = "w",
+    h_col: str = "h",
+    group_cols: tuple | list = (),
+) -> DataFrame:
+    """CutMix augmentation PLAN (Yun et al. 2019, deterministic): the
+    md5-paired partner donates a rectangular patch. Box geometry is
+    exact integer arithmetic over four md5 bytes b0..b3 of the pair
+    key: ``box_w = w·b0 div 256``, ``box_h = h·b1 div 256`` (0 allowed
+    — degenerate box = pure A), offsets ``off_x = (w−box_w)·b2 div
+    255`` (b2=255 reaches the right edge exactly), ``off_y``
+    analogous. ``keep_a`` = the side covering ≥ half the area
+    (``2·box_w·box_h ≤ w·h`` — integer compare, no float λ).
+
+    Metadata-only plan; ``apply_mixup(mode="cutmix")`` executes it.
+    Same shuffle shape as ``mixup_plan``."""
+    pairs = _paired(df, f"cut{seed}", id_col, w_col, h_col, group_cols)
+    box_key = F.md5(
+        F.concat_ws(
+            ":", F.lit(f"box{seed}"),
+            F.col("id_a").cast("string"), F.col("id_b").cast("string"),
+        )
+    )
+    wc, hc = F.col(w_col).cast("long"), F.col(h_col).cast("long")
+    # div() everywhere: a double `/` then truncate would mis-round at
+    # /255 (not a binary scale), flipping an offset by one pixel
+    out = (
+        pairs.withColumn("__k", box_key)
+        .withColumn("__b0", _hx(F.col("__k"), 0).cast("long"))
+        .withColumn("__b1", _hx(F.col("__k"), 1).cast("long"))
+        .withColumn("__b2", _hx(F.col("__k"), 2).cast("long"))
+        .withColumn("__b3", _hx(F.col("__k"), 3).cast("long"))
+        .withColumn(
+            "box_w",
+            F.expr(f"div(cast(`{w_col}` as bigint) * __b0, 256)")
+            .cast("int"),
+        )
+        .withColumn(
+            "box_h",
+            F.expr(f"div(cast(`{h_col}` as bigint) * __b1, 256)")
+            .cast("int"),
+        )
+    )
+    return (
+        out.withColumn(
+            "off_x",
+            F.expr(
+                f"div((cast(`{w_col}` as bigint) - box_w) * __b2, 255)"
+            ).cast("int"),
+        )
+        .withColumn(
+            "off_y",
+            F.expr(
+                f"div((cast(`{h_col}` as bigint) - box_h) * __b3, 255)"
+            ).cast("int"),
+        )
+        .withColumn(
+            "keep_a",
+            2 * F.col("box_w").cast("long") * F.col("box_h") <= wc * hc,
+        )
+        .drop("__k", "__b0", "__b1", "__b2", "__b3")
+    )
+
+
+def pair_payloads(
+    df: DataFrame,
+    plan: DataFrame,
+    id_col: str = "image_id",
+    payload_cols: tuple | list = ("bytes", "fmt"),
+) -> DataFrame:
+    """Attach both sides' payloads to a mixup/cutmix plan: two equi
+    joins on id. Blending is the ONE operator family whose semantics
+    force pixels through an exchange (two rows meet in one task);
+    bound the cost by projecting everything but id+payload away first
+    — done here — and note the pairing already grouped by (w, h), so
+    partners co-locate after one hash exchange each."""
+    a = df.select(
+        F.col(id_col).alias("id_a"),
+        *[F.col(c).alias(f"{c}_a") for c in payload_cols],
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"),
+        *[F.col(c).alias(f"{c}_b") for c in payload_cols],
+    )
+    return plan.join(a, "id_a").join(b, "id_b")
+
+
+def apply_mixup(pairs: DataFrame, mode: str = "mixup") -> DataFrame:
+    """Execute a mixup/cutmix plan on pixels: decode both sides, blend
+    with EXACT integer arithmetic, re-encode in side A's format.
+
+    ``mixup``: ``out = (lam·A + (256−lam)·B + 128) div 256`` per
+    channel value (round-half-up of the rational blend — pure int32,
+    bit-reproducible; the λ byte came from the plan's md5).
+    ``cutmix``: A with the plan's (off_x, off_y, box_w, box_h) window
+    replaced by B's. Decoded canvases must match the plan dims —
+    mismatches raise rather than silently mis-blend. One
+    ``mapInPandas`` stage; output carries ``bytes``/``fmt`` (side A's
+    codec) next to the plan columns, payload never re-shuffles."""
+    if mode not in ("mixup", "cutmix"):
+        raise ValueError("mode must be 'mixup' or 'cutmix'")
+    keep = [
+        c for c in pairs.columns
+        if c not in ("bytes_a", "fmt_a", "bytes_b", "fmt_b")
+    ]
+    schema = T.StructType(
+        [f for f in pairs.schema.fields if f.name in keep]
+        + [
+            T.StructField("bytes", T.BinaryType(), True),
+            T.StructField("fmt", T.StringType(), True),
+        ]
+    )
+    mix = mode == "mixup"
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            blended = []
+            for i in range(len(pdf)):
+                r = pdf.iloc[i]
+                if r["bytes_a"] is None or r["bytes_b"] is None:
+                    blended.append(None)
+                    continue
+                a = decode_image(bytes(r["bytes_a"]), r["fmt_a"])
+                b = decode_image(bytes(r["bytes_b"]), r["fmt_b"])
+                if a.shape != b.shape:
+                    raise ValueError(
+                        f"pair {r['id_a']}/{r['id_b']}: canvas mismatch "
+                        f"{a.shape} vs {b.shape}"
+                    )
+                if mix:
+                    lam = int(r["lam_num"])
+                    out = (
+                        (
+                            lam * a.astype(np.int32)
+                            + (256 - lam) * b.astype(np.int32)
+                            + 128
+                        )
+                        // 256
+                    ).astype(a.dtype)
+                else:
+                    ox, oy = int(r["off_x"]), int(r["off_y"])
+                    bw, bh = int(r["box_w"]), int(r["box_h"])
+                    out = a.copy()
+                    out[oy:oy + bh, ox:ox + bw] = b[oy:oy + bh, ox:ox + bw]
+                blended.append(encode_image(out, r["fmt_a"]))
+            out_pdf = pdf[keep].copy()
+            out_pdf["bytes"] = blended
+            out_pdf["fmt"] = pdf["fmt_a"]
+            yield out_pdf
+
+    return pairs.mapInPandas(batches, schema)

@@ -8559,6 +8559,225 @@ def q175(spark, sf_dir):
     )
 
 
+_MIXUP_IMG_SQL = """
+      select event_id,
+             64 * (3 + ('0x' || substr(md5('bw' || cast(event_id as varchar)), 1, 13))::bigint % 6) as w,
+             64 * (3 + ('0x' || substr(md5('bh' || cast(event_id as varchar)), 1, 13))::bigint % 6) as h
+      from events
+"""
+
+
+def _mixup_img(spark, sf_dir):
+    """md5-synthesized dims (q173 rule, 6×6 combos so every (w,h)
+    group holds partners)."""
+    return _events(spark, sf_dir).select(
+        "event_id",
+        (64 * (3 + F.conv(F.substring(F.md5(F.concat(F.lit("bw"), F.col("event_id").cast("string"))), 1, 13), 16, 10).cast("long") % 6)).alias("w"),
+        (64 * (3 + F.conv(F.substring(F.md5(F.concat(F.lit("bh"), F.col("event_id").cast("string"))), 1, 13), 16, 10).cast("long") % 6)).alias("h"),
+    )
+
+
+def _pair_sql(tag: str) -> str:
+    return f"""
+    with img as ({_MIXUP_IMG_SQL}),
+    r as (
+      select event_id, w, h,
+             row_number() over (
+               partition by w, h
+               order by md5('{tag}:' || cast(event_id as varchar)),
+                        event_id
+             ) as rk
+      from img
+    ),
+    p as (
+      select a.event_id as id_a, b.event_id as id_b, a.w, a.h
+      from (select *, (rk + 1) // 2 as pair from r where rk % 2 = 1) a
+      join (select *, rk // 2 as pair from r where rk % 2 = 0) b
+        on a.w = b.w and a.h = b.h and a.pair = b.pair
+    )
+    """
+
+
+@q(
+    "q176_mixup_plan",
+    _pair_sql("mx42")
+    + """
+    select id_a, id_b, w, h,
+           cast(('0x' || substr(md5('lam42:' || cast(id_a as varchar)
+                 || ':' || cast(id_b as varchar)), 1, 2))::bigint as int)
+             as lam_num,
+           cast(('0x' || substr(md5('lam42:' || cast(id_a as varchar)
+                 || ':' || cast(id_b as varchar)), 1, 2))::bigint as int)
+             >= 128 as keep_a
+    from p
+    """,
+)
+def q176(spark, sf_dir):
+    """Mixup augmentation PLAN (operators/images.py:mixup_plan —
+    Zhang et al. 2018, deterministic): same-dimension images pair via
+    the md5 draw (rank 2i−1 marries 2i inside each (w, h) group) and
+    each pair carries the exact-rational blend weight lam_num/256 from
+    one md5 byte — no float Beta draw, so the plan (and the executor's
+    integer blend downstream) is bit-reproducible. keep_a names the
+    dominant side (λ ≥ ½ — the output's caption/label). The oracle
+    replays draw order, pairing and the λ byte — an unstable pairing
+    or a λ off by one fails the hash."""
+    from lbf_spark.operators.images import mixup_plan
+
+    img = _mixup_img(spark, sf_dir)
+    out = mixup_plan(img, seed=42, id_col="event_id")
+    return out.select("id_a", "id_b", "w", "h", "lam_num", "keep_a")
+
+
+@q(
+    "q177_cutmix_plan",
+    _pair_sql("cut42")
+    + """
+    , k as (
+      select id_a, id_b, w, h,
+             md5('box42:' || cast(id_a as varchar) || ':'
+                 || cast(id_b as varchar)) as bk
+      from p
+    ),
+    g as (
+      select id_a, id_b, w, h,
+             (w * ('0x' || substr(bk, 1, 2))::bigint) // 256 as box_w,
+             (h * ('0x' || substr(bk, 3, 2))::bigint) // 256 as box_h,
+             ('0x' || substr(bk, 5, 2))::bigint as b2,
+             ('0x' || substr(bk, 7, 2))::bigint as b3
+      from k
+    )
+    select id_a, id_b, w, h,
+           cast(box_w as int) as box_w, cast(box_h as int) as box_h,
+           cast(((w - box_w) * b2) // 255 as int) as off_x,
+           cast(((h - box_h) * b3) // 255 as int) as off_y,
+           2 * box_w * box_h <= w * h as keep_a
+    from g
+    """,
+)
+def q177(spark, sf_dir):
+    """CutMix augmentation PLAN (operators/images.py:cutmix_plan —
+    Yun et al. 2019, deterministic): the md5-paired partner donates a
+    rectangular patch whose geometry is exact integer arithmetic over
+    four md5 bytes — box_w = w·b0 div 256, offsets (w−box_w)·b2 div
+    255 (b=255 reaches the edge exactly; a float divide-then-truncate
+    would mis-round at /255). keep_a = the side covering ≥ half the
+    area, an integer compare. The oracle replays pairing, every byte
+    extraction and the div arithmetic."""
+    from lbf_spark.operators.images import cutmix_plan
+
+    img = _mixup_img(spark, sf_dir)
+    out = cutmix_plan(img, seed=42, id_col="event_id")
+    return out.select(
+        "id_a", "id_b", "w", "h",
+        "box_w", "box_h", "off_x", "off_y", "keep_a",
+    )
+
+
+@q("q178_mixup_exec_cert", _EMPTY_CERT3)
+def q178(spark, sf_dir):
+    """Mixup/CutMix EXECUTOR certificate (operators/images.py:
+    apply_mixup — q176/q177 prove the plans, this proves the pixels):
+    the deterministic corpus normalizes to lossless png, pairs and
+    blends in BOTH modes; a verify stage re-decodes each output next
+    to its two sources and emits a violation when (a) any mixup value
+    differs from the integer round-half-up blend (lam·A + (256−lam)·B
+    + 128) div 256, (b) any cutmix pixel differs from A outside /
+    B inside the plan's box, or (c) the corpus is degenerate — zero
+    pairs, or λ never on both sides of ½ (the blend would be untested).
+    Violations → rows; oracle = empty set."""
+    import numpy as np
+    import pandas as pd
+
+    from lbf_spark import fixtures
+    from lbf_spark.functions.codec import decode_image
+    from lbf_spark.operators.images import (
+        apply_mixup,
+        cutmix_plan,
+        mixup_plan,
+        pair_payloads,
+        transcode,
+    )
+    from lbf_spark.util import fan_out
+
+    n = 400 if "0.001" in sf_dir else 1000
+    imgs = transcode(
+        fan_out(
+            fixtures.events_to_spark(
+                spark, fixtures.generate_events(n_rows=n, n_entities=8)
+            )
+        ).select("image_id", "bytes", "fmt", "w", "h"),
+        "png",
+    )
+    cert_schema = "family string, key string, err double"
+
+    def verify_mix(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_image(bytes(r.bytes_a), r.fmt_a).astype(np.int32)
+                b = decode_image(bytes(r.bytes_b), r.fmt_b).astype(np.int32)
+                o = decode_image(bytes(r.bytes), r.fmt).astype(np.int32)
+                exp = (r.lam_num * a + (256 - r.lam_num) * b + 128) // 256
+                if not np.array_equal(o, exp):
+                    rows.append(
+                        ("mixup_pixels", f"{r.id_a}:{r.id_b}",
+                         float(np.abs(o - exp).mean()))
+                    )
+            yield pd.DataFrame(rows, columns=["family", "key", "err"]).astype(
+                {"err": "float64"}
+            )
+
+    def verify_cut(it):
+        for pdf in it:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                a = decode_image(bytes(r.bytes_a), r.fmt_a)
+                b = decode_image(bytes(r.bytes_b), r.fmt_b)
+                o = decode_image(bytes(r.bytes), r.fmt)
+                exp = a.copy()
+                exp[r.off_y:r.off_y + r.box_h, r.off_x:r.off_x + r.box_w] = (
+                    b[r.off_y:r.off_y + r.box_h, r.off_x:r.off_x + r.box_w]
+                )
+                if not np.array_equal(o, exp):
+                    rows.append(
+                        ("cutmix_pixels", f"{r.id_a}:{r.id_b}",
+                         float(np.abs(o.astype(np.int64)
+                                      - exp.astype(np.int64)).mean()))
+                    )
+            yield pd.DataFrame(rows, columns=["family", "key", "err"]).astype(
+                {"err": "float64"}
+            )
+
+    mixed = pair_payloads(imgs, mixup_plan(imgs, seed=42))
+    cut = pair_payloads(imgs, cutmix_plan(imgs, seed=42))
+    v1 = pair_payloads(imgs, apply_mixup(mixed, "mixup")).mapInPandas(
+        verify_mix, cert_schema
+    )
+    v2 = pair_payloads(imgs, apply_mixup(cut, "cutmix")).mapInPandas(
+        verify_cut, cert_schema
+    )
+    # discriminativeness guards: pairs exist, λ lands on BOTH sides of ½
+    lam_stats = mixup_plan(imgs, seed=42).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("keep_a").cast("int")).alias("n_a"),
+    )
+    g_pairs = lam_stats.filter(F.col("n") < 1).select(
+        F.lit("no_pairs").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("double").alias("err"),
+    )
+    g_lam = lam_stats.filter(
+        (F.col("n") >= 1)
+        & ((F.col("n_a") == 0) | (F.col("n_a") == F.col("n")))
+    ).select(
+        F.lit("lam_degenerate").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("n_a").cast("double").alias("err"),
+    )
+    return v1.unionByName(v2).unionByName(g_pairs).unionByName(g_lam)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -119,3 +119,120 @@ def test_prep_images_cost_shards_identical_rows(spark):
         ).collect()
     }
     assert balanced == base
+
+
+def _md5(s: str) -> str:
+    import hashlib
+
+    return hashlib.md5(s.encode()).hexdigest()
+
+
+def test_mixup_plan_matches_twin(spark):
+    """Pairing (md5 draw, rank 2i−1 ↔ 2i within (w,h)) and the λ byte
+    reproduce a pure-python replay; odd tails are omitted."""
+    from lbf_spark.operators.images import mixup_plan
+
+    rows = [(i, 16 if i % 3 else 32, 16) for i in range(21)]
+    df = spark.createDataFrame(rows, "image_id long, w long, h long")
+    got = {
+        (r["id_a"], r["id_b"]): (r["w"], r["lam_num"], r["keep_a"])
+        for r in mixup_plan(df, seed=7).collect()
+    }
+    exp = {}
+    for dims in {(w, h) for _, w, h in rows}:
+        members = sorted(
+            (i for i, w, h in rows if (w, h) == dims),
+            key=lambda i: (_md5(f"mx7:{i}"), i),
+        )
+        for a, b in zip(members[::2], members[1::2]):
+            lam = int(_md5(f"lam7:{a}:{b}")[:2], 16)
+            exp[(a, b)] = (dims[0], lam, lam >= 128)
+    assert got == exp
+    n_groups_odd = sum(
+        len([i for i, w, h in rows if (w, h) == d]) % 2
+        for d in {(w, h) for _, w, h in rows}
+    )
+    assert 2 * len(got) + n_groups_odd == len(rows)
+
+
+def test_cutmix_plan_geometry_laws(spark):
+    """Boxes stay inside the canvas for every pair, keep_a is the
+    ≥-half-area law, and the arithmetic matches a python replay
+    (including the /255 offsets — the float-truncate trap)."""
+    from lbf_spark.operators.images import cutmix_plan
+
+    df = spark.createDataFrame(
+        [(i, 64, 48) for i in range(40)], "image_id long, w long, h long"
+    )
+    for r in cutmix_plan(df, seed=3).collect():
+        k = _md5(f"box3:{r['id_a']}:{r['id_b']}")
+        b0, b1, b2, b3 = (int(k[j:j + 2], 16) for j in (0, 2, 4, 6))
+        assert r["box_w"] == 64 * b0 // 256
+        assert r["box_h"] == 48 * b1 // 256
+        assert r["off_x"] == (64 - r["box_w"]) * b2 // 255
+        assert r["off_y"] == (48 - r["box_h"]) * b3 // 255
+        assert 0 <= r["off_x"] and r["off_x"] + r["box_w"] <= 64
+        assert 0 <= r["off_y"] and r["off_y"] + r["box_h"] <= 48
+        assert r["keep_a"] == (2 * r["box_w"] * r["box_h"] <= 64 * 48)
+
+
+def test_apply_mixup_known_values(spark):
+    """Uniform canvases make the blend checkable by hand: mixup value
+    = (lam·a + (256−lam)·b + 128) div 256 everywhere; cutmix = a
+    outside the box, b inside."""
+    import numpy as np
+
+    from lbf_spark.functions.codec import decode_image, encode_image
+    from lbf_spark.operators.images import (
+        apply_mixup, cutmix_plan, mixup_plan, pair_payloads,
+    )
+
+    a = encode_image(np.full((8, 8, 3), 200, np.uint8), "png")
+    b = encode_image(np.full((8, 8, 3), 40, np.uint8), "png")
+    df = spark.createDataFrame(
+        [(1, a, "png", 8, 8), (2, b, "png", 8, 8)],
+        "image_id long, bytes binary, fmt string, w long, h long",
+    )
+    plan = mixup_plan(df, seed=1)
+    [p] = plan.collect()
+    va, vb = (200, 40) if p["id_a"] == 1 else (40, 200)
+    [out] = apply_mixup(pair_payloads(df, plan), "mixup").collect()
+    img = decode_image(bytes(out["bytes"]), "png")
+    expect = (p["lam_num"] * va + (256 - p["lam_num"]) * vb + 128) // 256
+    assert img.min() == img.max() == expect
+
+    cplan = cutmix_plan(df, seed=1)
+    [c] = cplan.collect()
+    ca, cb = (200, 40) if c["id_a"] == 1 else (40, 200)
+    [cout] = apply_mixup(pair_payloads(df, cplan), "cutmix").collect()
+    cimg = decode_image(bytes(cout["bytes"]), "png")
+    box = cimg[c["off_y"]:c["off_y"] + c["box_h"],
+               c["off_x"]:c["off_x"] + c["box_w"]]
+    outside = cimg.copy()
+    outside[c["off_y"]:c["off_y"] + c["box_h"],
+            c["off_x"]:c["off_x"] + c["box_w"]] = ca
+    assert (box == cb).all() if box.size else True
+    assert (outside == ca).all()
+
+
+def test_apply_mixup_canvas_mismatch_raises(spark):
+    """Decoded dims that disagree with the plan group must raise, not
+    silently mis-blend."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lbf_spark.functions.codec import encode_image
+    from lbf_spark.operators.images import (
+        apply_mixup, mixup_plan, pair_payloads,
+    )
+
+    # metadata says 8x8 for both, but payload 2 is really 4x4
+    a = encode_image(np.full((8, 8, 3), 9, np.uint8), "png")
+    b = encode_image(np.full((4, 4, 3), 9, np.uint8), "png")
+    df = spark.createDataFrame(
+        [(1, a, "png", 8, 8), (2, b, "png", 8, 8)],
+        "image_id long, bytes binary, fmt string, w long, h long",
+    )
+    paired = pair_payloads(df, mixup_plan(df, seed=1))
+    with _pytest.raises(Exception, match="canvas mismatch"):
+        apply_mixup(paired, "mixup").collect()
