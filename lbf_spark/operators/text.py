@@ -884,3 +884,119 @@ def augment_tokens(
     ).withColumn(
         out_prefix + "swap", F.when(n <= 1, ident).otherwise(swapped)
     )
+
+
+def trigram_backoff_score(
+    docs: DataFrame,
+    model_docs: DataFrame | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Word-trigram language-model quality score with STUPID BACKOFF
+    (Brants et al. 2007 — the web-scale score behind KenLM/CCNet
+    perplexity filtering; q109's char-bigram entry is the in-corpus
+    toy, this is the held-out production shape): a model corpus
+    (``model_docs``; typically the clean reference corpus) supplies
+    raw trigram/bigram/unigram counts, and every scored token takes
+
+      S(w | p2 p1) = n3/c2                 if the trigram was seen
+                   = α · n2/c1             elif the (p1, w) bigram was
+                   = α² · max(n1, 1)/N     else (add-one OOV floor)
+
+    with raw counts and no normalization — exactly stupid backoff
+    (scores, not probabilities; at web scale it matches Kneser-Ney
+    within noise at a fraction of the cost, per the paper). Docs
+    shorter than 3 tokens are dropped (no trigram context exists).
+
+    Determinism: every branch is ONE multiply, one divide, one IEEE ln
+    over exact bigint counts — identical expression trees on both
+    engines — rounded(6) into a DECIMAL per-doc sum (q75/q109 rule),
+    one double division at the end. Tokenization is the repo's plain
+    single-space split (word_freqs convention).
+
+    Shape at 100 TB: the count tables are corpus word-count jobs
+    (map-side combined groupBys); scoring is one row-local explode
+    behind ``fan_out`` plus five equi-joins against count tables keyed
+    by the n-gram — the standard distributed LM-scoring topology (AQE
+    broadcasts whichever count tables are small; none is forced)."""
+    from lbf_spark.util import fan_out
+
+    if model_docs is None:
+        model_docs = docs
+    a1, a2 = float(alpha), float(alpha) * float(alpha)
+
+    toks = F.filter(
+        F.split(F.col(text_col), " "), lambda x: x != ""
+    )
+
+    def _grams(src: DataFrame, n: int, names: list[str]) -> DataFrame:
+        cols = [
+            F.element_at(F.col("__toks"), F.col("i") - F.lit(n - 1 - j))
+            .alias(names[j])
+            for j in range(n)
+        ]
+        return (
+            fan_out(src.select(F.col(id_col), toks.alias("__toks")))
+            .filter(F.size("__toks") >= n)
+            .select(
+                F.col(id_col),
+                F.explode(
+                    F.sequence(F.lit(n), F.size("__toks"))
+                ).alias("i"),
+                F.col("__toks"),
+            )
+            .select(F.col(id_col), *cols)
+        )
+
+    tri_m = _grams(model_docs, 3, ["p2", "p1", "w"])
+    bi_m = _grams(model_docs, 2, ["a", "b"])
+    uni_m = _grams(model_docs, 1, ["w"])
+    ct3 = tri_m.groupBy("p2", "p1", "w").agg(F.count(F.lit(1)).alias("n3"))
+    ct2 = bi_m.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n2"))
+    ct1 = uni_m.groupBy("w").agg(F.count(F.lit(1)).alias("n1"))
+    total = uni_m.agg(F.count(F.lit(1)).alias("nn"))
+
+    g = _grams(docs, 3, ["p2", "p1", "w"])
+    den2 = ct2.select(
+        F.col("a").alias("p2"), F.col("b").alias("p1"),
+        F.col("n2").alias("c2"),
+    )
+    num2 = ct2.select(
+        F.col("a").alias("p1"), F.col("b").alias("w"), "n2"
+    )
+    den1 = ct1.select(F.col("w").alias("p1"), F.col("n1").alias("c1"))
+    joined = (
+        g.join(ct3, ["p2", "p1", "w"], "left")
+        .join(den2, ["p2", "p1"], "left")
+        .join(num2, ["p1", "w"], "left")
+        .join(den1, ["p1"], "left")
+        .join(ct1, ["w"], "left")
+        .crossJoin(F.broadcast(total))
+    )
+    lp = (
+        F.when(
+            F.col("n3").isNotNull(),
+            F.log((F.lit(1.0) * F.col("n3")) / F.col("c2")),
+        )
+        .when(
+            F.col("n2").isNotNull(),
+            F.log((F.lit(a1) * F.col("n2")) / F.col("c1")),
+        )
+        .otherwise(
+            F.log(
+                (F.lit(a2) * F.greatest(F.coalesce(F.col("n1"), F.lit(0)), F.lit(1)))
+                / F.col("nn")
+            )
+        )
+    )
+    return (
+        joined.select(F.col(id_col), F.round(lp, 6).cast("decimal(18,6)").alias("__lp"))
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_scored"),
+            F.round(
+                F.sum("__lp").cast("double") / F.count(F.lit(1)), 6
+            ).alias("lp_avg"),
+        )
+    )

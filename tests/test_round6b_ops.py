@@ -236,3 +236,65 @@ def test_apply_mixup_canvas_mismatch_raises(spark):
     paired = pair_payloads(df, mixup_plan(df, seed=1))
     with _pytest.raises(Exception, match="canvas mismatch"):
         apply_mixup(paired, "mixup").collect()
+
+
+def test_trigram_backoff_all_branches(spark):
+    """Tiny held-out corpus exercises every backoff level; scores match
+    a pure-python stupid-backoff twin to the same rounding."""
+    import math
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from lbf_spark.operators.text import trigram_backoff_score
+
+    model = ["the cat sat on the mat", "the cat ate the fish"]
+    score = [
+        "the cat sat on the mat",   # all trigrams seen
+        "the cat sat on the fish",  # backoff to bigram/unigram
+        "a dog barked at the cat",  # OOV words → alpha^2 floor
+    ]
+    docs = spark.createDataFrame(
+        [(i + 100, s) for i, s in enumerate(score)], "doc_id long, text string"
+    )
+    mdocs = spark.createDataFrame(
+        [(i, s) for i, s in enumerate(model)], "doc_id long, text string"
+    )
+    got = {
+        r["doc_id"]: (r["n_scored"], r["lp_avg"])
+        for r in trigram_backoff_score(docs, model_docs=mdocs).collect()
+    }
+
+    toks = [m.split() for m in model]
+    c3 = Counter(tuple(t[i - 2:i + 1]) for t in toks for i in range(2, len(t)))
+    c2 = Counter(tuple(t[i - 1:i + 1]) for t in toks for i in range(1, len(t)))
+    c1 = Counter(w for t in toks for w in t)
+    nn = sum(c1.values())
+    exp = {}
+    for i, s in enumerate(score):
+        ws = s.split()
+        lps = []
+        for j in range(2, len(ws)):
+            p2, p1, w = ws[j - 2], ws[j - 1], ws[j]
+            if (p2, p1, w) in c3:
+                v = math.log((1.0 * c3[(p2, p1, w)]) / c2[(p2, p1)])
+            elif (p1, w) in c2:
+                v = math.log((0.4 * c2[(p1, w)]) / c1[p1])
+            else:
+                v = math.log((0.4 * 0.4 * max(c1.get(w, 0), 1)) / nn)
+            lps.append(
+                Decimal(repr(v)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            )
+        mean = float(sum(lps)) / len(lps)
+        exp[i + 100] = (
+            len(lps),
+            float(
+                Decimal(repr(mean)).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP
+                )
+            ),
+        )
+    assert got == exp
+    # the three docs really hit distinct branches: strictly ordered scores
+    assert got[100][1] > got[101][1] > got[102][1]
