@@ -13,7 +13,7 @@ drives via ``spark-submit jobs/*.py``:
     python -m lbf_spark dedup   --documents D --out O [--threshold ...]
                                 [--method minhash|jaccard|semantic|tile]
     python -m lbf_spark imageprep --images I --out O [--targets 512x512,...]
-    python -m lbf_spark table snapshots|compact|expire|orphans|export-iceberg PATH
+    python -m lbf_spark table snapshots|compact|expire|evolve-spec|orphans|export-iceberg PATH
     python -m lbf_spark plot signal|heatmap --summary S --out O.svg ...
 
 Every subcommand is a thin adapter: parse/validate flags (stage configs
@@ -231,6 +231,15 @@ def _cmd_table(args) -> int:
         print(json.dumps(TBL.expire_snapshots(
             spark, args.path, keep_last=args.keep_last
         )))
+    elif args.table_cmd == "evolve-spec":
+        snap = TBL.evolve_partition_spec(
+            spark, args.path, n_buckets=args.n_buckets,
+            ts_unit_day=args.ts_unit_day,
+        )
+        print(json.dumps({
+            "snapshot_id": snap["snapshot_id"],
+            "partition_spec": snap["partition_spec"],
+        }))
     elif args.table_cmd == "orphans":
         print(json.dumps(TBL.remove_orphan_files(spark, args.path)))
     elif args.table_cmd == "export-iceberg":
@@ -362,6 +371,7 @@ def build_parser() -> argparse.ArgumentParser:
         ("snapshots", "print the snapshot chain"),
         ("compact", "rewrite small files (one snapshot)"),
         ("expire", "expire old snapshots"),
+        ("evolve-spec", "change the partition spec (metadata-only)"),
         ("orphans", "delete unreachable files"),
         ("export-iceberg", "write Iceberg v2 metadata translation"),
     ]:
@@ -371,6 +381,9 @@ def build_parser() -> argparse.ArgumentParser:
             tp.add_argument("--target-bytes", type=int, default=128 << 20)
         if name == "expire":
             tp.add_argument("--keep-last", type=int, required=True)
+        if name == "evolve-spec":
+            tp.add_argument("--n-buckets", type=int, default=None)
+            tp.add_argument("--ts-unit-day", type=int, default=None)
         _add_session_flags(tp)
         tp.set_defaults(fn=_cmd_table, table_cmd=name)
 

@@ -8852,6 +8852,54 @@ def q179(spark, sf_dir):
     return out.select("doc_id", "n_scored", "lp_avg")
 
 
+@q(
+    "q180_partition_spec_evolution",
+    """
+    select event_id,
+           cast(user_id as varchar) as entity,
+           epoch_us(ts) as ts
+    from events
+    where user_id % 7 in (1, 3)
+      and epoch_us(ts) between
+        (select min(epoch_us(ts)) from events) + 86400000000
+        and (select max(epoch_us(ts)) from events) - 86400000000
+    """,
+)
+def q180(spark, sf_dir):
+    """Partition-spec EVOLUTION roundtrip (sources/table.py:
+    evolve_partition_spec — Iceberg spec §4, metadata-only): half the
+    events land under bucket(16)/7-day dirs, the spec evolves to
+    bucket(4)/3-day (ONE manifest write, zero data movement), the
+    other half appends inheriting the new layout, and a pruned scan
+    (entity list + time range) must return exactly the relational
+    filter — proving the generation-union pruning loses no rows from
+    EITHER layout while still cutting directories. The oracle is the
+    plain filter over events."""
+    from lbf_spark.sources import table as TBL
+
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        F.col("user_id").cast("string").alias("entity"),
+        F.col("ts_us").alias("ts"),
+    )
+    bounds = ev.agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).first()
+    lo, hi = bounds["lo"] + _DAY_US, bounds["hi"] - _DAY_US
+    path = _table_tmp(sf_dir, "q180")
+    TBL.write_table(
+        ev.filter(F.col("event_id") % 2 == 1), path, mode="overwrite",
+        n_buckets=16, ts_unit_day=7 * _DAY_US,
+    )
+    TBL.evolve_partition_spec(
+        spark, path, n_buckets=4, ts_unit_day=3 * _DAY_US
+    )
+    TBL.write_table(ev.filter(F.col("event_id") % 2 == 0), path)
+    ents = [str(u) for u in range(0, 10_000) if u % 7 in (1, 3)]
+    out = TBL.scan(spark, path, entities=ents, ts_min=lo, ts_max=hi)
+    return out.select("event_id", "entity", "ts")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -49,6 +49,33 @@ def _with_partition_cols(df: DataFrame, n_buckets: int, ts_unit_day: int) -> Dat
     ).withColumn("ts_day", F.floor(F.col("ts") / F.lit(ts_unit_day)).cast("long"))
 
 
+def _parse_spec(spec: dict) -> tuple[int, int]:
+    """``partition_spec`` manifest entry → (n_buckets, ts_unit_day)."""
+    n_buckets = int(spec["entity_bucket"].split("(")[1].split(",")[0])
+    ts_unit = int(spec["ts_day"].rsplit("/", 1)[1].rstrip(") ").strip())
+    return n_buckets, ts_unit
+
+
+def _spec_generations(
+    snaps: list[dict], snapshot_id: int | None = None
+) -> set[tuple[int, int]]:
+    """Every (n_buckets, ts_unit_day) generation the chain has carried
+    — each snapshot's own spec plus any ``spec_history`` a reset point
+    preserved from expired manifests. Scans prune with the UNION of
+    the generations' allowed-partition sets: a visible file was
+    written (or compaction-preserved) under SOME generation, so the
+    union is a conservative superset — never a wrong prune — and the
+    exact row predicates run on top."""
+    gens: set[tuple[int, int]] = set()
+    for s in snaps:
+        if snapshot_id is not None and s["snapshot_id"] > snapshot_id:
+            break
+        gens.add(_parse_spec(s["partition_spec"]))
+        for old in s.get("spec_history") or []:
+            gens.add(_parse_spec(old))
+    return gens
+
+
 def _check_schema_evolution(prev_schema_json: str, new_schema) -> list[str]:
     """Add-column-only schema evolution (the Iceberg ``union`` subset
     this layer supports): every previously-present column must keep its
@@ -81,8 +108,8 @@ def write_table(
     df: DataFrame,
     path: str,
     mode: str = "append",
-    n_buckets: int = 16,
-    ts_unit_day: int = DAY,
+    n_buckets: int | None = None,
+    ts_unit_day: int | None = None,
     layout_cols: list[str] | None = None,
     layout_bits: int = 8,
     layout_files: int = 8,
@@ -121,9 +148,18 @@ def write_table(
 
     spark = df.sparkSession
     meta_dir = fsio.join(path, "metadata")
-    prev = current_snapshot(path, spark) if mode == "append" else None
+    cur = current_snapshot(path, spark)
+    prev = cur if mode == "append" else None
     if prev is not None:
         _check_schema_evolution(prev["schema"], df.schema)
+    # None = inherit the table's CURRENT spec (the evolve_partition_spec
+    # contract: appends after an evolution land under the new layout
+    # without every caller re-stating it); fresh tables default 16/DAY
+    cur_spec = _parse_spec(cur["partition_spec"]) if cur else (16, DAY)
+    n_buckets = int(n_buckets) if n_buckets is not None else cur_spec[0]
+    ts_unit_day = (
+        int(ts_unit_day) if ts_unit_day is not None else cur_spec[1]
+    )
     pdf = _with_partition_cols(df, n_buckets, ts_unit_day)
     if layout_cols:
         pdf = (
@@ -712,6 +748,63 @@ def rollback(
     return snapshot
 
 
+def evolve_partition_spec(
+    spark: SparkSession,
+    path: str,
+    n_buckets: int | None = None,
+    ts_unit_day: int | None = None,
+) -> dict:
+    """Partition-spec EVOLUTION (Iceberg spec evolution, the metadata
+    answer to "our bucket count no longer fits the data"): commit a
+    new snapshot that changes the table's ``partition_spec`` and
+    nothing else. Existing data files keep their directory layout and
+    keep pruning under the generation they were written with (``scan``
+    unions the allowed-partition sets across every generation in the
+    chain — conservative, never a wrong prune); data appended after
+    this commit lands under the new spec, because ``write_table``
+    inherits the CURRENT spec when the caller doesn't override.
+
+    At 10^12 rows this is the whole point: re-bucketing the table
+    physically is a full rewrite (a non-job at 100 TB); evolving the
+    spec is ONE manifest write, and the layout converges file-by-file
+    as compaction and merges rewrite old regions. Raises if the
+    requested spec equals the current one (an empty evolution would
+    burn a snapshot id for nothing).
+
+    Reference: Iceberg spec §4 "Partition Evolution" (public spec);
+    no LBF analog (the reference has no table layer)."""
+    from lbf_spark import fsio
+
+    meta_dir = fsio.join(path, "metadata")
+    snaps = _read_snaps(spark, meta_dir)
+    if not snaps:
+        raise ValueError("evolve_partition_spec needs an existing table")
+    cur_nb, cur_unit = _parse_spec(snaps[-1]["partition_spec"])
+    nb = int(n_buckets) if n_buckets is not None else cur_nb
+    unit = int(ts_unit_day) if ts_unit_day is not None else cur_unit
+    if (nb, unit) == (cur_nb, cur_unit):
+        raise ValueError(
+            f"partition spec already (bucket={nb}, unit={unit}) — "
+            "nothing to evolve"
+        )
+    snapshot = {
+        "snapshot_id": snaps[-1]["snapshot_id"] + 1,
+        "parent": f"snap-{snaps[-1]['snapshot_id']:05d}.json",
+        "schema": snaps[-1]["schema"],
+        "partition_spec": {
+            "entity_bucket": f"bucket({nb}, entity)",
+            "ts_day": f"floor(ts / {unit})",
+        },
+        "added_files": [],
+        "file_stats": {},
+        "n_data_files": snaps[-1].get("n_data_files"),
+        "mode": "evolve",
+    }
+    name = f"snap-{snapshot['snapshot_id']:05d}.json"
+    _commit_or_cleanup(spark, fsio.join(meta_dir, name), snapshot, path, [])
+    return snapshot
+
+
 def merge_upsert(
     spark: SparkSession,
     path: str,
@@ -749,8 +842,7 @@ def merge_upsert(
     if not snaps:
         raise ValueError("merge_upsert needs an existing table snapshot")
     spec = snaps[-1]["partition_spec"]
-    n_buckets = int(spec["entity_bucket"].split("(")[1].split(",")[0])
-    ts_unit_day = int(spec["ts_day"].rsplit("/", 1)[1].rstrip(") ").strip())
+    n_buckets, ts_unit_day = _parse_spec(spec)
     cur_schema = StructType.fromJson(json.loads(snaps[-1]["schema"]))
     data_cols = [f.name for f in cur_schema.fields]
     chg_cols = [c for c in changes.columns if c != delete_col]
@@ -902,24 +994,39 @@ def scan(
             ordered = [f["name"] for f in newest["fields"]]
             part_cols = [c for c in df.columns if c not in ordered]
             df = df.select(*[c for c in ordered if c in df.columns], *part_cols)
+    # partition pruning is SPEC-GENERATION aware: with manifests, the
+    # allowed bucket/day sets union over every spec the chain carried
+    # (evolve_partition_spec) — a conservative superset, so files from
+    # any generation prune correctly under the spec they were written
+    # with; the caller's n_buckets/ts_unit_day are only the fallback
+    # for manifest-less directories
+    gens = (
+        _spec_generations(snaps, snapshot_id)
+        if snaps
+        else {(int(n_buckets), int(ts_unit_day))}
+    )
     if entities:
-        bucket_vals = (
+        hashes = (
             spark.createDataFrame([(e,) for e in entities], "entity string")
-            .select(F.pmod(F.xxhash64("entity"), F.lit(n_buckets)).cast("int").alias("b"))
-            .distinct()
-            .toPandas()["b"]
+            .select(F.xxhash64("entity").alias("h"))
+            .toPandas()["h"]
             .tolist()
+        )
+        bucket_vals = sorted(
+            {int(h) % nb for h in hashes for (nb, _u) in gens}
         )
         df = df.filter(F.col("entity_bucket").isin(bucket_vals)).filter(
             F.col("entity").isin(entities)
         )
     if ts_min is not None:
+        day_lo = min(ts_min // unit for (_nb, unit) in gens)
         df = df.filter(
-            (F.col("ts_day") >= ts_min // ts_unit_day) & (F.col("ts") >= ts_min)
+            (F.col("ts_day") >= day_lo) & (F.col("ts") >= ts_min)
         )
     if ts_max is not None:
+        day_hi = max(ts_max // unit for (_nb, unit) in gens)
         df = df.filter(
-            (F.col("ts_day") <= ts_max // ts_unit_day) & (F.col("ts") <= ts_max)
+            (F.col("ts_day") <= day_hi) & (F.col("ts") <= ts_max)
         )
     # pin the hive partition-column types LAST (after the partition
     # filters, so pruning still binds to the raw attributes): directory
@@ -1081,6 +1188,24 @@ def expire_snapshots(
     }
     oldest.pop("removed_files", None)
     oldest["parent"] = None
+    # the reset point inherits files written under EXPIRED manifests'
+    # partition specs — preserve those generations or scans would prune
+    # old-layout files with the wrong bucket arithmetic
+    own = _parse_spec(oldest["partition_spec"])
+    hist_gens = {
+        g
+        for s in snaps
+        if s["snapshot_id"] <= oldest["snapshot_id"]
+        for g in _spec_generations([s])
+    } - {own}
+    if hist_gens:
+        oldest["spec_history"] = [
+            {
+                "entity_bucket": f"bucket({nb}, entity)",
+                "ts_day": f"floor(ts / {unit})",
+            }
+            for nb, unit in sorted(hist_gens)
+        ]
     fsio.write_text_atomic(
         spark,
         fsio.join(meta_dir, f"snap-{oldest['snapshot_id']:05d}.json"),

@@ -886,3 +886,74 @@ def test_rollback_refuses_crossing_overwrite(spark, tiny_events, tmp_path):
     )                                                                    # snap 2
     with _pytest.raises(ValueError, match="overwrite"):
         TBL.rollback(spark, path, to_id=1)
+
+
+def test_partition_spec_evolution_scan_across_generations(
+    spark, tiny_events, tmp_path
+):
+    """evolve_partition_spec: metadata-only commit; appends inherit the
+    new spec; scans prune correctly across BOTH generations (union of
+    allowed bucket sets) and still use directory PartitionFilters."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tblev")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    half = len(tiny_events) // 2
+    TBL.write_table(
+        ev.limit(half), path, mode="overwrite", n_buckets=16,
+        ts_unit_day=10_000,
+    )
+    snap = TBL.evolve_partition_spec(spark, path, n_buckets=4)
+    assert snap["mode"] == "evolve" and snap["added_files"] == []
+    # same-spec evolution refuses
+    with _pytest.raises(ValueError, match="nothing to evolve"):
+        TBL.evolve_partition_spec(spark, path, n_buckets=4)
+    # default write inherits the evolved spec: every new file lands in
+    # a bucket dir < 4 (old files keep dirs up to 15)
+    rest = ev.exceptAll(ev.limit(half))
+    snap3 = TBL.write_table(rest, path, mode="append")
+    assert snap3["partition_spec"]["entity_bucket"] == "bucket(4, entity)"
+    assert all(
+        int(f.split("entity_bucket=")[1].split("/")[0]) < 4
+        for f in snap3["added_files"]
+    )
+    # scan prunes per generation and loses no rows
+    pruned = TBL.scan(spark, path, entities=["e0000"])
+    plan = _explain(pruned)
+    assert "entity_bucket" in plan.split("PartitionFilters")[1].splitlines()[0]
+    exp = int((tiny_events.entity == "e0000").sum())
+    assert pruned.count() == exp
+    full = TBL.scan(spark, path)
+    assert full.count() == len(tiny_events)
+
+
+def test_partition_spec_evolution_survives_expiration(
+    spark, tiny_events, tmp_path
+):
+    """expire_snapshots squashes the chain into a reset point that must
+    PRESERVE expired spec generations (spec_history) — otherwise scans
+    would prune old-layout files with the wrong bucket arithmetic."""
+    path = str(tmp_path / "tblevx")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    half = len(tiny_events) // 2
+    TBL.write_table(
+        ev.limit(half), path, mode="overwrite", n_buckets=16,
+        ts_unit_day=10_000,
+    )
+    TBL.evolve_partition_spec(spark, path, n_buckets=4, ts_unit_day=20_000)
+    TBL.write_table(ev.exceptAll(ev.limit(half)), path, mode="append")
+    TBL.expire_snapshots(spark, path, keep_last=2)
+    head = TBL.current_snapshot(path, spark)
+    assert head["partition_spec"]["entity_bucket"] == "bucket(4, entity)"
+    snaps = TBL._read_snaps(spark, path + "/metadata")
+    assert any(s.get("spec_history") for s in snaps)
+    gens = TBL._spec_generations(snaps)
+    assert (16, 10_000) in gens and (4, 20_000) in gens
+    # pruned scans across the squashed chain still lose nothing
+    pruned = TBL.scan(spark, path, entities=["e0001"])
+    assert pruned.count() == int((tiny_events.entity == "e0001").sum())
+    lo, hi = 15_000, 30_000
+    t = TBL.scan(spark, path, ts_min=lo, ts_max=hi)
+    assert t.count() == int(
+        ((tiny_events.ts >= lo) & (tiny_events.ts <= hi)).sum()
+    )
