@@ -136,16 +136,18 @@ def minhash_signature(
     return with_h.select(F.col(id_col), F.col("shingles"), sig.alias("signature"))
 
 
-def lsh_candidate_pairs(
+def lsh_postings(
     signed: DataFrame,
     bands: int = 4,
     id_col: str = "doc_id",
 ) -> DataFrame:
-    """Band the signature, equi-join on (band_id, band_hash) → candidate
-    pairs (a < b). One shuffle; hot buckets are real near-dup clusters."""
+    """Signature → band postings ``(id, band_id, band_hash)`` — the
+    persistable LSH INDEX rows (md5 over the band's signature slice).
+    Row-local; this is the frame ``lsh_candidate_pairs`` self-joins
+    and ``lsh_incremental_pairs`` appends to across ingest batches."""
     sig_len_col = F.size("signature")
     rows_per_band = (sig_len_col / bands).cast("int")
-    banded = signed.select(
+    return signed.select(
         F.col(id_col),
         F.explode(
             F.transform(
@@ -167,6 +169,16 @@ def lsh_candidate_pairs(
             )
         ).alias("band"),
     ).select(id_col, "band.band_id", "band.band_hash")
+
+
+def lsh_candidate_pairs(
+    signed: DataFrame,
+    bands: int = 4,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Band the signature, equi-join on (band_id, band_hash) → candidate
+    pairs (a < b). One shuffle; hot buckets are real near-dup clusters."""
+    banded = lsh_postings(signed, bands, id_col)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -181,6 +193,105 @@ def lsh_candidate_pairs(
         )
         .distinct()
     )
+
+
+def lsh_index(
+    docs: DataFrame,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Build the persistable LSH index for a corpus: shingle →
+    signature → band postings ``(id, band_id, band_hash)``. Write it
+    to a table (e.g. ``sources.table.write_table``) and each ingest
+    batch dedups against the corpus WITHOUT recomputing a single
+    corpus signature (``lsh_incremental_pairs``) — the batch's own
+    postings then append to the index table. This is the standing
+    near-dup index every crawl pipeline keeps next to the corpus."""
+    signed = minhash_signature(
+        with_shingles(docs, id_col, text_col, n), num_hashes, id_col
+    )
+    return lsh_postings(signed, bands, id_col)
+
+
+def lsh_incremental_pairs(
+    corpus_docs: DataFrame,
+    index: DataFrame,
+    new_docs: DataFrame,
+    threshold: float = 0.1,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict:
+    """Incremental near-dup detection of an ingest batch against an
+    already-indexed corpus: candidates = the batch's band postings
+    equi-joined against the PERSISTED index (new×corpus) plus the
+    batch's self-join (new×new); corpus×corpus pairs were found when
+    those docs were ingested and are never recomputed. Exact-Jaccard
+    verification re-shingles ONLY the corpus docs that actually hit a
+    candidate bucket (semi-join on the candidate ids) — at 10^12 docs
+    the per-batch cost is O(batch + matched), never O(corpus).
+
+    Returns ``{"pairs": (id_a, id_b, jaccard) with id_a < id_b and at
+    least one side in the batch, "postings": the batch's postings —
+    append them to the index table to complete the ingest}``.
+    Equivalent by construction to running the full LSH dedup on
+    corpus ∪ batch and keeping pairs touching the batch (q181 proves
+    the equivalence bit-exactly against that relational replay)."""
+    from pyspark import StorageLevel
+
+    shingled_new = with_shingles(new_docs, id_col, text_col, n).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _SCOPED_CACHES.append(shingled_new)
+    signed_new = minhash_signature(shingled_new, num_hashes, id_col)
+    new_post = lsh_postings(signed_new, bands, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    _SCOPED_CACHES.append(new_post)
+    np_a = new_post.alias("a")
+    cross = (
+        np_a.join(
+            index.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") != F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.least(F.col(f"a.{id_col}"), F.col(f"b.{id_col}")).alias("id_a"),
+            F.greatest(
+                F.col(f"a.{id_col}"), F.col(f"b.{id_col}")
+            ).alias("id_b"),
+        )
+    )
+    self_pairs = (
+        np_a.join(
+            new_post.alias("b"),
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+    )
+    cands = cross.unionByName(self_pairs).distinct()
+    touched = (
+        cands.select(F.col("id_a").alias(id_col))
+        .unionByName(cands.select(F.col("id_b").alias(id_col)))
+        .distinct()
+    )
+    shingled_old = with_shingles(
+        corpus_docs.join(touched, id_col, "left_semi"), id_col, text_col, n
+    )
+    shingled = shingled_old.unionByName(shingled_new)
+    pairs = jaccard_pairs(shingled, threshold, id_col, candidates=cands)
+    return {"pairs": pairs, "postings": new_post}
 
 
 def jaccard_pairs(

@@ -8900,6 +8900,35 @@ def q180(spark, sf_dir):
     return out.select("event_id", "entity", "ts")
 
 
+@q(
+    "q181_lsh_incremental",
+    "select * from ("
+    + _minhash_oracle_sql()
+    + ") t where id_a % 2 = 1 or id_b % 2 = 1",
+)
+def q181(spark, sf_dir):
+    """Incremental LSH dedup against a persisted index
+    (dedup.py:lsh_index + lsh_incremental_pairs): the EVEN doc_ids are
+    the already-ingested corpus — only their band postings exist, no
+    signature is recomputed — and the ODD doc_ids arrive as an ingest
+    batch whose candidates come from joining its postings against the
+    index plus its own self-join; exact-Jaccard verification
+    re-shingles only the corpus docs that hit a candidate bucket.
+    The oracle runs the FULL LSH dedup over the whole corpus and keeps
+    pairs touching the batch — proving the incremental path finds
+    exactly the pairs a from-scratch run would, bit-exact."""
+    docs = t(spark, sf_dir, "documents")
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    batch = docs.filter(F.col("doc_id") % 2 == 1)
+    index = dedup.lsh_index(corpus, num_hashes=16, bands=8)
+    out = dedup.lsh_incremental_pairs(
+        corpus, index, batch, threshold=0.1, num_hashes=16, bands=8
+    )
+    return out["pairs"].select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -298,3 +298,49 @@ def test_trigram_backoff_all_branches(spark):
     assert got == exp
     # the three docs really hit distinct branches: strictly ordered scores
     assert got[100][1] > got[101][1] > got[102][1]
+
+
+def test_lsh_incremental_equals_full_run(spark):
+    """lsh_incremental_pairs over (indexed corpus, ingest batch) finds
+    exactly the batch-touching pairs a from-scratch minhash_dedup_pairs
+    over corpus ∪ batch finds — same ids, same jaccard — and returns
+    only the batch's postings for the index append."""
+    from lbf_spark.operators import dedup
+
+    base = [
+        "the quick brown fox jumps over the lazy dog tonight",
+        "a completely different sentence about training data pipelines",
+        "numbers and symbols one two three four five six seven",
+        "el gato es una mascota que vive con los humanos",
+    ]
+    rows = []
+    for i in range(40):
+        s = base[i % 4]
+        if i >= 36:  # planted near-dups of the first family
+            s = s.replace("tonight", f"tonight{i}")
+        rows.append((i, s + f" tail{i % 4}"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    corpus = docs.filter("doc_id % 2 = 0")
+    batch = docs.filter("doc_id % 2 = 1")
+
+    full = dedup.minhash_dedup_pairs(
+        docs, num_hashes=16, bands=8, threshold=0.5
+    ).toPandas()
+    want = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in full.itertuples()
+        if r.id_a % 2 == 1 or r.id_b % 2 == 1
+    }
+
+    index = dedup.lsh_index(corpus, num_hashes=16, bands=8)
+    out = dedup.lsh_incremental_pairs(
+        corpus, index, batch, threshold=0.5, num_hashes=16, bands=8
+    )
+    got = {
+        (r.id_a, r.id_b): round(r.jaccard, 6)
+        for r in out["pairs"].toPandas().itertuples()
+    }
+    assert got == want and len(got) > 0
+    post_ids = {r.doc_id for r in out["postings"].toPandas().itertuples()}
+    assert post_ids == {i for i in range(40) if i % 2 == 1}
+    dedup.release_caches()
