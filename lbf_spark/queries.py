@@ -8929,6 +8929,59 @@ def q181(spark, sf_dir):
     )
 
 
+@q(
+    "q182_asof_topk",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us, value from events
+    ),
+    a as (
+      select event_id as anchor_id, user_id, ts_us as anchor_ts
+      from e where event_id % 20 = 0
+    ),
+    j as (
+      select a.anchor_id, a.user_id, a.anchor_ts,
+             e.event_id, e.ts_us, round(e.value, 4) + 0 as value_r,
+             row_number() over (
+               partition by a.anchor_id
+               order by e.ts_us desc, e.event_id
+             ) as lag_rank
+      from a join e on e.user_id = a.user_id
+       and e.ts_us between a.anchor_ts - 86400000000 and a.anchor_ts
+    )
+    select anchor_id, user_id, anchor_ts,
+           cast(lag_rank as int) as lag_rank, event_id, ts_us, value_r
+    from j where lag_rank <= 3
+    """,
+)
+def q182(spark, sf_dir):
+    """Lag-stack as-of join (asof.py:asof_topk): every 20th event
+    anchors a training row carrying its 3 most recent events within a
+    one-day staleness bound, ranked (ts desc, event_id asc) — the
+    "latest k readings" feature block computed in ONE range-binned
+    equi-join + one anchor-partitioned window, never k as-of passes
+    and never a nested-loop range join. Zero leakage (events after
+    the anchor cannot enter); the oracle replays the inequality join
+    and the ranking relationally."""
+    from lbf_spark.operators.asof import asof_topk
+
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts_us"), "value"
+    )
+    a = e.filter(F.col("event_id") % 20 == 0).select(
+        F.col("event_id").alias("anchor_id"),
+        "user_id",
+        F.col("ts_us").alias("anchor_ts"),
+    )
+    out = asof_topk(
+        e, a, k=3, lookback=_DAY_US, on="ts_us", by="user_id",
+    )
+    return out.select(
+        "anchor_id", "user_id", "anchor_ts", "lag_rank",
+        "event_id", "ts_us", F.round("value", 4).alias("value_r"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -344,3 +344,38 @@ def test_lsh_incremental_equals_full_run(spark):
     post_ids = {r.doc_id for r in out["postings"].toPandas().itertuples()}
     assert post_ids == {i for i in range(40) if i % 2 == 1}
     dedup.release_caches()
+
+
+def test_asof_topk_leakage_and_rank_laws(spark):
+    """asof_topk: never returns an event after its anchor, respects the
+    lookback bound, ranks most-recent-first with id tiebreak, and
+    returns at most k rows per anchor (fewer when history is thin)."""
+    from lbf_spark.operators.asof import asof_topk
+
+    events = spark.createDataFrame(
+        [(i, "e1", 100 * i, float(i)) for i in range(1, 11)]
+        + [(100, "e2", 500, 9.9), (101, "e2", 500, 8.8)],  # ts tie
+        "event_id long, entity string, ts long, value double",
+    )
+    anchors = spark.createDataFrame(
+        [(1, "e1", 550), (2, "e1", 100), (3, "e2", 510), (4, "e1", 50)],
+        "anchor_id long, entity string, anchor_ts long",
+    )
+    got = asof_topk(
+        events, anchors, k=3, lookback=400, on="ts",
+    ).toPandas()
+    assert (got.ts <= got.anchor_ts).all()
+    assert (got.ts >= got.anchor_ts - 400).all()
+    by_anchor = {
+        a: g.sort_values("lag_rank")
+        for a, g in got.groupby("anchor_id")
+    }
+    # anchor 1 at 550: events 200..500 in window, top3 = 500,400,300
+    assert by_anchor[1].ts.tolist() == [500, 400, 300]
+    assert by_anchor[1].lag_rank.tolist() == [1, 2, 3]
+    # anchor 2 at 100: only event ts=100 qualifies (thin history)
+    assert by_anchor[2].ts.tolist() == [100]
+    # anchor 3: ts tie at 500 breaks on event_id asc
+    assert by_anchor[3].event_id.tolist() == [100, 101]
+    # anchor 4 at 50: nothing before it
+    assert 4 not in by_anchor
