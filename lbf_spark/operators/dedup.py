@@ -1003,3 +1003,90 @@ def tile_overlap_pairs(
         .agg(F.count(F.lit(1)).alias("shared_tiles"))
         .filter(F.col("shared_tiles") >= int(min_shared))
     )
+
+
+def remove_duplicate_spans(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    width: int = 8,
+) -> DataFrame:
+    """Exact-substring dedup REMOVAL (Lee et al. 2022 — the surgery
+    their suffix-array pipeline performs, relationalized;
+    ``duplicate_spans`` is the detection half): every ``width``-token
+    sliding window that occurs more than once in the corpus keeps its
+    GLOBAL FIRST occurrence (min (doc_id, start) — a total order, so
+    engines agree) and every other occurrence's token positions are
+    cut; documents are reassembled from the surviving tokens in
+    position order. Overlapping duplicate spans union their covered
+    positions, so a long repeated passage disappears as a block.
+
+    Output: (id, n_tokens, n_removed, clean_text) for EVERY input doc
+    (a fully-boilerplate doc comes back with clean_text = '').
+
+    Scale shape: span hashing is row-local behind ``fan_out``; the
+    keeper decision is one window over the span-hash partition (cnt +
+    row_number share the exchange); removal positions explode only
+    from LOSER occurrences (bounded by duplicate volume, not corpus);
+    reassembly is one groupBy(doc) with an in-group array_sort. A
+    suffix array is the single-node tool; for fixed width this
+    hash-group is the distributed equivalent."""
+    from pyspark.sql import Window
+
+    from lbf_spark.util import fan_out
+
+    toks = F.split(F.col(text_col), " ")
+    base = fan_out(docs.select(F.col(id_col), toks.alias("__toks")))
+    spans = F.when(
+        F.size("__toks") >= width,
+        F.transform(
+            F.sequence(F.lit(0), F.size("__toks") - width),
+            lambda i: F.struct(
+                (i + 1).alias("start"),
+                F.md5(
+                    F.concat_ws(" ", F.slice("__toks", i + 1, width))
+                ).alias("h"),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<struct<start:int,h:string>>"))
+    occ = base.select(
+        F.col(id_col), F.explode(spans).alias("s")
+    ).select(id_col, F.col("s.start").alias("start"), F.col("s.h").alias("h"))
+    wh = Window.partitionBy("h")
+    wk = Window.partitionBy("h").orderBy(F.asc(id_col), F.asc("start"))
+    losers = (
+        occ.withColumn("__cnt", F.count(F.lit(1)).over(wh))
+        .withColumn("__rk", F.row_number().over(wk))
+        .filter((F.col("__cnt") >= 2) & (F.col("__rk") > 1))
+    )
+    removed = losers.select(
+        F.col(id_col),
+        F.explode(
+            F.sequence(F.col("start"), F.col("start") + F.lit(width - 1))
+        ).alias("pos"),
+    ).distinct()
+    tokens = base.select(
+        F.col(id_col), F.posexplode("__toks").alias("p0", "tok")
+    ).select(id_col, (F.col("p0") + 1).alias("pos"), "tok")
+    kept = tokens.join(removed, [id_col, "pos"], "left_anti")
+    agg = kept.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("__n_kept"),
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+    )
+    sizes = base.select(
+        F.col(id_col), F.size("__toks").cast("long").alias("n_tokens")
+    )
+    return sizes.join(agg, id_col, "left").select(
+        F.col(id_col),
+        "n_tokens",
+        (F.col("n_tokens") - F.coalesce("__n_kept", F.lit(0))).alias(
+            "n_removed"
+        ),
+        F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+    )

@@ -8982,6 +8982,69 @@ def q182(spark, sf_dir):
     )
 
 
+@q(
+    "q183_remove_dup_spans",
+    """
+    with tt as (
+      select doc_id, string_split(text, ' ') as toks from documents
+    ),
+    occ as (
+      select doc_id, i + 1 as start,
+             md5(array_to_string(toks[i + 1 : i + 4], ' ')) as h
+      from (select doc_id, toks,
+                   unnest(range(0, greatest(len(toks) - 4 + 1, 0))) as i
+            from tt)
+    ),
+    rk as (
+      select doc_id, start,
+             count(*) over (partition by h) as cnt,
+             row_number() over (partition by h
+                                order by doc_id, start) as rk
+      from occ
+    ),
+    rem as (
+      select distinct doc_id, unnest(range(start, start + 4)) as pos
+      from rk where cnt >= 2 and rk > 1
+    ),
+    toksl as (
+      select doc_id,
+             unnest(toks) as tok,
+             unnest(range(1, len(toks) + 1)) as pos
+      from tt
+    ),
+    kept as (
+      select t.doc_id, t.pos, t.tok
+      from toksl t left join rem r
+        on r.doc_id = t.doc_id and r.pos = t.pos
+      where r.doc_id is null
+    ),
+    agg as (
+      select doc_id, count(*) as n_kept,
+             string_agg(tok, ' ' order by pos) as clean_text
+      from kept group by doc_id
+    )
+    select tt.doc_id, cast(len(tt.toks) as bigint) as n_tokens,
+           cast(len(tt.toks) - coalesce(agg.n_kept, 0) as bigint)
+             as n_removed,
+           coalesce(agg.clean_text, '') as clean_text
+    from tt left join agg on tt.doc_id = agg.doc_id
+    """,
+)
+def q183(spark, sf_dir):
+    """Exact-substring dedup REMOVAL
+    (dedup.py:remove_duplicate_spans — the surgery of Lee et al. 2022;
+    q143 is the detection half): every 4-token window occurring more
+    than once in the corpus keeps only its global first occurrence
+    (min (doc_id, start) — total order), other occurrences' positions
+    are cut (overlaps union), and documents reassemble from surviving
+    tokens. The oracle replays span hashing, the keeper window, the
+    position explosion and the ordered string_agg — one displaced
+    token anywhere fails the hash."""
+    docs = t(spark, sf_dir, "documents")
+    out = dedup.remove_duplicate_spans(docs, width=4)
+    return out.select("doc_id", "n_tokens", "n_removed", "clean_text")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -379,3 +379,36 @@ def test_asof_topk_leakage_and_rank_laws(spark):
     assert by_anchor[3].event_id.tolist() == [100, 101]
     # anchor 4 at 50: nothing before it
     assert 4 not in by_anchor
+
+
+def test_remove_duplicate_spans_planted_boilerplate(spark):
+    """Planted license boilerplate across docs: first occurrence
+    survives verbatim, later occurrences vanish as a block (overlap
+    union), unique text is untouched, and a fully-boilerplate doc
+    comes back empty."""
+    from lbf_spark.operators import dedup
+
+    bp = "licensed under creative commons attribution share alike"
+    rows = [
+        (1, f"alpha beta gamma {bp} delta epsilon"),
+        (2, f"{bp} unrelated words here again"),
+        (3, "totally unique sentence with nothing repeated anywhere"),
+        (4, bp),  # fully boilerplate
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r
+        for r in dedup.remove_duplicate_spans(docs, width=4).collect()
+    }
+    # doc 1 holds the global first occurrence -> fully intact
+    assert got[1]["clean_text"] == rows[0][1] and got[1]["n_removed"] == 0
+    # docs 2/4: the 7-token boilerplate block is gone entirely
+    assert got[2]["clean_text"] == "unrelated words here again"
+    assert got[2]["n_removed"] == 7
+    assert got[4]["clean_text"] == "" and got[4]["n_removed"] == 7
+    assert got[3]["clean_text"] == rows[2][1] and got[3]["n_removed"] == 0
+    # token conservation: kept + removed == original
+    for i, text in rows:
+        assert got[i]["n_tokens"] == len(text.split())
+        kept = got[i]["clean_text"].split() if got[i]["clean_text"] else []
+        assert got[i]["n_tokens"] - got[i]["n_removed"] == len(kept)
