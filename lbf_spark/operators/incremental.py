@@ -157,3 +157,66 @@ def incremental_range_refresh(
         .drop(_REFRESH_COL)
     )
     return kept.unionByName(refreshed)
+
+
+def additive_rollup(
+    df: DataFrame, keys: list[str], value_col: str = "value"
+) -> DataFrame:
+    """Mergeable rollup cell state: per-``keys`` (count, decimal value
+    sum, min, max). The value quantizes round(6) → DECIMAL(28,6)
+    before summing, so the sum is associative — partial-agg order,
+    merge order and engine can never change a bit (the q93/q115 rule).
+    This is the materialized-view state ``merge_rollups`` maintains."""
+    v = F.round(F.col(value_col), 6).cast("decimal(28,6)")
+    return df.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(v).alias("vsum"),
+        F.min(value_col).alias("vmin"),
+        F.max(value_col).alias("vmax"),
+    )
+
+
+def merge_rollups(
+    state: DataFrame, delta: DataFrame, keys: list[str]
+) -> DataFrame:
+    """MERGE a delta rollup into the materialized rollup state — the
+    incremental-view-maintenance step for APPEND-ONLY inputs: count,
+    decimal sum, min and max are all associative/commutative monoid
+    aggregates, so ``rollup(history ∪ batch) ==
+    merge(rollup(history), rollup(batch))`` exactly — the batch never
+    triggers a history re-scan at all (contrast
+    ``incremental_range_refresh``, which re-reads bounded suffixes for
+    window features that do look back).
+
+    Full-outer join on the cell keys; untouched cells pass through,
+    new cells appear, touched cells combine field-wise (decimal adds
+    are exact; min/max via null-safe least/greatest). Shape at 100 TB:
+    ONE equi-join between two rollup-sized frames (cells, not rows);
+    AQE broadcasts the delta side when small — the common case."""
+    d = delta.select(
+        *[F.col(k) for k in keys],
+        F.col("n").alias("__dn"),
+        F.col("vsum").alias("__dsum"),
+        F.col("vmin").alias("__dmin"),
+        F.col("vmax").alias("__dmax"),
+    )
+    j = state.join(d, keys, "full_outer")
+    zero = F.lit(0).cast("bigint")
+    dsum0 = F.lit("0").cast(state.schema["vsum"].dataType)
+    return j.select(
+        *[F.col(k) for k in keys],
+        (F.coalesce(F.col("n"), zero) + F.coalesce(F.col("__dn"), zero))
+        .alias("n"),
+        (
+            F.coalesce(F.col("vsum"), dsum0)
+            + F.coalesce(F.col("__dsum"), dsum0)
+        ).alias("vsum"),
+        F.when(F.col("vmin").isNull(), F.col("__dmin"))
+        .when(F.col("__dmin").isNull(), F.col("vmin"))
+        .otherwise(F.least("vmin", "__dmin"))
+        .alias("vmin"),
+        F.when(F.col("vmax").isNull(), F.col("__dmax"))
+        .when(F.col("__dmax").isNull(), F.col("vmax"))
+        .otherwise(F.greatest("vmax", "__dmax"))
+        .alias("vmax"),
+    )

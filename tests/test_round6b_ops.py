@@ -412,3 +412,42 @@ def test_remove_duplicate_spans_planted_boilerplate(spark):
         assert got[i]["n_tokens"] == len(text.split())
         kept = got[i]["clean_text"].split() if got[i]["clean_text"] else []
         assert got[i]["n_tokens"] - got[i]["n_removed"] == len(kept)
+
+
+def test_merge_rollups_monoid_laws(spark):
+    """merge(rollup(A), rollup(B)) == rollup(A ∪ B) exactly; empty
+    delta is the identity; disjoint cells pass through both ways."""
+    from lbf_spark.operators.incremental import (
+        additive_rollup, merge_rollups,
+    )
+
+    rows = [
+        ("a", 1, 1.25), ("a", 1, -2.5), ("a", 2, 0.125),
+        ("b", 1, 7.0), ("b", 3, -0.000001),
+    ]
+    df = spark.createDataFrame(rows, "k string, day long, value double")
+    a = df.filter("value > 0")
+    b = df.filter("value <= 0")
+
+    def snap(frame):
+        return {
+            (r["k"], r["day"]): (r["n"], r["vsum"], r["vmin"], r["vmax"])
+            for r in frame.collect()
+        }
+
+    full = snap(additive_rollup(df, ["k", "day"]))
+    merged = snap(
+        merge_rollups(
+            additive_rollup(a, ["k", "day"]),
+            additive_rollup(b, ["k", "day"]),
+            ["k", "day"],
+        )
+    )
+    assert merged == full
+    # identity: merging an empty delta changes nothing
+    empty = additive_rollup(df.filter("value > 1e9"), ["k", "day"])
+    ident = snap(merge_rollups(additive_rollup(df, ["k", "day"]), empty,
+                               ["k", "day"]))
+    assert ident == full
+    # ("b", 3) exists only in b: passes through with its own min/max
+    assert merged[("b", 3)][0] == 1 and merged[("b", 3)][2] == -0.000001
