@@ -129,27 +129,33 @@ _SPEC_RE = re.compile(r"bucket\((\d+), entity\)")
 _DAY_RE = re.compile(r"floor\(ts / (\d+)\)")
 
 
-def spec_to_iceberg(partition_spec: dict, schema_ice: dict) -> dict:
+def spec_to_iceberg(
+    partition_spec: dict, schema_ice: dict, spec_id: int = 0
+) -> dict:
     """This layer's partition_spec dict → Iceberg partition-spec JSON.
     Source-ids reference the Iceberg schema's field-ids; partition
-    field-ids start at 1000 per the spec convention."""
+    field-ids start at 1000 per the spec convention, and each spec
+    GENERATION (``evolve_partition_spec``) allocates fresh field-ids
+    (1000+2·g, 1001+2·g) exactly as Iceberg's partition evolution
+    does — a changed transform is a new partition field, never a
+    reuse of the old id."""
     by_name = {f["name"]: f["id"] for f in schema_ice["fields"]}
     n_buckets = int(_SPEC_RE.match(partition_spec["entity_bucket"]).group(1))
     ts_unit = int(_DAY_RE.match(partition_spec["ts_day"]).group(1))
     return {
-        "spec-id": 0,
+        "spec-id": int(spec_id),
         "fields": [
             {
                 "name": "entity_bucket",
                 "transform": f"bucket[{n_buckets}]",
                 "source-id": by_name["entity"],
-                "field-id": 1000,
+                "field-id": 1000 + 2 * int(spec_id),
             },
             {
                 "name": "ts_day",
                 "transform": f"truncate[{ts_unit}]",
                 "source-id": by_name["ts"],
-                "field-id": 1001,
+                "field-id": 1001 + 2 * int(spec_id),
             },
         ],
     }
@@ -199,12 +205,32 @@ def to_iceberg_metadata(spark: SparkSession, path: str) -> dict:
         raise ValueError(f"no snapshots at {path}")
     head = snaps[-1]
     schema_ice = schema_to_iceberg(head["schema"])
-    spec_ice = spec_to_iceberg(head["partition_spec"], schema_ice)
-    ts_unit = int(_DAY_RE.match(head["partition_spec"]["ts_day"]).group(1))
+    # every spec generation the chain carried, in first-seen order —
+    # evolve_partition_spec maps onto Iceberg's partition-specs LIST
+    # with default-spec-id = the head's generation
+    def _key(ps: dict) -> tuple:
+        return (
+            int(_SPEC_RE.match(ps["entity_bucket"]).group(1)),
+            int(_DAY_RE.match(ps["ts_day"]).group(1)),
+        )
+
+    gen_specs: list[dict] = []
+    gen_ids: dict = {}
+    for s in snaps:
+        for ps in [*(s.get("spec_history") or []), s["partition_spec"]]:
+            k = _key(ps)
+            if k not in gen_ids:
+                gen_ids[k] = len(gen_specs)
+                gen_specs.append(ps)
+    specs_ice = [
+        spec_to_iceberg(ps, schema_ice, spec_id=i)
+        for i, ps in enumerate(gen_specs)
+    ]
     ts_fid = {f["name"]: f["id"] for f in schema_ice["fields"]}["ts"]
     name_to_id = {s["snapshot_id"]: s for s in snaps}
     snapshots = []
     for s in snaps:
+        ts_unit = _key(s["partition_spec"])[1]
         parent = s.get("parent")
         parent_id = None
         if parent:  # manifest filename snap-00007.json → id 7
@@ -227,6 +253,7 @@ def to_iceberg_metadata(spark: SparkSession, path: str) -> dict:
                 ),
             },
             "schema-id": 0,
+            "x-spec-id": gen_ids[_key(s["partition_spec"])],
             "x-manifest-entries": entries,
         }
         if parent_id is not None:
@@ -246,9 +273,9 @@ def to_iceberg_metadata(spark: SparkSession, path: str) -> dict:
         "last-column-id": max(f["id"] for f in schema_ice["fields"]),
         "current-schema-id": 0,
         "schemas": [schema_ice],
-        "default-spec-id": 0,
-        "partition-specs": [spec_ice],
-        "last-partition-id": 1001,
+        "default-spec-id": gen_ids[_key(head["partition_spec"])],
+        "partition-specs": specs_ice,
+        "last-partition-id": 1001 + 2 * (len(specs_ice) - 1),
         "current-snapshot-id": head["snapshot_id"],
         "snapshots": snapshots,
         "properties": {
@@ -287,13 +314,19 @@ def from_iceberg_metadata(meta: dict) -> dict:
             "not a lbf_spark-exported Iceberg metadata document "
             "(missing x-visible-files)"
         )
-    spec = meta["partition-specs"][0]
-    ts_unit = int(spec["fields"][1]["transform"].split("[")[1].rstrip("]"))
+    by_spec_id = {sp["spec-id"]: sp for sp in meta["partition-specs"]}
+    default_id = meta.get("default-spec-id", 0)
+
+    def _unit(spec_id: int) -> int:
+        sp = by_spec_id[spec_id]
+        return int(sp["fields"][1]["transform"].split("[")[1].rstrip("]"))
+
     parents = {}
     quotients = {}
     for s in meta["snapshots"]:
         if "parent-snapshot-id" in s:
             parents[s["snapshot-id"]] = s["parent-snapshot-id"]
+        ts_unit = _unit(s.get("x-spec-id", default_id))
         for e in s.get("x-manifest-entries", []):
             rel = e["file_path"][len("data/"):]
             p = e["partition"]
@@ -313,4 +346,6 @@ def from_iceberg_metadata(meta: dict) -> dict:
             for f in schema["fields"]
         ],
         "partition_quotients": quotients,
+        "default_spec_id": default_id,
+        "n_partition_specs": len(by_spec_id),
     }

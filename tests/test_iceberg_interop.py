@@ -113,3 +113,43 @@ def test_export_import_round_trip(spark, tmp_path, tiny_events):
     # a foreign Iceberg document (no inline entries) is refused
     with pytest.raises(ValueError, match="x-visible-files"):
         ICE.from_iceberg_metadata({"format-version": 2, "snapshots": []})
+
+
+def test_spec_evolution_exports_partition_spec_list(
+    spark, tmp_path, tiny_events
+):
+    """evolve_partition_spec maps onto Iceberg's partition-specs LIST:
+    one entry per generation with fresh field-ids (1000+2g/1001+2g),
+    default-spec-id = the head's generation, each snapshot tagged with
+    its own x-spec-id, and the import derives per-snapshot day
+    quotients under the right generation's unit."""
+    path = str(tmp_path / "ice_ev")
+    df = fixtures.events_to_spark(spark, tiny_events).select(
+        "image_id", "entity", "ts", "caption", "phash"
+    )
+    half = int(tiny_events["ts"].median())
+    TBL.write_table(df.filter(F.col("ts") <= half), path,
+                    mode="overwrite", n_buckets=16, ts_unit_day=10_000)
+    TBL.evolve_partition_spec(spark, path, n_buckets=4,
+                              ts_unit_day=20_000)
+    TBL.write_table(df.filter(F.col("ts") > half), path)
+    meta = ICE.to_iceberg_metadata(spark, path)
+    specs = meta["partition-specs"]
+    assert [sp["spec-id"] for sp in specs] == [0, 1]
+    assert specs[0]["fields"][0]["transform"] == "bucket[16]"
+    assert specs[1]["fields"][0]["transform"] == "bucket[4]"
+    assert specs[1]["fields"][0]["field-id"] == 1002
+    assert meta["default-spec-id"] == 1
+    assert meta["last-partition-id"] == 1003
+    by_id = {s["snapshot-id"]: s for s in meta["snapshots"]}
+    assert by_id[1]["x-spec-id"] == 0
+    assert by_id[2]["x-spec-id"] == 1  # the evolve commit
+    assert by_id[3]["x-spec-id"] == 1
+    back = ICE.from_iceberg_metadata(meta)
+    assert back["default_spec_id"] == 1 and back["n_partition_specs"] == 2
+    # round trip keeps the full visible set across both layouts
+    assert len(back["visible_files"]) == len(
+        TBL._replay_files(TBL._read_snaps(spark, path + "/metadata"))[
+            "visible"
+        ]
+    )
