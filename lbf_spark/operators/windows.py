@@ -12,6 +12,7 @@ drops to an Arrow-batched grouped pandas UDF.
 
 from __future__ import annotations
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, Window, functions as F, types as T
 
@@ -915,3 +916,58 @@ def interpolate_linear(
         )
     )
     return df.withColumn(out or col + "_interp", interp)
+
+
+def rolling_quantile(
+    df: DataFrame,
+    col: str,
+    out: str,
+    window: int,
+    pct: int,
+    by="entity",
+    order="ts",
+) -> DataFrame:
+    """Exact trailing rolling quantile — the LOWER quantile, i.e. the
+    element at rank ⌈pct·n/100⌉ of the sorted trailing window (a
+    SELECTION, never an interpolation: engines pick the identical
+    element, the q154 rank-statistics rule; min_periods=1 falls out of
+    the growing frame at partition start). ``pct`` is an integer
+    percent so the rank is exact bigint arithmetic ``div(n·pct + 99,
+    100)`` — a float ``ceil(p·n)`` could land one above an integer
+    product and silently shift the rank.
+
+    ``window ≤ 64``: pure JVM (array_sort over the collected frame,
+    whole-stage codegen — the rolling_median path). Larger windows:
+    grouped Arrow kernel with the same selection definition (pandas'
+    own 'lower' interpolation indexes floor(q·(n−1)) — a DIFFERENT
+    statistic, so the kernel selects explicitly)."""
+    if not 1 <= int(pct) <= 100:
+        raise ValueError("pct must be in 1..100")
+    pct = int(pct)
+    if window <= 64:
+        w = _w(by, order).rowsBetween(-(window - 1), 0)
+        arr = F.array_sort(F.collect_list(F.col(col)).over(w))
+        rank = F.expr(f"div(size({'__arr'}) * {pct} + 99, 100)")
+        return (
+            df.withColumn("__arr", arr)
+            .withColumn(out, F.element_at("__arr", rank.cast("int")))
+            .drop("__arr")
+        )
+    by_l = [by] if isinstance(by, str) else list(by)
+    order_cols = [order] if isinstance(order, str) else list(order)
+    schema = T.StructType(
+        df.schema.fields + [T.StructField(out, T.DoubleType(), True)]
+    )
+
+    def fn(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_cols, kind="mergesort", ignore_index=True)
+        vals = pdf[col].astype("float64").to_numpy()
+        res = np.empty(len(vals))
+        for i in range(len(vals)):
+            lo = max(0, i - window + 1)
+            win = np.sort(vals[lo:i + 1])
+            res[i] = win[(len(win) * pct + 99) // 100 - 1]
+        pdf[out] = res
+        return pdf
+
+    return df.groupBy(*by_l).applyInPandas(fn, schema)

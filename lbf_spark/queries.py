@@ -9105,6 +9105,53 @@ def q184(spark, sf_dir):
     )
 
 
+@q(
+    "q185_rolling_quantile",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us, value from events
+    ),
+    w as (
+      select event_id, user_id, ts_us,
+             list_sort(list(value) over (
+               partition by user_id order by ts_us, event_id
+               rows between 8 preceding and current row
+             )) as arr
+      from e
+    )
+    select event_id, user_id, ts_us,
+           round(arr[(len(arr) * 25 + 99) // 100], 6) + 0 as p25,
+           round(arr[(len(arr) * 75 + 99) // 100], 6) + 0 as p75
+    from w
+    """,
+)
+def q185(spark, sf_dir):
+    """Exact rolling quantiles (windows.py:rolling_quantile): per-user
+    trailing-9 lower quartiles — the element at rank
+    div(n·pct + 99, 100) of the sorted window (pure selection, exact
+    bigint rank arithmetic: a float ceil(p·n) can land one above an
+    integer product and shift the rank). All-JVM for smoothing-sized
+    windows (array_sort over the frame, the rolling-median path). The
+    oracle replays the sort and the rank arithmetic element-for-
+    element."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "value"
+    )
+    out = W.rolling_quantile(
+        e, "value", "p25", window=9, pct=25,
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    out = W.rolling_quantile(
+        out, "value", "p75", window=9, pct=75,
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us",
+        F.round("p25", 6).alias("p25"),
+        F.round("p75", 6).alias("p75"),
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every
