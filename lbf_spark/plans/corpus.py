@@ -41,6 +41,8 @@ def curate_corpus(
     near_dup_threshold: float = 0.8,
     near_dup_method: str = "minhash",
     rep_score_col: str | None = None,
+    lm_min_lp: float | None = None,
+    lm_model_docs: DataFrame | None = None,
     seed: int = 42,
 ) -> dict:
     """Run the curation pipeline; returns ``{"kept": DataFrame,
@@ -58,7 +60,15 @@ def curate_corpus(
     ``rep_score_col``: when set, near-dup clusters keep the member
     with the HIGHEST value of this column (min-id tiebreak; e.g. a
     length or quality score — ``dedup.select_representatives``)
-    instead of the default min-id keeper."""
+    instead of the default min-id keeper.
+
+    ``lm_min_lp``: when set, adds the CCNet-style LM-quality gate after
+    the repetition gate — docs keep only if their trigram stupid-
+    backoff score (``text.trigram_backoff_score``, model =
+    ``lm_model_docs`` or the gated docs themselves) meets the
+    threshold; both sides compare ROUNDED(6) values so the boundary is
+    engine-deterministic (the q160 rule). The gopher gate's
+    ``min_words`` ≥ 3 guarantees every surviving doc is scorable."""
     stages: list[tuple[str, DataFrame]] = [("input", docs)]
 
     g = text.gopher_quality(docs, text_col, min_words=min_words)
@@ -70,6 +80,19 @@ def curate_corpus(
         *docs.columns
     )
     stages.append(("repetition_gate", s2))
+
+    if lm_min_lp is not None:
+        scores = text.trigram_backoff_score(
+            s2,
+            model_docs=lm_model_docs if lm_model_docs is not None else s2,
+            text_col=text_col,
+            id_col=id_col,
+        )
+        keep_lm = scores.filter(
+            F.col("lp_avg") >= F.round(F.lit(float(lm_min_lp)), 6)
+        ).select(id_col)
+        s2 = s2.join(keep_lm, id_col, "left_semi")
+        stages.append(("lm_gate", s2))
 
     keepers = dedup.exact_dedup(s2, id_col, text_col).select(
         F.col("keeper_id").alias(id_col)

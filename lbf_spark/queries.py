@@ -9152,6 +9152,127 @@ def q185(spark, sf_dir):
     )
 
 
+@q(
+    "q186_curation_lm_gate",
+    f"""
+    with w as (
+      select doc_id, text, source,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as ws
+      from documents
+    ),
+    gates as (
+      select doc_id, text, source from w
+      where len(ws) >= 20 and len(ws) <= 100000
+        and round(list_sum(list_transform(ws, x -> length(x))) * 1.0
+                  / greatest(len(ws), 1), 6) between 3.0 and 10.0
+        and round((len(string_split(text, '#')) - 1
+                   + len(string_split(text, '...')) - 1) * 1.0
+                  / greatest(len(ws), 1), 6) < 0.1
+        and round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                  * 1.0 / greatest(len(ws), 1), 6) >= 0.8
+    ),
+    rtoks as (select doc_id, {_TOKS_SQL} as tk from gates),
+    rgrams as (
+      select doc_id,
+             unnest([array_to_string(tk[i:i+2], ' ')
+                     for i in range(1, len(tk) - 1)]) as g
+      from rtoks where len(tk) >= 3
+    ),
+    pg as (select doc_id, g, count(*) as c from rgrams group by 1, 2),
+    rep as (
+      select doc_id, sum(c) as total, count(*) as dist from pg group by 1
+    ),
+    s2 as (
+      select g.doc_id, g.text, g.source
+      from gates g left join rep using (doc_id)
+      where round(coalesce(1 - dist * 1.0 / total, 0.0), 6) + 0 <= 0.3
+    ),
+    md as (
+      select doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') as toks
+      from documents where doc_id % 2 = 0
+    ),
+    tri_m as (
+      select unnest([toks[i-2] for i in range(3, len(toks)+1)]) as p2,
+             unnest([toks[i-1] for i in range(3, len(toks)+1)]) as p1,
+             unnest([toks[i]   for i in range(3, len(toks)+1)]) as w
+      from md where len(toks) >= 3
+    ),
+    bi_m as (
+      select unnest([toks[i-1] for i in range(2, len(toks)+1)]) as a,
+             unnest([toks[i]   for i in range(2, len(toks)+1)]) as b
+      from md where len(toks) >= 2
+    ),
+    uni_m as (select unnest(toks) as w from md),
+    ct3 as (select p2, p1, w, count(*) as n3 from tri_m group by all),
+    ct2 as (select a, b, count(*) as n2 from bi_m group by all),
+    ct1 as (select w, count(*) as n1 from uni_m group by all),
+    tot as (select count(*) as nn from uni_m),
+    sd as (
+      select doc_id,
+             list_filter(string_split(text, ' '), x -> x <> '') as toks
+      from s2
+    ),
+    sg as (
+      select doc_id,
+             unnest([toks[i-2] for i in range(3, len(toks)+1)]) as p2,
+             unnest([toks[i-1] for i in range(3, len(toks)+1)]) as p1,
+             unnest([toks[i]   for i in range(3, len(toks)+1)]) as w
+      from sd where len(toks) >= 3
+    ),
+    sc as (
+      select sg.doc_id,
+             cast(round(case
+               when ct3.n3 is not null
+                 then ln((cast(1.0 as double) * ct3.n3) / den2.n2)
+               when num2.n2 is not null
+                 then ln((cast(0.4 as double) * num2.n2) / den1.n1)
+               else ln((cast(0.4 as double) * cast(0.4 as double)
+                        * greatest(coalesce(uni.n1, 0), 1)) / tot.nn)
+             end, 6) as decimal(18,6)) as lp
+      from sg
+      left join ct3 on ct3.p2 = sg.p2 and ct3.p1 = sg.p1 and ct3.w = sg.w
+      left join ct2 den2 on den2.a = sg.p2 and den2.b = sg.p1
+      left join ct2 num2 on num2.a = sg.p1 and num2.b = sg.w
+      left join ct1 den1 on den1.w = sg.p1
+      left join ct1 uni on uni.w = sg.w
+      cross join tot
+    ),
+    lm as (
+      select doc_id,
+             round(cast(sum(lp) as double) / count(*), 6) + 0 as lp_avg
+      from sc group by doc_id
+    ),
+    s2lm as (
+      select s2.doc_id, s2.text, s2.source
+      from s2 join lm using (doc_id) where lm.lp_avg >= -3.0
+    ),
+    ded as (select min(doc_id) as doc_id from s2lm group by md5(text))
+    select s2lm.doc_id, s2lm.source from s2lm join ded using (doc_id)
+    """,
+)
+def q186(spark, sf_dir):
+    """Curation chain with the CCNet-style LM-quality gate
+    (plans/corpus.py:curate_corpus(lm_min_lp=…) — Gopher gates →
+    repetition gate → trigram stupid-backoff score vs a reference
+    model corpus (the even doc_ids) with rounded-threshold keep →
+    exact dedup), composed as ONE lazy plan. The −3.0 cut drops ~30 %
+    of survivors at sf0.01 (non-vacuous). The oracle replays the full
+    funnel including all three n-gram count tables and the backoff
+    cascade — any drift anywhere in the chain fails the hash."""
+    from lbf_spark.plans.corpus import curate_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    out = curate_corpus(
+        docs,
+        min_words=20,
+        max_dup_ngram_frac=0.3,
+        lm_min_lp=-3.0,
+        lm_model_docs=docs.filter(F.col("doc_id") % 2 == 0),
+    )
+    return out["kept"].select("doc_id", "source")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

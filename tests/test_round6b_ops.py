@@ -507,3 +507,35 @@ def test_rolling_quantile_jvm_equals_pandas_path(spark):
 
     with _pytest.raises(ValueError, match="pct"):
         W.rolling_quantile(df, "value", "q", window=5, pct=0)
+
+
+def test_curate_corpus_lm_gate_stage(spark):
+    """lm_min_lp adds the LM-quality stage: survivors are a subset of
+    the repetition gate's, gibberish drops while fluent text survives,
+    and the stage list names it."""
+    from lbf_spark.plans.corpus import curate_corpus
+
+    fluent = (
+        "the model trains on clean web text with consistent phrasing "
+        "and the usual grammar that a language model expects to see "
+        "in ordinary sentences about ordinary things every day"
+    )
+    gibberish = (
+        "zxq vbnk wqpr lmno qqzz xkcd plugh xyzzy frobnitz quux "
+        "garply waldo fred thud corge grault wibble wobble wubble "
+        "flob blorb zonk"
+    )
+    rows = [(1, fluent, "a"), (2, fluent + " extra tokens", "a"),
+            (3, gibberish, "a")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    model = spark.createDataFrame(
+        [(10, fluent, "a")], "doc_id long, text string, source string"
+    )
+    out = curate_corpus(
+        docs, min_words=5, max_dup_ngram_frac=0.9,
+        lm_min_lp=-4.0, lm_model_docs=model,
+    )
+    names = [n for n, _ in out["stages"]]
+    assert "lm_gate" in names
+    kept = {r["doc_id"] for r in out["kept"].collect()}
+    assert 1 in kept and 3 not in kept
