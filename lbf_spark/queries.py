@@ -9273,6 +9273,88 @@ def q186(spark, sf_dir):
     return out["kept"].select("doc_id", "source")
 
 
+@q("q187_hilbert_cert", _EMPTY_CERT3)
+def q187(spark, sf_dir):
+    """Hilbert layout-key CERTIFICATE (sources/table.py:hilbert_key —
+    the locality-tighter clustering alternative to q78's Morton key;
+    Iceberg ships both): (a) the JVM bit-level fold must reproduce the
+    classical xy2d state machine on md5-synthesized 10-bit points —
+    verified per row against an independent python twin in an Arrow
+    stage; (b) the CONTINUITY law that makes Hilbert worth having:
+    within every consecutive 64-key block of a full 64×64 grid, each
+    key step moves exactly ONE Manhattan cell (per-block windows —
+    no global sort), so a contiguous key range is a spatially compact
+    region and parquet min/max stats stay tight. Violations → rows;
+    oracle = empty set."""
+    import pandas as pd
+
+    from pyspark.sql import Window
+
+    from lbf_spark.sources.table import hilbert_key
+
+    pts = _events(spark, sf_dir).select(
+        "event_id",
+        (F.conv(F.substring(F.md5(F.concat(F.lit("hx"), F.col("event_id").cast("string"))), 1, 13), 16, 10).cast("long") % 1024).alias("x"),
+        (F.conv(F.substring(F.md5(F.concat(F.lit("hy"), F.col("event_id").cast("string"))), 1, 13), 16, 10).cast("long") % 1024).alias("y"),
+    )
+    keyed = hilbert_key(pts, ["x", "y"], bits=10, out="h")
+    cert_schema = "family string, key string, err double"
+
+    def verify(it):
+        def xy2d(bits, x, y):
+            d, s = 0, 1 << (bits - 1)
+            while s > 0:
+                rx = 1 if (x & s) else 0
+                ry = 1 if (y & s) else 0
+                d += s * s * ((3 * rx) ^ ry)
+                if ry == 0:
+                    if rx == 1:
+                        x, y = s - 1 - x, s - 1 - y
+                    x, y = y, x
+                s //= 2
+            return d
+
+        for pdf in it:
+            rows = [
+                ("hilbert_twin", str(r.event_id),
+                 float(abs(r.h - xy2d(10, int(r.x), int(r.y)))))
+                for r in pdf.itertuples(index=False)
+                if xy2d(10, int(r.x), int(r.y)) != r.h
+            ]
+            yield pd.DataFrame(rows, columns=["family", "key", "err"]).astype(
+                {"err": "float64"}
+            )
+
+    v_twin = keyed.mapInPandas(verify, cert_schema)
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        F.expr("div(id, 64)").alias("y"),
+    )
+    gk = hilbert_key(grid, ["x", "y"], bits=6, out="h")
+    w = Window.partitionBy(F.expr("div(h, 64)")).orderBy("h")
+    steps = gk.select(
+        "x", "y", "h",
+        (F.abs(F.col("x") - F.lag("x").over(w))
+         + F.abs(F.col("y") - F.lag("y").over(w))).alias("step"),
+    ).filter(F.col("step").isNotNull() & (F.col("step") != 1))
+    v_cont = steps.select(
+        F.lit("hilbert_continuity").alias("family"),
+        F.col("h").cast("string").alias("key"),
+        F.col("step").cast("double").alias("err"),
+    )
+    guard = (
+        gk.agg(F.count(F.lit(1)).alias("n"))
+        .filter(F.col("n") != 64 * 64)
+        .select(
+            F.lit("grid_incomplete").alias("family"),
+            F.lit(None).cast("string").alias("key"),
+            F.col("n").cast("double").alias("err"),
+        )
+    )
+    return v_twin.unionByName(v_cont).unionByName(guard)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -113,6 +113,7 @@ def write_table(
     layout_cols: list[str] | None = None,
     layout_bits: int = 8,
     layout_files: int = 8,
+    layout: str = "zorder",
     extra: dict | None = None,
 ) -> dict:
     """Partitioned write + snapshot manifest. Returns the snapshot.
@@ -162,8 +163,14 @@ def write_table(
     )
     pdf = _with_partition_cols(df, n_buckets, ts_unit_day)
     if layout_cols:
+        if layout == "hilbert":
+            keyed = hilbert_key(pdf, layout_cols, bits=layout_bits, out="__z")
+        elif layout == "zorder":
+            keyed = zorder_key(pdf, layout_cols, bits=layout_bits, out="__z")
+        else:
+            raise ValueError("layout must be 'zorder' or 'hilbert'")
         pdf = (
-            zorder_key(pdf, layout_cols, bits=layout_bits, out="__z")
+            keyed
             .repartitionByRange(layout_files, "entity_bucket", "ts_day", "__z")
             .sortWithinPartitions("entity_bucket", "ts_day", "__z")
             .drop("__z")
@@ -1404,3 +1411,58 @@ def zorder_key(
         lambda acc, i: acc + _zbits(i),
     )
     return df.withColumn(out, z)
+
+
+def hilbert_key(
+    df: DataFrame,
+    cols: list[str],
+    bits: int = 16,
+    out: str = "h_value",
+) -> DataFrame:
+    """2-D HILBERT curve index over two pre-bucketed non-negative
+    integer columns — the locality-tighter alternative to ``zorder_key``
+    (Iceberg ships both): the Hilbert curve is CONTINUOUS, so
+    consecutive key values are always spatially adjacent cells, where
+    Morton's bit-interleave jumps across the whole space at power-of-
+    two seams. Sorting files by it makes range reads touch ~perimeter
+    many files; the locality advantage over Morton on a grid walk is
+    law-tested (and the q187 certificate re-verifies the key itself
+    against an independent per-row twin).
+
+    Implementation: the classical xy2d state machine (reflect+swap per
+    bit level, most-significant first) folded over the bit levels with
+    ``F.aggregate`` carrying a (x, y, d) struct — pure JVM integer
+    arithmetic, no UDF. More than 2 dims: use ``zorder_key`` (the
+    standard trade — d-dimensional Hilbert state tables cost more than
+    the locality buys at file granularity)."""
+    if len(cols) != 2:
+        raise ValueError("hilbert_key is 2-D; use zorder_key for other arities")
+    if not 1 <= bits * 2 <= 62:
+        raise ValueError("need 1 <= bits and 2*bits <= 62")
+    lim = (1 << bits) - 1
+    cx, cy = (
+        F.greatest(F.lit(0), F.least(F.col(c).cast("long"), F.lit(lim)))
+        for c in cols
+    )
+    acc0 = F.struct(
+        cx.alias("x"), cy.alias("y"), F.lit(0).cast("long").alias("d")
+    )
+    svals = F.array(
+        *[F.lit(1 << (bits - 1 - i)).cast("long") for i in range(bits)]
+    )
+
+    def step(acc, s):
+        one = F.lit(1).cast("long")
+        zero = F.lit(0).cast("long")
+        rx = F.when(acc["x"].bitwiseAND(s) > 0, one).otherwise(zero)
+        ry = F.when(acc["y"].bitwiseAND(s) > 0, one).otherwise(zero)
+        d2 = acc["d"] + s * s * ((rx * 3).bitwiseXOR(ry))
+        refl_x = F.when(rx == 1, s - 1 - acc["x"]).otherwise(acc["x"])
+        refl_y = F.when(rx == 1, s - 1 - acc["y"]).otherwise(acc["y"])
+        # ry == 0 → reflect (if rx) then swap axes; ry == 1 → unchanged
+        nx = F.when(ry == 0, refl_y).otherwise(acc["x"])
+        ny = F.when(ry == 0, refl_x).otherwise(acc["y"])
+        return F.struct(nx.alias("x"), ny.alias("y"), d2.alias("d"))
+
+    h = F.aggregate(svals, acc0, step, lambda a: a["d"])
+    return df.withColumn(out, h)

@@ -539,3 +539,104 @@ def test_curate_corpus_lm_gate_stage(spark):
     assert "lm_gate" in names
     kept = {r["doc_id"] for r in out["kept"].collect()}
     assert 1 in kept and 3 not in kept
+
+
+def _xy2d(bits: int, x: int, y: int) -> int:
+    """Classical Hilbert xy2d (Wikipedia form) — the independent twin."""
+    d = 0
+    s = 1 << (bits - 1)
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x, y = s - 1 - x, s - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_key_matches_twin_and_is_bijective(spark):
+    """The JVM fold reproduces the classical xy2d on every cell of an
+    8×8 grid (a bijection onto 0..63) and on random 16-bit points;
+    clamping and arity errors behave."""
+    import pytest as _pytest
+
+    from lbf_spark.sources.table import hilbert_key
+
+    grid = spark.range(64).select(
+        (F.col("id") % 8).alias("x"), (F.col("id") / 8).cast("long").alias("y")
+    )
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in hilbert_key(grid, ["x", "y"], bits=3, out="h").collect()
+    }
+    assert got == {(x, y): _xy2d(3, x, y) for x in range(8) for y in range(8)}
+    assert sorted(got.values()) == list(range(64))  # bijection
+
+    rng = np.random.default_rng(9)
+    pts = [(int(a), int(b)) for a, b in rng.integers(0, 1 << 16, (200, 2))]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got16 = {
+        (r["x"], r["y"]): r["h"]
+        for r in hilbert_key(df, ["x", "y"], bits=16, out="h").collect()
+    }
+    assert got16 == {(x, y): _xy2d(16, x, y) for x, y in set(pts)}
+
+    with _pytest.raises(ValueError, match="2-D"):
+        hilbert_key(df, ["x"], bits=4)
+
+
+def test_hilbert_continuity_vs_morton_jumps(spark):
+    """The exact locality law: walking cells in KEY order, Hilbert
+    steps are ALWAYS Manhattan distance 1 (the curve is continuous),
+    while Morton's walk jumps across power-of-two seams — so a
+    contiguous Hilbert key range is a spatially compact region and
+    file min/max stats stay tight."""
+    from lbf_spark.sources.table import hilbert_key, zorder_key
+
+    grid = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"),
+        (F.col("id") / 64).cast("long").alias("y"),
+    )
+    rows = zorder_key(
+        hilbert_key(grid, ["x", "y"], bits=6, out="h"),
+        ["x", "y"], bits=6, out="z",
+    ).collect()
+    by_h = sorted(rows, key=lambda r: r["h"])
+    steps_h = [
+        abs(a["x"] - b["x"]) + abs(a["y"] - b["y"])
+        for a, b in zip(by_h, by_h[1:])
+    ]
+    assert set(steps_h) == {1}  # continuity: every step is one cell
+    by_z = sorted(rows, key=lambda r: r["z"])
+    steps_z = [
+        abs(a["x"] - b["x"]) + abs(a["y"] - b["y"])
+        for a, b in zip(by_z, by_z[1:])
+    ]
+    assert max(steps_z) > 1 and sum(steps_z) > sum(steps_h)
+
+
+def test_write_table_hilbert_layout_roundtrip(spark, tmp_path):
+    """layout='hilbert' writes the same ROWS as zorder (the key only
+    orders the layout) and unknown layouts refuse."""
+    import pytest as _pytest
+
+    from lbf_spark import fixtures
+    from lbf_spark.sources import table as TBL
+
+    ev = fixtures.events_to_spark(
+        spark, fixtures.generate_events(n_rows=400, n_entities=4)
+    ).drop("bytes")
+    p1 = str(tmp_path / "h1")
+    TBL.write_table(
+        ev, p1, mode="overwrite", ts_unit_day=10_000,
+        layout_cols=["duration", "w"], layout="hilbert",
+    )
+    assert TBL.scan(spark, p1).count() == 400
+    with _pytest.raises(ValueError, match="layout"):
+        TBL.write_table(
+            ev, str(tmp_path / "h2"), mode="overwrite",
+            layout_cols=["duration", "w"], layout="peano",
+        )
