@@ -9355,6 +9355,59 @@ def q187(spark, sf_dir):
     return v_twin.unionByName(v_cont).unionByName(guard)
 
 
+@q("q188_stream_dedup_ingest_cert", _EMPTY_CERT3)
+def q188(spark, sf_dir):
+    """Streaming ingest near-dup filter CERTIFICATE
+    (streaming/stream_features.py:dedup_ingest_batch — the crawl-
+    ingest composition of q181's incremental LSH index): the document
+    corpus arrives as 3 micro-batches (doc_id % 3), each filtered
+    against the standing store, then batch 1 is RE-DELIVERED.
+    Violations: (a) the defining invariant — ANY ≥ threshold near-dup
+    pair among the surviving corpus, recomputed by a from-scratch
+    full-corpus LSH+verify pass; (b) replay non-idempotence — the
+    redelivered batch changing the corpus row count; (c) vacuousness —
+    a run in which no doc was ever dropped against the corpus or
+    inside a batch proves nothing and raises its own violation.
+    Oracle = empty set."""
+    from lbf_spark.streaming.stream_features import dedup_ingest_batch
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", "text")
+    store = _table_tmp(sf_dir, "q188")
+    stats = [
+        dedup_ingest_batch(
+            docs.filter(F.col("doc_id") % 3 == k), k, store, threshold=0.1
+        )
+        for k in range(3)
+    ]
+    corpus = spark.read.parquet(f"{store}/corpus/batch-*")
+    n_before = corpus.count()
+    replay = dedup_ingest_batch(
+        docs.filter(F.col("doc_id") % 3 == 1), 1, store, threshold=0.1
+    )
+    n_after = spark.read.parquet(f"{store}/corpus/batch-*").count()
+
+    v_pairs = dedup.minhash_dedup_pairs(
+        corpus, threshold=0.1, num_hashes=16, bands=8
+    ).select(
+        F.lit("surviving_pair").alias("family"),
+        F.concat_ws(":", "id_a", "id_b").alias("key"),
+        F.col("jaccard").cast("double").alias("err"),
+    )
+    bad_replay = replay is not None or n_after != n_before
+    dropped_corpus = sum(s["n_dropped_corpus"] for s in stats)
+    dropped_internal = sum(s["n_dropped_internal"] for s in stats)
+    guards = [
+        ("replay_mutated", 1.0 if bad_replay else None),
+        ("no_corpus_drops", 1.0 if dropped_corpus == 0 else None),
+        ("no_internal_drops", 1.0 if dropped_internal == 0 else None),
+    ]
+    g_rows = [(fam, None, err) for fam, err in guards if err is not None]
+    g_df = spark.createDataFrame(
+        g_rows, "family string, key string, err double"
+    )
+    return v_pairs.unionByName(g_df)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -782,3 +782,159 @@ def read_heavy_hitter_state(spark, state_path: str) -> dict:
     return json.loads(
         fsio.read_text(spark, fsio.join(state_path, "sketch.json"))
     )
+
+
+def dedup_ingest_batch(
+    batch_df: DataFrame,
+    batch_id: int,
+    store_dir: str,
+    *,
+    threshold: float = 0.5,
+    n: int = 3,
+    num_hashes: int = 16,
+    bands: int = 8,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> dict | None:
+    """One ingest micro-batch through the STANDING near-dup filter —
+    the production crawl-ingest shape: the store keeps the surviving
+    corpus (parquet) next to its LSH band postings
+    (``dedup.lsh_index``), and each arriving batch (a) drops every doc
+    that near-dups a surviving corpus doc (candidates from the
+    persisted postings — no corpus re-signing, ``dedup.
+    lsh_incremental_pairs``), (b) collapses batch-internal near-dup
+    clusters to their min-id keeper (connected components, so
+    transitive chains keep exactly one), and (c) appends the
+    survivors AND their postings. Invariant maintained by induction:
+    NO two surviving docs anywhere form a ≥ threshold pair under the
+    algorithm's candidate generation (certified by q188 with a
+    from-scratch full-corpus pair scan).
+
+    Store layout: ``corpus/batch-<id>/`` and ``postings/batch-<id>/``
+    parquet dirs plus a ``state.json`` high-water mark written LAST
+    (atomic). Exactly-once under foreachBatch replay: a replayed
+    batch_id ≤ hwm is a no-op; a crash between the parquet writes and
+    the hwm replays into overwriting the SAME deterministic content.
+
+    Per-batch cost: O(batch + matched) — the corpus contributes only
+    its (bounded) bucket-matched docs to verification; at 10^12 docs
+    the postings join is the only corpus-sized input and it's an
+    equi-join on (band_id, band_hash)."""
+    import json as _json
+
+    from lbf_spark import fsio
+    from lbf_spark.operators import dedup
+
+    spark = batch_df.sparkSession
+    state_file = fsio.join(store_dir, "state.json")
+    try:
+        state = _json.loads(fsio.read_text(spark, state_file))
+    except Exception:
+        state = {"batch_hwm": -1}
+    if batch_id <= state["batch_hwm"]:
+        return None  # fully committed: replay no-op
+    if batch_df.isEmpty():
+        return {"batch_id": batch_id, "n_in": 0, "n_kept": 0,
+                "n_dropped_corpus": 0, "n_dropped_internal": 0}
+
+    corpus_dir = fsio.join(store_dir, "corpus")
+    post_dir = fsio.join(store_dir, "postings")
+    have_corpus = state["batch_hwm"] >= 0
+    batch = batch_df.select(id_col, text_col)
+    if have_corpus:
+        corpus = spark.read.parquet(f"{corpus_dir}/batch-*")
+        index = spark.read.parquet(f"{post_dir}/batch-*")
+        out = dedup.lsh_incremental_pairs(
+            corpus, index, batch, threshold=threshold, n=n,
+            num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col=text_col,
+        )
+        pairs = out["pairs"].select("id_a", "id_b")
+        corpus_ids = corpus.select(F.col(id_col).alias("cid"))
+        # batch docs pairing with a surviving corpus doc drop outright
+        hit_a = pairs.join(
+            corpus_ids, pairs["id_b"] == F.col("cid"), "left_semi"
+        ).select(F.col("id_a").alias(id_col))
+        hit_b = pairs.join(
+            corpus_ids, pairs["id_a"] == F.col("cid"), "left_semi"
+        ).select(F.col("id_b").alias(id_col))
+        corpus_hit = hit_a.unionByName(hit_b).distinct().join(
+            batch.select(id_col), id_col, "left_semi"
+        )
+        remaining = batch.join(corpus_hit, id_col, "left_anti")
+        # batch-internal pairs among the remaining docs → min-id keeper
+        internal = (
+            pairs.join(corpus_ids, pairs["id_a"] == F.col("cid"), "left_anti")
+            .join(corpus_ids, pairs["id_b"] == F.col("cid"), "left_anti")
+            .join(
+                remaining.select(F.col(id_col).alias("id_a")), "id_a",
+                "left_semi",
+            )
+            .join(
+                remaining.select(F.col(id_col).alias("id_b")), "id_b",
+                "left_semi",
+            )
+        )
+    else:
+        out = {"postings": dedup.lsh_index(
+            batch, n=n, num_hashes=num_hashes, bands=bands,
+            id_col=id_col, text_col=text_col,
+        )}
+        pairs = dedup.minhash_dedup_pairs(
+            batch, id_col=id_col, text_col=text_col, n=n,
+            num_hashes=num_hashes, bands=bands, threshold=threshold,
+        ).select("id_a", "id_b")
+        corpus_hit = batch.select(id_col).limit(0)
+        remaining = batch
+        internal = pairs
+    clusters = dedup.dup_clusters(internal).withColumnRenamed(
+        "doc_id", id_col
+    )
+    drop_internal = clusters.filter(
+        F.col(id_col) != F.col("cluster_id")
+    ).select(id_col)
+    survivors = remaining.join(drop_internal, id_col, "left_anti")
+    surv_posts = out["postings"].join(
+        survivors.select(id_col), id_col, "left_semi"
+    )
+    sdf = batch_df.join(survivors.select(id_col), id_col, "left_semi")
+    tag = f"batch-{batch_id:05d}"
+    sdf.write.mode("overwrite").parquet(f"{corpus_dir}/{tag}")
+    surv_posts.write.mode("overwrite").parquet(f"{post_dir}/{tag}")
+    stats = {
+        "batch_id": batch_id,
+        "n_in": batch.count(),
+        "n_kept": survivors.count(),
+        "n_dropped_corpus": corpus_hit.count(),
+    }
+    stats["n_dropped_internal"] = (
+        stats["n_in"] - stats["n_kept"] - stats["n_dropped_corpus"]
+    )
+    dedup.release_caches()
+    fsio.write_text_atomic(
+        spark, state_file,
+        _json.dumps({"batch_hwm": batch_id}, sort_keys=True),
+    )
+    return stats
+
+
+def stream_dedup_ingest(
+    stream_df: DataFrame,
+    store_dir: str,
+    checkpoint_dir: str,
+    trigger_available_now: bool = True,
+    **kwargs,
+):
+    """Streaming wrapper: every micro-batch flows through
+    ``dedup_ingest_batch`` against the standing store. Returns the
+    StreamingQuery."""
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        dedup_ingest_batch(batch_df, batch_id, store_dir, **kwargs)
+
+    writer = stream_df.writeStream.foreachBatch(commit).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -640,3 +640,62 @@ def test_write_table_hilbert_layout_roundtrip(spark, tmp_path):
             ev, str(tmp_path / "h2"), mode="overwrite",
             layout_cols=["duration", "w"], layout="peano",
         )
+
+
+def test_stream_dedup_ingest_e2e(spark, tmp_path):
+    """Real writeStream run through the standing near-dup filter:
+    batch-internal clusters collapse to min id, later batches drop
+    docs near-dupping the surviving corpus, unique docs pass, the
+    final corpus carries NO surviving near-dup pair, and a replayed
+    batch is a no-op (exactly-once)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lbf_spark.operators import dedup
+    from lbf_spark.streaming.stream_features import (
+        dedup_ingest_batch, stream_dedup_ingest,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again tonight ok"
+    uniq = [
+        "completely different text about streaming ingest pipelines",
+        "another unrelated document mentioning parquet and shuffles",
+        "el gato es una mascota que vive con los humanos siempre",
+    ]
+    b1 = [(1, base + " one"), (2, base + " two"), (10, uniq[0])]
+    b2 = [(20, base + " three"), (21, uniq[1]), (22, uniq[2])]
+    src = tmp_path / "dd_src"
+    src.mkdir()
+    for name, rows in (("a", b1), ("b", b2)):
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": [r[0] for r in rows],
+                 "text": [r[1] for r in rows]}
+            ),
+            str(src / f"{name}.parquet"),
+        )
+    store = str(tmp_path / "dd_store")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    q = stream_dedup_ingest(
+        stream, store, str(tmp_path / "dd_ckpt"), threshold=0.5,
+    )
+    q.awaitTermination(120)
+    corpus = spark.read.parquet(f"{store}/corpus/batch-*")
+    kept = {r["doc_id"] for r in corpus.collect()}
+    # batch 1: 1/2 cluster -> keeper 1; batch 2: 20 near-dups corpus 1
+    assert 1 in kept and 2 not in kept and 20 not in kept
+    assert {10, 21, 22} <= kept
+    # invariant: no surviving near-dup pair anywhere
+    assert dedup.minhash_dedup_pairs(
+        corpus, threshold=0.5, num_hashes=16, bands=8
+    ).count() == 0
+    dedup.release_caches()
+    # replay: re-running an already-committed batch id is a no-op
+    n_before = corpus.count()
+    replay = spark.createDataFrame(b1, "doc_id long, text string")
+    assert dedup_ingest_batch(replay, 0, store, threshold=0.5) is None
+    assert spark.read.parquet(f"{store}/corpus/batch-*").count() == n_before
