@@ -211,6 +211,30 @@ def _cmd_imageprep(args) -> int:
     return 0
 
 
+def _cmd_ingest(args) -> int:
+    import json as _json
+
+    from lbf_spark import fsio
+    from lbf_spark.streaming.stream_features import dedup_ingest_batch
+
+    spark = _session(args)
+    batch = spark.read.parquet(args.input)
+    try:
+        state = _json.loads(
+            fsio.read_text(spark, f"{args.store}/state.json")
+        )
+    except Exception:
+        state = {"batch_hwm": -1}
+    stats = dedup_ingest_batch(
+        batch, state["batch_hwm"] + 1, args.store,
+        threshold=args.threshold, n=args.ngram,
+        num_hashes=args.num_hashes, bands=args.bands,
+        id_col=args.id_col, text_col=args.text_col,
+    )
+    print(json.dumps(stats))
+    return 0
+
+
 def _cmd_table(args) -> int:
     from lbf_spark.sources import table as TBL
 
@@ -364,6 +388,21 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--h-col", default="h")
     _add_session_flags(p)
     p.set_defaults(fn=_cmd_imageprep)
+
+    p = sub.add_parser(
+        "ingest", help="near-dup-filtered ingest into a standing store"
+    )
+    p.add_argument("--input", required=True, help="parquet batch to ingest")
+    p.add_argument("--store", required=True,
+                   help="standing store dir (corpus/ postings/ state.json)")
+    p.add_argument("--id-col", default="doc_id")
+    p.add_argument("--text-col", default="text")
+    p.add_argument("--ngram", type=int, default=3)
+    p.add_argument("--num-hashes", type=int, default=16)
+    p.add_argument("--bands", type=int, default=8)
+    p.add_argument("--threshold", type=float, default=0.5)
+    _add_session_flags(p)
+    p.set_defaults(fn=_cmd_ingest)
 
     p = sub.add_parser("table", help="table maintenance")
     tsub = p.add_subparsers(dest="table_cmd", required=True)

@@ -185,3 +185,46 @@ def test_cli_imageprep(spark, tmp_path, capsys):
     assert rep["n_images"] == 24 and sum(rep["buckets"].values()) == 24
     got = spark.read.parquet(f"{out_dir}/prepared").toPandas()
     assert ((got.w == got.tgt_w) & (got.h == got.tgt_h)).all()
+
+
+def test_cli_ingest_two_batches(spark, tmp_path):
+    """`ingest` runs consecutive batches against the standing store:
+    ids advance from the hwm, near-dups of the corpus drop, stats come
+    back as the JSON line."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from lbf_spark.cli import main
+
+    base = "shared boilerplate sentence that repeats across batches fully"
+    b1 = tmp_path / "in1"
+    b2 = tmp_path / "in2"
+    for d, rows in (
+        (b1, [(1, base + " one"), (2, "totally unique first text here")]),
+        (b2, [(3, base + " two"), (4, "another unique second text here")]),
+    ):
+        d.mkdir()
+        pq.write_table(
+            pa.Table.from_pydict(
+                {"doc_id": [r[0] for r in rows],
+                 "text": [r[1] for r in rows]}
+            ),
+            str(d / "part.parquet"),
+        )
+    store = str(tmp_path / "store")
+    rc1 = main([
+        "ingest", "--input", str(b1), "--store", store,
+        "--threshold", "0.5", "--master", "local[2]",
+    ])
+    rc2 = main([
+        "ingest", "--input", str(b2), "--store", store,
+        "--threshold", "0.5", "--master", "local[2]",
+    ])
+    assert rc1 == 0 and rc2 == 0
+    state = json.load(open(f"{store}/state.json"))
+    assert state["batch_hwm"] == 1
+    corpus = spark.read.parquet(f"{store}/corpus/batch-*")
+    kept = {r["doc_id"] for r in corpus.collect()}
+    assert kept == {1, 2, 4}  # 3 near-dups 1 across batches
