@@ -9408,6 +9408,162 @@ def q188(spark, sf_dir):
     return v_pairs.unionByName(g_df)
 
 
+@q("q189_audio_vad_cert", _EMPTY_CERT3)
+def q189(spark, sf_dir):
+    """Audio activity-segmentation CERTIFICATE
+    (operators/images.py:audio_activity_segments — the VAD-style
+    region detector over q103/q111's frame features): clips are
+    synthesized with a deterministic per-frame ON/OFF envelope (bits
+    of a multiplicative hash of the event id), so real multi-segment
+    structure exists; the distributed segmentation (threshold on
+    round(6) rms, sessionize on the frame axis, decimal-mean rms) must
+    equal an INDEPENDENT python twin that re-decodes each clip,
+    re-frames it with the loop kernel and re-builds segments with
+    decimal HALF_UP arithmetic. Violations = the symmetric difference
+    of the two segment sets, plus vacuousness guards (zero segments,
+    or no clip ever splitting into ≥ 2 segments). Oracle = empty
+    set."""
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lbf_spark.functions import audio as AU
+    from lbf_spark.operators.images import (
+        audio_activity_segments,
+        audio_frame_features,
+    )
+    from lbf_spark.util import fan_out
+
+    FRAME, NFR, THR = 2048, 8, 0.01
+
+    def _envelope(eid: int) -> list[int]:
+        pat = ((eid * 2654435761) >> 3) & 0xFF
+        return [(pat >> k) & 1 for k in range(NFR)]
+
+    ids = fan_out(
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 25 == 0)
+        .select("event_id")
+    )
+    clip_schema = T.StructType(
+        [
+            T.StructField("audio_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+            T.StructField("fmt", T.StringType(), False),
+        ]
+    )
+
+    def synth(it):
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                pcm = AU.synth_pcm(eid, FRAME * NFR)
+                env = np.repeat(
+                    np.asarray(_envelope(eid), dtype=np.int16), FRAME
+                )
+                rows.append(
+                    (f"clip_{eid}",
+                     AU.encode_audio(pcm * env, 16_000, "wav"), "wav")
+                )
+            yield pd.DataFrame(rows, columns=["audio_id", "bytes", "fmt"])
+
+    clips = ids.mapInPandas(synth, clip_schema)
+    frames = audio_frame_features(clips, frame=FRAME, id_col="audio_id")
+    got = audio_activity_segments(
+        frames, rms_min=THR, max_gap=0, id_col="audio_id"
+    ).select("audio_id", "seg_no", "start_frame", "end_frame",
+             "n_frames", "rms_mean")
+
+    exp_schema = (
+        "audio_id string, seg_no int, start_frame int, end_frame int,"
+        " n_frames bigint, rms_mean double"
+    )
+
+    def twin(it):
+        from decimal import ROUND_HALF_UP, Decimal
+
+        import numpy as np
+
+        q6 = Decimal("0.000001")
+        for pdf in it:
+            rows = []
+            for eid in pdf["event_id"]:
+                eid = int(eid)
+                pcm = AU.synth_pcm(eid, FRAME * NFR)
+                env = np.repeat(
+                    np.asarray(_envelope(eid), dtype=np.int16), FRAME
+                )
+                _sr, dec = AU.decode_audio(
+                    AU.encode_audio(pcm * env, 16_000, "wav"), "wav"
+                )
+                rms = []
+                for k in range(NFR):
+                    seg = dec[k * FRAME:(k + 1) * FRAME].astype(
+                        np.float64
+                    ) / 32768.0
+                    r = float(np.sqrt((seg ** 2).sum() / FRAME))
+                    # frame features np.round(6) (half-even) — replicate
+                    rms.append(float(np.round(r, 6)))
+                active = [k for k, r in enumerate(rms) if r >= THR]
+                segs, cur = [], []
+                for k in active:
+                    if cur and k - cur[-1] > 1:
+                        segs.append(cur)
+                        cur = []
+                    cur.append(k)
+                if cur:
+                    segs.append(cur)
+                for sno, fr in enumerate(segs):
+                    tot = sum(
+                        Decimal(repr(rms[k])).quantize(q6) for k in fr
+                    )
+                    mean = float(tot) / len(fr)
+                    rows.append(
+                        (f"clip_{eid}", sno, fr[0], fr[-1], len(fr),
+                         float(Decimal(repr(mean)).quantize(
+                             q6, rounding=ROUND_HALF_UP
+                         )))
+                    )
+            out = pd.DataFrame(
+                rows,
+                columns=["audio_id", "seg_no", "start_frame",
+                         "end_frame", "n_frames", "rms_mean"],
+            )
+            yield out.astype(
+                {"seg_no": "int32", "start_frame": "int32",
+                 "end_frame": "int32", "n_frames": "int64",
+                 "rms_mean": "float64"}
+            )
+
+    exp = ids.mapInPandas(twin, exp_schema)
+    diff = got.exceptAll(exp).unionByName(exp.exceptAll(got))
+    v_diff = diff.select(
+        F.lit("segment_diff").alias("family"),
+        F.concat_ws(":", "audio_id", "seg_no").alias("key"),
+        F.col("rms_mean").cast("double").alias("err"),
+    )
+    per_clip = got.groupBy("audio_id").agg(
+        F.count(F.lit(1)).alias("ns")
+    )
+    g_empty = got.agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") < 1
+    ).select(
+        F.lit("no_segments").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("double").alias("err"),
+    )
+    g_split = per_clip.agg(F.max("ns").alias("m")).filter(
+        F.col("m") < 2
+    ).select(
+        F.lit("never_splits").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("m").cast("double").alias("err"),
+    )
+    return v_diff.unionByName(g_empty).unionByName(g_split)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

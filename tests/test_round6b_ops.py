@@ -699,3 +699,32 @@ def test_stream_dedup_ingest_e2e(spark, tmp_path):
     replay = spark.createDataFrame(b1, "doc_id long, text string")
     assert dedup_ingest_batch(replay, 0, store, threshold=0.5) is None
     assert spark.read.parquet(f"{store}/corpus/batch-*").count() == n_before
+
+
+def test_audio_activity_segments_known_envelope(spark):
+    """Hand-built clip (frames ON ON off ON): threshold splits it into
+    [0,1] and [3,3]; max_gap=1 bridges the single silent frame into
+    one [0,3] segment."""
+    import numpy as np
+
+    from lbf_spark.functions import audio as AU
+    from lbf_spark.operators.images import (
+        audio_activity_segments, audio_frame_features,
+    )
+
+    FRAME = 2048
+    pcm = AU.synth_pcm(5, FRAME * 4)
+    env = np.repeat(np.asarray([1, 1, 0, 1], dtype=np.int16), FRAME)
+    df = spark.createDataFrame(
+        [("c1", AU.encode_audio(pcm * env, 16_000, "wav"), "wav")],
+        "audio_id string, bytes binary, fmt string",
+    )
+    frames = audio_frame_features(df, frame=FRAME, id_col="audio_id")
+    segs = {
+        (r["seg_no"], r["start_frame"], r["end_frame"], r["n_frames"])
+        for r in audio_activity_segments(frames, rms_min=0.01).collect()
+    }
+    assert segs == {(0, 0, 1, 2), (1, 3, 3, 1)}
+    merged = audio_activity_segments(frames, rms_min=0.01, max_gap=1)
+    [m] = merged.collect()
+    assert (m["start_frame"], m["end_frame"], m["n_frames"]) == (0, 3, 3)
