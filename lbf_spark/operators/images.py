@@ -1160,3 +1160,86 @@ def audio_activity_segments(
             6,
         ).alias("rms_mean"),
     )
+
+
+def video_frame_diffs(
+    df: DataFrame,
+    every_n: int = 1,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Consecutive-sampled-frame difference signal: one row per sampled
+    frame with ``mad`` = round(mean |frame − previous sampled frame|,
+    6) (null for a clip's first sample) — the scene-change detector's
+    input. The pixel comparison happens INSIDE the decode stage
+    (``mapInPandas`` over the FVC1 container's cheap frame seeks);
+    only (id, frame_idx, mad) scalars leave, payload never shuffles —
+    at 10^12 clips the decoded frames would dominate every downstream
+    exchange."""
+    from lbf_spark.functions.audio import video_decode_frame, video_info
+
+    schema = T.StructType(
+        [
+            T.StructField(id_col, T.StringType(), True),
+            T.StructField("frame_idx", T.IntegerType(), False),
+            T.StructField("mad", T.DoubleType(), True),
+        ]
+    )
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for _id, data in zip(pdf[id_col], pdf["bytes"]):
+                if data is None:
+                    continue
+                blob = bytes(data)
+                n, _fps = video_info(blob)
+                prev = None
+                for k in range(0, n, every_n):
+                    img = video_decode_frame(blob, k).astype(np.int64)
+                    mad = (
+                        None
+                        if prev is None
+                        else round(
+                            float(np.abs(img - prev).mean()), 6
+                        )
+                    )
+                    rows.append((_id, np.int32(k), mad))
+                    prev = img
+            yield pd.DataFrame(
+                rows, columns=[id_col, "frame_idx", "mad"]
+            )
+
+    return df.mapInPandas(batches, schema)
+
+
+def video_scene_segments(
+    diffs: DataFrame,
+    mad_min: float,
+    id_col: str = "video_id",
+) -> DataFrame:
+    """Scene segmentation over ``video_frame_diffs`` output: a sampled
+    frame whose ``mad`` meets the (round(6)-compared) threshold opens
+    a new scene; scenes aggregate to (start_frame, end_frame,
+    n_sampled). The q10 sessionize pattern on the frame axis — one
+    window + one groupBy per clip over scalar rows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(id_col).orderBy("frame_idx")
+    cut = (
+        F.when(
+            F.col("mad") >= F.round(F.lit(float(mad_min)), 6), 1
+        )
+        .otherwise(0)
+        .cast("int")
+    )
+    seg = diffs.withColumn(
+        "scene_no",
+        F.sum(cut).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ).cast("int"),
+    )
+    return seg.groupBy(id_col, "scene_no").agg(
+        F.min("frame_idx").alias("start_frame"),
+        F.max("frame_idx").alias("end_frame"),
+        F.count(F.lit(1)).alias("n_sampled"),
+    )

@@ -9564,6 +9564,132 @@ def q189(spark, sf_dir):
     return v_diff.unionByName(g_empty).unionByName(g_split)
 
 
+@q("q190_video_scene_cert", _EMPTY_CERT3)
+def q190(spark, sf_dir):
+    """Video scene-cut CERTIFICATE (operators/images.py:
+    video_frame_diffs + video_scene_segments): clips are synthesized
+    as a deterministic SEQUENCE OF SCENES (per-scene noise base from a
+    hash of (event id, scene), scene lengths from the id), so real
+    cuts exist at known places; the distributed pipeline (in-stage
+    frame differencing, round(6) threshold, sessionize) must equal an
+    independent python twin that re-decodes every frame and re-builds
+    the scenes with the identical arithmetic. Violations = symmetric
+    difference of the scene sets + vacuousness guards (no clip with
+    ≥ 2 scenes, zero scenes). Oracle = empty set."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as T
+
+    from lbf_spark.functions import audio as AU
+    from lbf_spark.operators.images import (
+        video_frame_diffs,
+        video_scene_segments,
+    )
+    from lbf_spark.util import fan_out
+
+    THR = 20.0
+
+    def _scenes(eid: int) -> list[int]:
+        # 2-4 scenes of 2-4 sampled frames each, all from the id
+        h = eid * 2654435761 % (1 << 32)
+        k = 2 + (h % 3)
+        return [2 + ((h >> (4 * (i + 1))) % 3) for i in range(k)]
+
+    def _frames(eid: int):
+        rng_frames = []
+        for sno, ln in enumerate(_scenes(eid)):
+            rng = np.random.default_rng(eid * 131 + sno)
+            base = rng.integers(0, 255, size=(24, 32, 3), dtype=np.uint8)
+            rng_frames.extend([base] * ln)
+        return rng_frames
+
+    ids = fan_out(
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 40 == 0)
+        .select("event_id")
+    )
+    clip_schema = T.StructType(
+        [
+            T.StructField("video_id", T.StringType(), False),
+            T.StructField("bytes", T.BinaryType(), False),
+        ]
+    )
+
+    def synth(it):
+        for pdf in it:
+            rows = [
+                (f"vid_{int(e)}", AU.video_encode(_frames(int(e))))
+                for e in pdf["event_id"]
+            ]
+            yield pd.DataFrame(rows, columns=["video_id", "bytes"])
+
+    clips = ids.mapInPandas(synth, clip_schema)
+    got = video_scene_segments(
+        video_frame_diffs(clips, every_n=1), mad_min=THR
+    ).select("video_id", "scene_no", "start_frame", "end_frame",
+             "n_sampled")
+
+    exp_schema = (
+        "video_id string, scene_no int, start_frame int,"
+        " end_frame int, n_sampled bigint"
+    )
+
+    def twin(it):
+        for pdf in it:
+            rows = []
+            for e in pdf["event_id"]:
+                eid = int(e)
+                dec = [
+                    AU.video_decode_frame(
+                        AU.video_encode(_frames(eid)), k
+                    ).astype(np.int64)
+                    for k in range(sum(_scenes(eid)))
+                ]
+                scene, start = 0, 0
+                segs = []
+                for k in range(1, len(dec)):
+                    mad = round(float(np.abs(dec[k] - dec[k - 1]).mean()), 6)
+                    if mad >= THR:
+                        segs.append((scene, start, k - 1, k - start))
+                        scene, start = scene + 1, k
+                segs.append((scene, start, len(dec) - 1, len(dec) - start))
+                rows.extend(
+                    (f"vid_{eid}", s, a, b, n) for s, a, b, n in segs
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["video_id", "scene_no", "start_frame",
+                         "end_frame", "n_sampled"],
+            ).astype(
+                {"scene_no": "int32", "start_frame": "int32",
+                 "end_frame": "int32", "n_sampled": "int64"}
+            )
+
+    exp = ids.mapInPandas(twin, exp_schema)
+    diff = got.exceptAll(exp).unionByName(exp.exceptAll(got))
+    v_diff = diff.select(
+        F.lit("scene_diff").alias("family"),
+        F.concat_ws(":", "video_id", "scene_no").alias("key"),
+        F.col("n_sampled").cast("double").alias("err"),
+    )
+    per_clip = got.groupBy("video_id").agg(F.count(F.lit(1)).alias("ns"))
+    g_split = per_clip.agg(F.max("ns").alias("m")).filter(
+        F.col("m") < 2
+    ).select(
+        F.lit("never_splits").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("m").cast("double").alias("err"),
+    )
+    g_empty = got.agg(F.count(F.lit(1)).alias("n")).filter(
+        F.col("n") < 1
+    ).select(
+        F.lit("no_scenes").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.lit(None).cast("double").alias("err"),
+    )
+    return v_diff.unionByName(g_split).unionByName(g_empty)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -728,3 +728,29 @@ def test_audio_activity_segments_known_envelope(spark):
     merged = audio_activity_segments(frames, rms_min=0.01, max_gap=1)
     [m] = merged.collect()
     assert (m["start_frame"], m["end_frame"], m["n_frames"]) == (0, 3, 3)
+
+
+def test_video_scene_segments_known_cut(spark):
+    """Two-scene hand-built clip: segments split exactly at the base
+    change; a sky-high threshold collapses to one scene."""
+    import numpy as np
+
+    from lbf_spark.functions import audio as AU
+    from lbf_spark.operators.images import (
+        video_frame_diffs, video_scene_segments,
+    )
+
+    a = np.full((24, 32, 3), 30, np.uint8)
+    b = np.full((24, 32, 3), 200, np.uint8)
+    clip = AU.video_encode([a, a, a, b, b])
+    df = spark.createDataFrame(
+        [("v1", clip)], "video_id string, bytes binary"
+    )
+    diffs = video_frame_diffs(df, every_n=1)
+    segs = {
+        (r["scene_no"], r["start_frame"], r["end_frame"], r["n_sampled"])
+        for r in video_scene_segments(diffs, mad_min=50.0).collect()
+    }
+    assert segs == {(0, 0, 2, 3), (1, 3, 4, 2)}
+    [one] = video_scene_segments(diffs, mad_min=1e9).collect()
+    assert (one["start_frame"], one["end_frame"], one["n_sampled"]) == (0, 4, 5)
