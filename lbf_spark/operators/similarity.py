@@ -1084,3 +1084,145 @@ def ivfpq_topk(
         .filter(F.col("rnk") <= int(k_top))
         .select("probe_id", id_col, "cluster_id", "adc_dist2", "rnk")
     )
+
+
+def ivfpq_residual_topk(
+    df: DataFrame,
+    coarse: DataFrame,
+    codebooks: DataFrame,
+    probes: DataFrame,
+    dim: int,
+    m: int = 4,
+    nprobe: int = 2,
+    k_top: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ with RESIDUAL encoding (``by_residual=True`` — the FAISS
+    default, and the accuracy reason it is: PQ codes quantize
+    ``x − c(cell(x))``, whose spread is one cell's diameter instead of
+    the whole space, so the same codebook budget spends its codewords
+    where the data actually is). ``ivfpq_topk`` (q172) is the
+    ``by_residual=False`` flavor; everything structural carries over,
+    with two deltas: corpus codes are assigned on residuals, and the
+    ADC lookup table becomes per (probe, CELL) — the probe's residual
+    against each shortlisted cell — i.e. k·m·nprobe table terms per
+    probe instead of k·m.
+
+    Determinism: residual subtraction is a fixed-order ``zip_with``;
+    every distance is the round(6) fold → DECIMAL term sum (q171's
+    partial-agg-proof rule); every argmin/rank total-orders on
+    (dist2, id). Shuffles: one cell equi-join + one (probe, vector)
+    groupBy, never probe×corpus; coarse/codebooks/LUT broadcast."""
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m {m}")
+    sub = dim // m
+    spark = df.sparkSession
+    cellv = F.broadcast(
+        coarse.select(
+            F.col(cent_id).alias("cluster_id"),
+            F.col(cent_vec).cast("array<double>").alias("__cellv"),
+        )
+    )
+    asg = nearest_centroid_join(
+        df, coarse, id_col=id_col, vec_col=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    ).select(id_col, "cluster_id")
+    assign = (
+        df.select(id_col, vec_col)
+        .join(asg, id_col)
+        .join(cellv, "cluster_id")
+        .withColumn(
+            "__res",
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__cellv"),
+                lambda x, y: x - y,
+            ),
+        )
+    )
+    codes = pq_codes(
+        assign.select(id_col, "__res"), codebooks, dim=dim, m=m,
+        id_col=id_col, vec_col="__res",
+        cent_id=cent_id, cent_vec=cent_vec,
+    ).select(id_col, "subspace", "code")
+
+    c = F.broadcast(
+        coarse.select(
+            F.col(cent_id).alias("__cell"),
+            F.col(cent_vec).cast("array<double>").alias("__cv"),
+        )
+    )
+    pd2 = F.aggregate(
+        F.zip_with(
+            F.col(vec_col).cast("array<double>"),
+            F.col("__cv"),
+            lambda x, y: (x - y) * (x - y),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    wcell = Window.partitionBy("probe_id").orderBy(
+        F.asc_nulls_last("__cd"), F.asc("__cell")
+    )
+    pcells = (
+        probes.select(F.col(id_col).alias("probe_id"), F.col(vec_col))
+        .crossJoin(c)
+        .withColumn("__cd", F.round(pd2, 6))
+        .withColumn("__crk", F.row_number().over(wcell))
+        .filter(F.col("__crk") <= int(nprobe))
+        .select(
+            "probe_id",
+            F.col("__cell").alias("cluster_id"),
+            F.zip_with(
+                F.col(vec_col).cast("array<double>"),
+                F.col("__cv"),
+                lambda x, y: x - y,
+            ).alias("__pres"),
+        )
+    )
+    cand = F.broadcast(pcells.select("probe_id", "cluster_id")).join(
+        assign.select(id_col, "cluster_id"), "cluster_id"
+    ).select("probe_id", id_col, "cluster_id")
+
+    subs = spark.range(m).select(F.col("id").cast("int").alias("subspace"))
+    sl = lambda col: F.slice(  # noqa: E731
+        col, (F.col("subspace") * sub + 1).cast("int"), sub
+    )
+    ps = pcells.crossJoin(F.broadcast(subs)).select(
+        "probe_id", "cluster_id", "subspace",
+        sl(F.col("__pres")).alias("__pv"),
+    )
+    cs = codebooks.select(
+        F.col(cent_id).alias("code"),
+        F.col(cent_vec).cast("array<double>").alias("__bv"),
+    ).crossJoin(F.broadcast(subs)).select(
+        "code", "subspace", sl(F.col("__bv")).alias("__cw")
+    )
+    td2 = F.aggregate(
+        F.zip_with(
+            F.col("__pv"), F.col("__cw"), lambda x, y: (x - y) * (x - y)
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lut = ps.join(F.broadcast(cs), "subspace").select(
+        "probe_id", "cluster_id", "subspace", "code",
+        F.round(td2, 6).cast("decimal(18,6)").alias("__term"),
+    )
+    scored = (
+        cand.join(codes, id_col)
+        .join(F.broadcast(lut), ["probe_id", "cluster_id", "subspace", "code"])
+        .groupBy("probe_id", id_col, "cluster_id")
+        .agg(F.sum("__term").cast("double").alias("adc_dist2"))
+    )
+    w = Window.partitionBy("probe_id").orderBy(
+        F.asc("adc_dist2"), F.asc(id_col)
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= int(k_top))
+        .select("probe_id", id_col, "cluster_id", "adc_dist2", "rnk")
+    )

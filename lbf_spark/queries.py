@@ -9690,6 +9690,111 @@ def q190(spark, sf_dir):
     return v_diff.unionByName(g_split).unionByName(g_empty)
 
 
+@q(
+    "q191_ivfpq_residual",
+    """
+    with e as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings),
+    cc as (select vec_id as cid, cast(embedding as double[]) as cv
+           from embeddings where vec_id < 8),
+    cb as (select vec_id as bid, cast(embedding as double[]) as bv
+           from embeddings where vec_id >= 8 and vec_id < 16),
+    s as (select j from range(4) t(j)),
+    dca as (select e.vec_id, cc.cid,
+                   round(list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i])
+                                    for i in range(1, len(ev) + 1)]), 6)
+                     as d2
+            from e cross join cc),
+    asg as (select vec_id, cid as cell_id from (
+              select vec_id, cid, row_number() over (
+                partition by vec_id order by d2 asc, cid asc) as rk
+              from dca) where rk = 1),
+    resid as (select e.vec_id, a.cell_id,
+                     [ev[i] - cv[i] for i in range(1, len(ev) + 1)] as rv
+              from e join asg a on e.vec_id = a.vec_id
+                     join cc on cc.cid = a.cell_id),
+    es as (select resid.vec_id, s.j,
+                  list_slice(rv, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as sv
+           from resid cross join s),
+    bs as (select cb.bid, s.j,
+                  list_slice(bv, cast(j*16+1 as int),
+                             cast(j*16+16 as int)) as bw
+           from cb cross join s),
+    dc as (select es.vec_id, es.j, bs.bid,
+                  round(list_sum([ (sv[i] - bw[i]) * (sv[i] - bw[i])
+                                   for i in range(1, len(sv) + 1)]), 6)
+                    as d2
+           from es join bs on es.j = bs.j),
+    codes as (select vec_id, j, bid as code from (
+                select vec_id, j, bid, row_number() over (
+                  partition by vec_id, j order by d2 asc, bid asc) as rk
+                from dc) where rk = 1),
+    p as (select vec_id as probe_id, ev from e where vec_id >= 490),
+    pcd as (select p.probe_id, cc.cid,
+                   round(list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i])
+                                    for i in range(1, len(ev) + 1)]), 6)
+                     as d2
+            from p cross join cc),
+    pcell as (select probe_id, cid as cell_id from (
+                select probe_id, cid, row_number() over (
+                  partition by probe_id order by d2 asc, cid asc) as rk
+                from pcd) where rk <= 2),
+    pres as (select pc.probe_id, pc.cell_id,
+                    [ev[i] - cv[i] for i in range(1, len(ev) + 1)] as prv
+             from pcell pc join p on p.probe_id = pc.probe_id
+                    join cc on cc.cid = pc.cell_id),
+    cand as (select pc.probe_id, a.vec_id, a.cell_id
+             from pcell pc join asg a on pc.cell_id = a.cell_id),
+    psl as (select pres.probe_id, pres.cell_id, s.j,
+                   list_slice(prv, cast(j*16+1 as int),
+                              cast(j*16+16 as int)) as pv
+            from pres cross join s),
+    lut as (select psl.probe_id, psl.cell_id, psl.j, bs.bid as code,
+                   cast(round(list_sum([ (pv[i] - bw[i]) * (pv[i] - bw[i])
+                                         for i in range(1, len(pv) + 1)]),
+                              6) as decimal(18,6)) as term
+            from psl join bs on psl.j = bs.j),
+    adc as (select cd.probe_id, cd.vec_id, cd.cell_id,
+                   cast(sum(l.term) as double) as adc_dist2
+            from cand cd
+            join codes co on cd.vec_id = co.vec_id
+            join lut l on l.probe_id = cd.probe_id
+                      and l.cell_id = cd.cell_id
+                      and l.j = co.j and l.code = co.code
+            group by cd.probe_id, cd.vec_id, cd.cell_id),
+    rr as (select probe_id, vec_id, cell_id, adc_dist2,
+                  row_number() over (partition by probe_id
+                                     order by adc_dist2 asc, vec_id asc)
+                    as rnk
+           from adc)
+    select probe_id, vec_id, cell_id as cluster_id, adc_dist2, rnk
+    from rr where rnk <= 5
+    """,
+)
+def q191(spark, sf_dir):
+    """Residual IVF-PQ search (similarity.py:ivfpq_residual_topk —
+    FAISS's ``by_residual=True`` DEFAULT; q172 is the non-residual
+    flavor): corpus codes quantize x − c(cell(x)) (one cell's spread,
+    not the whole space), and each probe builds a per-CELL lookup
+    table from its residual against every shortlisted cell. The
+    oracle replays the ENTIRE residual index relationally — cell
+    argmin, residual arithmetic, per-subspace code argmin, the
+    per-(probe, cell) LUT, the decimal term sum and the final
+    ranking."""
+    emb = t(spark, sf_dir, "embeddings")
+    coarse = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    books = emb.filter(
+        (F.col("vec_id") >= 8) & (F.col("vec_id") < 16)
+    ).select(F.col("vec_id").alias("cid"), "embedding")
+    probes = emb.filter(F.col("vec_id") >= 490)
+    return S.ivfpq_residual_topk(
+        emb, coarse, books, probes, dim=64, m=4, nprobe=2, k_top=5
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

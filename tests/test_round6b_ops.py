@@ -754,3 +754,41 @@ def test_video_scene_segments_known_cut(spark):
     assert segs == {(0, 0, 2, 3), (1, 3, 4, 2)}
     [one] = video_scene_segments(diffs, mad_min=1e9).collect()
     assert (one["start_frame"], one["end_frame"], one["n_sampled"]) == (0, 4, 5)
+
+
+def test_ivfpq_residual_zero_centroid_equals_flat_adc(spark):
+    """With a single all-zero coarse centroid the residual IS the
+    vector, so residual IVF-PQ must reduce exactly to the flat PQ-ADC
+    search — the same equivalence law q172's family uses, now for the
+    by_residual=True path."""
+    import numpy as np
+
+    from lbf_spark.operators import similarity as S
+
+    rng = np.random.default_rng(21)
+    vecs = rng.normal(size=(40, 8)).astype(np.float32)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    zero = spark.createDataFrame(
+        [(0, [0.0] * 8)], "cid long, embedding array<float>"
+    )
+    books = emb.filter("vec_id < 4").select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    probes = emb.filter("vec_id >= 36")
+    res = {
+        (r["probe_id"], r["rnk"]): (r["vec_id"], r["adc_dist2"])
+        for r in S.ivfpq_residual_topk(
+            emb, zero, books, probes, dim=8, m=2, nprobe=1, k_top=3
+        ).collect()
+    }
+    flat_codes = S.pq_codes(emb, books, dim=8, m=2)
+    flat = {
+        (r["probe_id"], r["rnk"]): (r["vec_id"], r["adc_dist2"])
+        for r in S.pq_adc_topk(
+            flat_codes, books, probes, dim=8, m=2, k_top=3
+        ).collect()
+    }
+    assert res == flat and len(res) == 12
