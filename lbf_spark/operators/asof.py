@@ -447,3 +447,83 @@ def asof_topk(
     return j.withColumn("lag_rank", F.row_number().over(w)).filter(
         F.col("lag_rank") <= int(k)
     )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str = "start",
+    left_end: str = "end",
+    right_start: str = "r_start",
+    right_end: str = "r_end",
+    by: list[str] | str = "entity",
+    slice_width: int | None = None,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """INTERVAL × INTERVAL overlap join (the bedtools-intersect shape —
+    the reference's BED-vs-fragment intersection generalized to both
+    sides being ranges; ``interval_join`` is the point-in-range member
+    of the family): pairs where ``[start, end]`` and ``[r_start,
+    r_end]`` (closed, integer) overlap by ≥ ``min_overlap`` positions,
+    with the overlap length emitted.
+
+    Physical strategy — same range-BINNING as interval_join, but BOTH
+    sides explode into the time slices they span, the join is an
+    equi-join on (by, slice), and each pair is kept only in the slice
+    holding ``greatest(start, r_start)`` — the standard dedup trick
+    that makes a multi-slice overlap count ONCE without a distinct
+    (no second shuffle). A naive range join would compile to a
+    nested-loop product; this stays a hash join whose fan-out is
+    interval_span/W copies per row. ``slice_width`` defaults to the
+    95th-percentile right-interval width heuristic left to the caller
+    — pass the dominant interval scale.
+
+    Overlap length: ``least(end, r_end) − greatest(start, r_start) +
+    1`` — exact bigint."""
+    by = [by] if isinstance(by, str) else list(by)
+    if slice_width is None:
+        raise ValueError(
+            "pass slice_width (the dominant interval scale) — a wrong "
+            "width is correct but slow; there is no universal default"
+        )
+    w = int(slice_width)
+    l_sl = left.withColumn(
+        "_sl",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(left_start) / F.lit(w)),
+                F.floor(F.col(left_end) / F.lit(w)),
+            )
+        ),
+    )
+    r_sl = right.withColumn(
+        "_sl",
+        F.explode(
+            F.sequence(
+                F.floor(F.col(right_start) / F.lit(w)),
+                F.floor(F.col(right_end) / F.lit(w)),
+            )
+        ),
+    )
+    cond = l_sl["_sl"] == r_sl["_sl"]
+    for k in by:
+        cond = cond & (l_sl[k] == r_sl[k])
+    ov_start = F.greatest(l_sl[left_start], r_sl[right_start])
+    ov_len = (
+        F.least(l_sl[left_end], r_sl[right_end]) - ov_start + F.lit(1)
+    )
+    cond = (
+        cond
+        & (ov_len >= F.lit(int(min_overlap)))
+        # count each overlapping pair exactly once: only the slice
+        # containing the overlap's left edge keeps it
+        & (F.floor(ov_start / F.lit(w)) == l_sl["_sl"])
+    )
+    joined = l_sl.join(r_sl, cond)
+    for k in by:
+        joined = joined.drop(r_sl[k])
+    return (
+        joined.drop(l_sl["_sl"]).drop(r_sl["_sl"])
+        .withColumn("overlap_len", ov_len)
+    )

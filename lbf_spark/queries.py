@@ -9795,6 +9795,64 @@ def q191(spark, sf_dir):
     )
 
 
+@q(
+    "q192_interval_overlap",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as s,
+             epoch_us(ts) + (event_id % 3) * 86400000000 as en
+      from events
+    ),
+    a as (
+      select event_id as aid, user_id,
+             epoch_us(ts) - 43200000000 as rs,
+             epoch_us(ts) + 43200000000 as re
+      from events where event_id % 10 = 0
+    )
+    select e.event_id, a.aid, e.user_id,
+           least(e.en, a.re) - greatest(e.s, a.rs) + 1 as overlap_len
+    from e join a
+      on e.user_id = a.user_id
+     and e.s <= a.re and a.rs <= e.en
+    """,
+)
+def q192(spark, sf_dir):
+    """Interval × interval OVERLAP join
+    (asof.py:interval_overlap_join — the bedtools-intersect shape; the
+    reference's BED-vs-fragment intersection with both sides ranges,
+    fextract/lib.py:72-76 generalized): event intervals [ts, ts +
+    0-2 days] against ±half-day anchor windows, overlap length exact
+    bigint. The engine explodes BOTH sides into day-wide slices and
+    equi-joins, keeping each pair only in the slice holding the
+    overlap's left edge (once, without a distinct); the oracle is the
+    plain inequality join — any missed or double-counted slice pair
+    fails the hash."""
+    from lbf_spark.operators.asof import interval_overlap_join
+
+    e = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        F.col("ts_us").alias("s"),
+        (F.col("ts_us") + (F.col("event_id") % 3) * _DAY_US).alias("en"),
+    )
+    a = (
+        _events(spark, sf_dir)
+        .filter(F.col("event_id") % 10 == 0)
+        .select(
+            F.col("event_id").alias("aid"),
+            "user_id",
+            (F.col("ts_us") - _DAY_US // 2).alias("rs"),
+            (F.col("ts_us") + _DAY_US // 2).alias("re"),
+        )
+    )
+    out = interval_overlap_join(
+        e, a, left_start="s", left_end="en",
+        right_start="rs", right_end="re",
+        by="user_id", slice_width=_DAY_US,
+    )
+    return out.select("event_id", "aid", "user_id", "overlap_len")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -792,3 +792,41 @@ def test_ivfpq_residual_zero_centroid_equals_flat_adc(spark):
         ).collect()
     }
     assert res == flat and len(res) == 12
+
+
+def test_interval_overlap_join_laws(spark):
+    """Hand-built intervals: overlap set and lengths are exact, a
+    multi-slice-spanning pair appears exactly ONCE, min_overlap
+    filters, disjoint entities never pair, and slice_width is
+    mandatory."""
+    import pytest as _pytest
+
+    from lbf_spark.operators.asof import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [(1, "e1", 0, 25), (2, "e1", 30, 31), (3, "e1", 90, 95),
+         (4, "e2", 0, 100)],
+        "lid long, entity string, start long, end long",
+    )
+    right = spark.createDataFrame(
+        [(10, "e1", 20, 40), (11, "e1", 96, 99), (12, "e3", 0, 100)],
+        "rid long, entity string, r_start long, r_end long",
+    )
+    got = {
+        (r["lid"], r["rid"]): r["overlap_len"]
+        for r in interval_overlap_join(
+            left, right, by="entity", slice_width=10
+        ).collect()
+    }
+    # (1,10): [20,25] len 6 — spans slices but counted once;
+    # (2,10): [30,31] len 2; 3/11 disjoint; e2×e3 never pair
+    assert got == {(1, 10): 6, (2, 10): 2}
+    got5 = {
+        (r["lid"], r["rid"])
+        for r in interval_overlap_join(
+            left, right, by="entity", slice_width=10, min_overlap=5
+        ).collect()
+    }
+    assert got5 == {(1, 10)}
+    with _pytest.raises(ValueError, match="slice_width"):
+        interval_overlap_join(left, right, by="entity")
