@@ -66,6 +66,14 @@ def _cmd_stages(args) -> int:
 def _cmd_queries(args) -> int:
     from lbf_spark.queries import QUERIES
 
+    if args.explain:
+        fn, _oracle = QUERIES[args.explain]
+        spark = _session(args)
+        df = fn(spark, args.sf_dir)
+        print(df._sc._jvm.PythonSQLUtils.explainString(
+            df._jdf.queryExecution(), "formatted"
+        ))
+        return 0
     for name, (_fn, oracle) in QUERIES.items():
         if args.oracled_only and oracle is None:
             continue
@@ -308,7 +316,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.set_defaults(fn=_cmd_stages)
 
     p = sub.add_parser("queries", help="list the query catalog")
+    p.add_argument("--explain", default=None, metavar="QNAME",
+                   help="print the formatted physical plan of one entry")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.001")
     p.add_argument("--oracled-only", action="store_true")
+    _add_session_flags(p)
     p.set_defaults(fn=_cmd_queries)
 
     p = sub.add_parser("extract", help="run the feature pipeline")

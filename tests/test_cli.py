@@ -228,3 +228,16 @@ def test_cli_ingest_two_batches(spark, tmp_path):
     corpus = spark.read.parquet(f"{store}/corpus/batch-*")
     kept = {r["doc_id"] for r in corpus.collect()}
     assert kept == {1, 2, 4}  # 3 near-dups 1 across batches
+
+
+def test_cli_queries_explain(spark, capsys):
+    """queries --explain prints the formatted physical plan (pushdown
+    visible) for a catalog entry."""
+    from lbf_spark.cli import main
+
+    rc = main([
+        "queries", "--explain", "q01_filter_project",
+        "--sf-dir", "/root/testdata/sf0.001", "--master", "local[2]",
+    ])
+    out = capsys.readouterr().out
+    assert rc == 0 and "PushedFilters" in out and "Scan parquet" in out
