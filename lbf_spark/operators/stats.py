@@ -823,3 +823,75 @@ def mutual_information(
             F.max("n").alias("n_rows"),
         )
     )
+
+
+def ks_2samp(
+    df,
+    value_col: str,
+    side_col: str,
+    by: str | list[str] | None = None,
+) -> "DataFrame":
+    """Two-sample Kolmogorov-Smirnov statistic per group — the classic
+    distribution-drift test completing the rank-statistics family
+    (MWU/KW/Dunn are location tests; KS sees ANY shape change; PSI
+    (q126) is its binned cousin). ``side_col`` must hold exactly two
+    labels per group; D = max over pooled values v of
+    |F_a(v) − F_b(v)|.
+
+    Exactness: the ECDFs are step functions evaluated AFTER all ties
+    of a value (counts per distinct value, then a cumulative window
+    ordered by value), and the max runs over the INTEGER cross terms
+    |cum_a·n_b − cum_b·n_a| — no float enters until the single final
+    division, so the argmax cannot be perturbed by rounding and both
+    engines pick the identical numerator (the rank-statistics rule).
+    Output: (by…, n_a, n_b, ks_d round(6)).
+
+    Shape at 100 TB: one groupBy(by, value) with map-side partials,
+    one window per group ordered by value (skew bound = largest
+    group's distinct values), one final agg. Nothing leaves the JVM."""
+    from pyspark.sql import Window
+
+    by = [] if by is None else ([by] if isinstance(by, str) else list(by))
+    sides = df.select(side_col).distinct().orderBy(side_col).collect()
+    if len(sides) != 2:
+        raise ValueError(
+            f"ks_2samp needs exactly two {side_col!r} labels, "
+            f"got {[r[0] for r in sides]}"
+        )
+    a_lab = sides[0][0]
+    per_v = df.groupBy(*by, value_col).agg(
+        F.sum(
+            F.when(F.col(side_col) == a_lab, 1).otherwise(0)
+        ).alias("__ca"),
+        F.sum(
+            F.when(F.col(side_col) != a_lab, 1).otherwise(0)
+        ).alias("__cb"),
+    )
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wg = Window.partitionBy(*by)
+    stepped = (
+        per_v.withColumn("__cuma", F.sum("__ca").over(w))
+        .withColumn("__cumb", F.sum("__cb").over(w))
+        .withColumn("__na", F.sum("__ca").over(wg))
+        .withColumn("__nb", F.sum("__cb").over(wg))
+        .withColumn(
+            "__num",
+            F.abs(
+                F.col("__cuma") * F.col("__nb")
+                - F.col("__cumb") * F.col("__na")
+            ),
+        )
+    )
+    return stepped.groupBy(*by).agg(
+        F.max("__na").alias("n_a"),
+        F.max("__nb").alias("n_b"),
+        F.round(
+            F.max("__num").cast("double")
+            / (F.max("__na") * F.max("__nb")),
+            6,
+        ).alias("ks_d"),
+    )

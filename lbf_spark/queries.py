@@ -9853,6 +9853,60 @@ def q192(spark, sf_dir):
     return out.select("event_id", "aid", "user_id", "overlap_len")
 
 
+@q(
+    "q193_ks_drift",
+    """
+    with e as (
+      select event_type,
+             case when event_id % 2 = 0 then 'a' else 'b' end as side,
+             round(value, 6) as v
+      from events
+    ),
+    pv as (
+      select event_type, v,
+             sum(case when side = 'a' then 1 else 0 end) as ca,
+             sum(case when side = 'b' then 1 else 0 end) as cb
+      from e group by event_type, v
+    ),
+    st as (
+      select event_type, v,
+             sum(ca) over (partition by event_type order by v
+                           rows unbounded preceding) as cuma,
+             sum(cb) over (partition by event_type order by v
+                           rows unbounded preceding) as cumb,
+             sum(ca) over (partition by event_type) as na,
+             sum(cb) over (partition by event_type) as nb
+      from pv
+    )
+    select event_type,
+           cast(max(na) as bigint) as n_a,
+           cast(max(nb) as bigint) as n_b,
+           round(cast(max(abs(cuma * nb - cumb * na)) as double)
+                 / (cast(max(na) as bigint) * max(nb)), 6) as ks_d
+    from st group by event_type
+    """,
+)
+def q193(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov drift (stats.py:ks_2samp): per
+    event_type, the even/odd event split's value distributions are
+    compared as exact step-function ECDFs — D's argmax runs over
+    INTEGER cross terms |cum_a·n_b − cum_b·n_a| (no float until the
+    single final division), so both engines pick the identical
+    numerator; completes the rank-statistics family (MWU/KW/Dunn are
+    location-only; KS sees any shape change; PSI is the binned
+    cousin). The oracle replays per-value counts, cumulative steps and
+    the integer argmax."""
+    e = _events(spark, sf_dir).select(
+        "event_type",
+        F.when(F.col("event_id") % 2 == 0, F.lit("a"))
+        .otherwise(F.lit("b"))
+        .alias("side"),
+        F.round("value", 6).alias("v"),
+    )
+    out = stats.ks_2samp(e, value_col="v", side_col="side", by="event_type")
+    return out.select("event_type", "n_a", "n_b", "ks_d")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -830,3 +830,47 @@ def test_interval_overlap_join_laws(spark):
     assert got5 == {(1, 10)}
     with _pytest.raises(ValueError, match="slice_width"):
         interval_overlap_join(left, right, by="entity")
+
+
+def test_ks_2samp_matches_scipy_free_twin(spark):
+    """ks_2samp equals a plain numpy ECDF twin (identical samples → 0,
+    disjoint supports → 1, shifted normals → the known D), and refuses
+    a third label."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lbf_spark.operators import stats
+
+    rng = np.random.default_rng(13)
+    a = np.round(rng.normal(0, 1, 400), 6)
+    b = np.round(rng.normal(0.5, 1, 300), 6)
+    rows = (
+        [("g", "a", float(v)) for v in a]
+        + [("g", "b", float(v)) for v in b]
+        + [("same", "a", float(v)) for v in a]
+        + [("same", "b", float(v)) for v in a]
+        + [("far", "a", float(v)) for v in a]
+        + [("far", "b", float(v + 100.0)) for v in b]
+    )
+    df = spark.createDataFrame(rows, "grp string, side string, v double")
+    got = {
+        r["grp"]: (r["n_a"], r["n_b"], r["ks_d"])
+        for r in stats.ks_2samp(df, "v", "side", by="grp").collect()
+    }
+
+    def twin(x, y):
+        allv = np.sort(np.unique(np.concatenate([x, y])))
+        fa = np.searchsorted(np.sort(x), allv, side="right") / len(x)
+        fb = np.searchsorted(np.sort(y), allv, side="right") / len(y)
+        return np.abs(fa - fb).max()
+
+    assert got["same"] == (400, 400, 0.0)
+    assert got["far"] == (400, 300, 1.0)
+    assert got["g"][2] == round(float(twin(a, b)), 6)
+
+    bad = spark.createDataFrame(
+        [("x", "a", 1.0), ("x", "b", 2.0), ("x", "c", 3.0)],
+        "grp string, side string, v double",
+    )
+    with _pytest.raises(ValueError, match="exactly two"):
+        stats.ks_2samp(bad, "v", "side", by="grp")
