@@ -971,3 +971,41 @@ def rolling_quantile(
         return pdf
 
     return df.groupBy(*by_l).applyInPandas(fn, schema)
+
+
+def rolling_corr(
+    df: DataFrame,
+    x: str,
+    y: str,
+    out: str,
+    window: int,
+    by="entity",
+    order="ts",
+) -> DataFrame:
+    """Trailing rolling Pearson correlation between two signals per
+    entity — the pairwise drift/co-movement feature (``autocorr`` is
+    the lag-k SELF member; ``panel_corr_pairs`` the cross-entity one).
+
+    Determinism: the five sufficient statistics (Σx, Σy, Σxy, Σx²,
+    Σy²) accumulate as DECIMAL window sums over round(6)-quantized
+    inputs — window frames are ordered, but decimal addition makes
+    even retracted/partial accumulation exact — then ONE closed-form
+    IEEE expression per row, round(6)ed. Windows shorter than 2 rows
+    or with zero variance yield null. All-JVM; one exchange on
+    ``by``."""
+    w = _w(by, order).rowsBetween(-(window - 1), 0)
+    xd = F.round(F.col(x), 6).cast("decimal(18,6)")
+    yd = F.round(F.col(y), 6).cast("decimal(18,6)")
+    n = F.count(F.lit(1)).over(w).cast("double")
+    sx = F.sum(xd).over(w).cast("double")
+    sy = F.sum(yd).over(w).cast("double")
+    sxy = F.sum((xd * yd).cast("decimal(28,12)")).over(w).cast("double")
+    sxx = F.sum((xd * xd).cast("decimal(28,12)")).over(w).cast("double")
+    syy = F.sum((yd * yd).cast("decimal(28,12)")).over(w).cast("double")
+    num = n * sxy - sx * sy
+    den = F.sqrt((n * sxx - sx * sx) * (n * syy - sy * sy))
+    corr = F.when(
+        (F.count(F.lit(1)).over(w) >= 2) & (den > 0),
+        F.round(num / den, 6) + F.lit(0.0),
+    )
+    return df.withColumn(out, corr)

@@ -9907,6 +9907,63 @@ def q193(spark, sf_dir):
     return out.select("event_type", "n_a", "n_b", "ks_d")
 
 
+@q(
+    "q194_rolling_corr",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us,
+             cast(round(value, 6) as decimal(18,6)) as xd,
+             cast(round(cast(length(props) as double), 6)
+                  as decimal(18,6)) as yd
+      from events
+    ),
+    s as (
+      select event_id, user_id, ts_us,
+             cast(count(*) over w as double) as n,
+             cast(sum(xd) over w as double) as sx,
+             cast(sum(yd) over w as double) as sy,
+             cast(sum(cast(xd * yd as decimal(28,12))) over w as double)
+               as sxy,
+             cast(sum(cast(xd * xd as decimal(28,12))) over w as double)
+               as sxx,
+             cast(sum(cast(yd * yd as decimal(28,12))) over w as double)
+               as syy,
+             count(*) over w as cnt
+      from e
+      window w as (partition by user_id order by ts_us, event_id
+                   rows between 8 preceding and current row)
+    )
+    select event_id, user_id, ts_us,
+           case when cnt >= 2
+                 and sqrt((n * sxx - sx * sx) * (n * syy - sy * sy)) > 0
+                then round((n * sxy - sx * sy)
+                           / sqrt((n * sxx - sx * sx)
+                                  * (n * syy - sy * sy)), 6) + 0
+           end as roll_corr
+    from s
+    """,
+)
+def q194(spark, sf_dir):
+    """Rolling Pearson correlation between two signals
+    (windows.py:rolling_corr): per-user trailing-9 correlation of
+    value vs props-length — the pairwise co-movement feature
+    (autocorr q133 is the lag-k SELF member, panel_corr_pairs q150 the
+    cross-entity one). Five DECIMAL sufficient statistics accumulate
+    exactly over the frame, then ONE closed-form IEEE expression per
+    row round(6)ed; sub-2-row or zero-variance windows yield null.
+    The oracle replays the identical decimal sums and expression
+    tree."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "value",
+        F.length("props").cast("double").alias("plen"),
+    )
+    out = W.rolling_corr(
+        e, "value", "plen", "roll_corr", window=9,
+        by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select("event_id", "user_id", "ts_us", "roll_corr")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

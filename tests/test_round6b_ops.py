@@ -874,3 +874,42 @@ def test_ks_2samp_matches_scipy_free_twin(spark):
     )
     with _pytest.raises(ValueError, match="exactly two"):
         stats.ks_2samp(bad, "v", "side", by="grp")
+
+
+def test_rolling_corr_matches_pandas(spark):
+    """rolling_corr ≈ pandas rolling corr on well-conditioned data
+    (1e-9), exact ±1 on perfectly (anti)correlated series, null under
+    2 rows and on zero variance."""
+    import numpy as np
+    import pandas as pd
+
+    from lbf_spark.operators import windows as W
+
+    rng = np.random.default_rng(17)
+    xs = np.round(rng.normal(10, 2, 120), 6)
+    noise = np.round(rng.normal(0, 0.5, 120), 6)
+    rows = (
+        [("g", i, float(xs[i]), float(2 * xs[i] + noise[i]))
+         for i in range(120)]
+        + [("lin", i, float(i), float(3 * i + 1)) for i in range(20)]
+        + [("anti", i, float(i), float(-i)) for i in range(20)]
+        + [("flat", i, 5.0, float(i)) for i in range(20)]
+    )
+    df = spark.createDataFrame(rows, "g string, ts long, x double, y double")
+    got = (
+        W.rolling_corr(df, "x", "y", "c", window=7, by="g", order="ts")
+        .toPandas()
+        .set_index(["g", "ts"])["c"]
+    )
+    pdf = pd.DataFrame(
+        [(t, x, y) for g, t, x, y in rows if g == "g"],
+        columns=["ts", "x", "y"],
+    ).sort_values("ts")
+    exp = pdf["x"].rolling(7, min_periods=2).corr(pdf["y"])
+    for i in range(2, 120):
+        assert abs(got[("g", i)] - exp.iloc[i]) < 6e-7  # round(6) grid
+    assert got[("g", 0)] is None or np.isnan(got[("g", 0)])
+    for i in range(2, 20):
+        assert got[("lin", i)] == 1.0
+        assert got[("anti", i)] == -1.0
+        assert got[("flat", i)] is None or np.isnan(got[("flat", i)])
