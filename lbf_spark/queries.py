@@ -9964,6 +9964,64 @@ def q194(spark, sf_dir):
     return out.select("event_id", "user_id", "ts_us", "roll_corr")
 
 
+@q("q195_color_histogram_cert", _EMPTY_CERT3)
+def q195(spark, sf_dir):
+    """Color-histogram CERTIFICATE (operators/images.py:
+    color_histogram): per-(image, channel, bin) integer pixel counts
+    must (a) CONSERVE — Σ bins per channel == the image's pixel count
+    from the independent ``pixel_sums`` decode, (b) be INVARIANT under
+    a lossless png transcode — an independent encode+decode path
+    reproduces every count bit-for-bit (n_px is subpixels, so the
+    conservation law is 3·Σ_ch == n_px). Guards: a corpus whose
+    histograms never use ≥ 3 distinct bins proves nothing.
+    Violations → rows; oracle = empty set."""
+    from lbf_spark import fixtures
+    from lbf_spark.operators.images import (
+        color_histogram,
+        pixel_sums,
+        transcode,
+    )
+    from lbf_spark.util import fan_out
+
+    n = 600 if "0.001" in sf_dir else 1500
+    imgs = fan_out(
+        fixtures.events_to_spark(
+            spark, fixtures.generate_events(n_rows=n, n_entities=8)
+        )
+    ).select("image_id", "bytes", "fmt")
+    h1 = color_histogram(imgs, bins=16)
+    h2 = color_histogram(transcode(imgs, "png"), bins=16)
+    ps = pixel_sums(imgs).select(
+        "image_id", F.col("n_px").alias("n_total")
+    )
+    per_ch = h1.groupBy("image_id", "channel").agg(
+        F.sum("n_px").alias("n_ch"),
+        F.count(F.lit(1)).alias("n_bins_used"),
+    )
+    v_conserve = per_ch.join(ps, "image_id").filter(
+        F.col("n_ch") * 3 != F.col("n_total")
+    ).select(
+        F.lit("conservation").alias("family"),
+        F.concat_ws(":", "image_id", "channel").alias("key"),
+        (F.col("n_ch") * 3 - F.col("n_total")).cast("double").alias("err"),
+    )
+    d1 = h1.select("image_id", "channel", "bin", "n_px")
+    d2 = h2.select("image_id", "channel", "bin", "n_px")
+    v_invariant = d1.exceptAll(d2).unionByName(d2.exceptAll(d1)).select(
+        F.lit("transcode_variant").alias("family"),
+        F.concat_ws(":", "image_id", "channel", "bin").alias("key"),
+        F.col("n_px").cast("double").alias("err"),
+    )
+    g_flat = per_ch.agg(F.max("n_bins_used").alias("m")).filter(
+        F.col("m") < 3
+    ).select(
+        F.lit("degenerate_palette").alias("family"),
+        F.lit(None).cast("string").alias("key"),
+        F.col("m").cast("double").alias("err"),
+    )
+    return v_conserve.unionByName(v_invariant).unionByName(g_flat)
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

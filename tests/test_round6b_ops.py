@@ -913,3 +913,30 @@ def test_rolling_corr_matches_pandas(spark):
         assert got[("lin", i)] == 1.0
         assert got[("anti", i)] == -1.0
         assert got[("flat", i)] is None or np.isnan(got[("flat", i)])
+
+
+def test_color_histogram_known_image(spark):
+    """Hand-built image: counts land in the exact bins (value·16 div
+    256), zero bins are omitted, totals conserve, bad bins raise."""
+    import numpy as np
+    import pytest as _pytest
+
+    from lbf_spark.functions.codec import encode_image
+    from lbf_spark.operators.images import color_histogram
+
+    img = np.zeros((4, 4, 3), np.uint8)
+    img[:, :, 0] = 10      # bin 0
+    img[:, :, 1] = 130     # bin 8
+    img[:2, :, 2] = 255    # bin 15 (8 px)
+    img[2:, :, 2] = 16     # bin 1  (8 px)
+    df = spark.createDataFrame(
+        [("i1", encode_image(img, "png"), "png")],
+        "image_id string, bytes binary, fmt string",
+    )
+    got = {
+        (r["channel"], r["bin"]): r["n_px"]
+        for r in color_histogram(df, bins=16).collect()
+    }
+    assert got == {(0, 0): 16, (1, 8): 16, (2, 15): 8, (2, 1): 8}
+    with _pytest.raises(ValueError, match="divide"):
+        color_histogram(df, bins=3)
