@@ -1090,3 +1090,73 @@ def remove_duplicate_spans(
         ),
         F.coalesce("clean_text", F.lit("")).alias("clean_text"),
     )
+
+
+def containment_pairs(
+    probe_shingled: DataFrame,
+    corpus_shingled: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    max_df: int | None = None,
+) -> DataFrame:
+    """Asymmetric shingle CONTAINMENT C(p, d) = |S(p) ∩ S(d)| / |S(p)|
+    ≥ threshold — the quote/subset detector symmetric Jaccard misses:
+    an eval question quoted verbatim inside a long training document
+    scores near-zero Jaccard (the doc's shingle set dwarfs the
+    probe's) but containment ≈ 1. This is the decontamination signal
+    GPT-3/PaLM-style audits actually use; ``split_decontaminate``
+    consumes the emitted pairs like any other pair source.
+
+    Both inputs are ``with_shingles`` frames (probe = the SMALL side:
+    eval set, canary list). Inverted-index equi-join on the shingle —
+    only shingles the probes actually contain enter the index (the
+    corpus-side explode is semi-joined down first), so corpus cost is
+    O(postings matching probes), never O(corpus shingles). ``max_df``
+    drops stopword-like shingles from the JOIN only; containment
+    denominators stay exact (|S(p)| is measured before the cap) and
+    the capped result is a LOWER bound per pair — a containment hit
+    can only be missed if every shared shingle is hot, the same trade
+    ``jaccard_pairs`` documents.
+
+    Output: (probe_id, corpus_id, n_common, n_probe, containment
+    round(6)). One shuffle on the shingle key + one pair groupBy."""
+    probe = probe_shingled.select(
+        F.col(id_col).alias("probe_id"),
+        F.col("shingles").alias("__ps"),
+    ).withColumn("n_probe", F.size("__ps"))
+    p_inv = probe.select(
+        "probe_id", "n_probe", F.explode("__ps").alias("sh")
+    )
+    if max_df is not None:
+        hot = (
+            p_inv.groupBy("sh")
+            .agg(F.count(F.lit(1)).alias("df"))
+            .filter(F.col("df") > int(max_df))
+            .select("sh")
+        )
+        p_inv = p_inv.join(hot, "sh", "left_anti")
+    c_inv = (
+        corpus_shingled.select(
+            F.col(id_col).alias("corpus_id"),
+            F.explode("shingles").alias("sh"),
+        )
+        # corpus postings prune to shingles probes actually contain
+        .join(p_inv.select("sh").distinct(), "sh", "left_semi")
+    )
+    pairs = (
+        p_inv.join(c_inv, "sh")
+        .groupBy("probe_id", "corpus_id", "n_probe")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    cont = F.round(
+        F.col("n_common").cast("double") / F.col("n_probe"), 6
+    )
+    return (
+        pairs.withColumn("containment", cont)
+        .filter(
+            F.col("containment")
+            >= F.round(F.lit(float(threshold)), 6)
+        )
+        .select("probe_id", "corpus_id", "n_common", "n_probe",
+                "containment")
+    )

@@ -10022,6 +10022,74 @@ def q195(spark, sf_dir):
     return v_conserve.unionByName(v_invariant).unionByName(g_flat)
 
 
+@q(
+    "q196_containment_pairs",
+    f"""
+    with base as (
+      select doc_id, text from documents
+    ),
+    pr as (
+      select doc_id + 100000 as doc_id, substr(text, 1, 120) as text
+      from base where doc_id % 25 = 0
+    ),
+    toks_c as (select doc_id, {_TOKS_SQL} as tk from base),
+    toks_p as (select doc_id, {_TOKS_SQL} as tk from pr),
+    sh_c as (
+      select doc_id,
+             case when len(tk) >= 3
+                  then list_distinct([array_to_string(tk[i:i+2], ' ')
+                                      for i in range(1, len(tk) - 1)])
+                  else [] end as shingles
+      from toks_c
+    ),
+    sh_p as (
+      select doc_id,
+             case when len(tk) >= 3
+                  then list_distinct([array_to_string(tk[i:i+2], ' ')
+                                      for i in range(1, len(tk) - 1)])
+                  else [] end as shingles
+      from toks_p
+    ),
+    j as (
+      select p.doc_id as probe_id, c.doc_id as corpus_id,
+             cast(len(list_intersect(p.shingles, c.shingles)) as bigint)
+               as n_common,
+             cast(len(p.shingles) as bigint) as n_probe
+      from sh_p p cross join sh_c c
+      where len(list_intersect(p.shingles, c.shingles)) > 0
+    )
+    select probe_id, corpus_id, n_common, n_probe,
+           round(cast(n_common as double) / n_probe, 6) as containment
+    from j
+    where round(cast(n_common as double) / n_probe, 6) >= 0.8
+    """,
+)
+def q196(spark, sf_dir):
+    """Shingle-CONTAINMENT decontamination pairs
+    (dedup.py:containment_pairs — the asymmetric C(p,d) =
+    |S(p)∩S(d)|/|S(p)| quote detector symmetric Jaccard misses: an
+    eval question verbatim inside a long training doc has near-zero
+    Jaccard but containment ≈ 1; the GPT-3/PaLM-style audit signal):
+    probes are 120-char prefixes of every 25th document (planted
+    quotes), so each probe is contained in its own source; the engine
+    runs the probe-pruned inverted-index join, the oracle brute-forces
+    list_intersect over all pairs — recall gaps or a wrong denominator
+    fail the hash."""
+    docs = t(spark, sf_dir, "documents")
+    probes = docs.filter(F.col("doc_id") % 25 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"),
+        F.substring("text", 1, 120).alias("text"),
+    )
+    pairs = dedup.containment_pairs(
+        dedup.with_shingles(probes, "doc_id", "text", 3),
+        dedup.with_shingles(docs, "doc_id", "text", 3),
+        threshold=0.8,
+    )
+    return pairs.select(
+        "probe_id", "corpus_id", "n_common", "n_probe", "containment"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -940,3 +940,41 @@ def test_color_histogram_known_image(spark):
     assert got == {(0, 0): 16, (1, 8): 16, (2, 15): 8, (2, 1): 8}
     with _pytest.raises(ValueError, match="divide"):
         color_histogram(df, bins=3)
+
+
+def test_containment_vs_jaccard_asymmetry(spark):
+    """A short quote inside a long doc: containment ≈ 1 while Jaccard
+    stays tiny — the case the asymmetric detector exists for; unrelated
+    probes emit nothing; max_df keeps denominators exact."""
+    from lbf_spark.operators import dedup
+
+    quote = "the five boxing wizards jump quickly tonight"
+    filler = " ".join(f"filler{i} word{i} more{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote + " " + filler), (2, filler.replace("filler", "other"))],
+        "doc_id long, text string",
+    )
+    probes = spark.createDataFrame(
+        [(100, quote), (101, "completely unrelated probe text here now")],
+        "doc_id long, text string",
+    )
+    ps = dedup.with_shingles(probes, "doc_id", "text", 3)
+    cs = dedup.with_shingles(docs, "doc_id", "text", 3)
+    got = {
+        (r["probe_id"], r["corpus_id"]): (
+            r["containment"], r["n_common"], r["n_probe"]
+        )
+        for r in dedup.containment_pairs(ps, cs, threshold=0.8).collect()
+    }
+    assert set(got) == {(100, 1)}
+    c, n_common, n_probe = got[(100, 1)]
+    assert c == 1.0 and n_common == n_probe
+    # symmetric jaccard on the same pair is tiny (quote ≪ doc)
+    both = ps.unionByName(cs)
+    jac = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in dedup.jaccard_pairs(both, threshold=0.0).collect()
+        if {r["id_a"], r["id_b"]} == {1, 100}
+    }
+    assert all(v < 0.1 for v in jac.values())
+    dedup.release_caches()
