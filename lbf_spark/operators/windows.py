@@ -1009,3 +1009,44 @@ def rolling_corr(
         F.round(num / den, 6) + F.lit(0.0),
     )
     return df.withColumn(out, corr)
+
+
+def streaks(
+    df: DataFrame,
+    flag,
+    out: str = "streak_len",
+    by="entity",
+    order="ts",
+) -> DataFrame:
+    """Length of the CURRENT run of consecutive rows satisfying
+    ``flag`` (a boolean Column or column name), per entity in event
+    order — the "N-th success in a row" feature (error bursts, hot
+    hands, uninterrupted-activity counters). Rows where the flag is
+    false (or null) carry 0.
+
+    Pure window arithmetic, no iteration, ONE exchange: with rn the
+    row number and brk the running maximum rn among NON-matching rows
+    (both over the same (by, order) window spec, so they share the
+    sort), ``streak = rn − coalesce(brk, 0)`` on matching rows — the
+    distance back to the last break. All-JVM."""
+    f = F.col(flag) if isinstance(flag, str) else flag
+    w0 = _w(by, order)
+    wc = w0.rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        # null flags are non-matches: null AND false = false, so __ok
+        # is never null and ~__ok is a clean break marker
+        df.withColumn("__ok", f & f.isNotNull())
+        .withColumn("__rn", F.row_number().over(w0))
+        .withColumn(
+            "__brk",
+            F.max(F.when(~F.col("__ok"), F.col("__rn"))).over(wc),
+        )
+        .withColumn(
+            out,
+            F.when(
+                F.col("__ok"),
+                F.col("__rn") - F.coalesce(F.col("__brk"), F.lit(0)),
+            ).otherwise(F.lit(0)).cast("int"),
+        )
+        .drop("__ok", "__rn", "__brk")
+    )

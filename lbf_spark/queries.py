@@ -10090,6 +10090,53 @@ def q196(spark, sf_dir):
     )
 
 
+@q(
+    "q197_streak_features",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us,
+             value > 50.0 as ok
+      from events
+    ),
+    r0 as (
+      select event_id, user_id, ts_us, ok,
+             row_number() over (partition by user_id
+                                order by ts_us, event_id) as rn
+      from e
+    ),
+    r as (
+      select event_id, user_id, ts_us, ok, rn,
+             max(case when not ok then rn end) over (
+               partition by user_id order by ts_us, event_id
+               rows unbounded preceding
+             ) as brk
+      from r0
+    )
+    select event_id, user_id, ts_us,
+           cast(case when ok then rn - coalesce(brk, 0)
+                     else 0 end as int) as streak_len
+    from r
+    """,
+)
+def q197(spark, sf_dir):
+    """Consecutive-run streak features (windows.py:streaks): per user,
+    the length of the CURRENT run of events with value > 50 — the
+    "N-th in a row" counter behind burst detection and
+    uninterrupted-activity features. One exchange: row_number and the
+    running maximum break position share the same (entity, ts) window
+    spec, streak = rn − last break. The oracle replays the identical
+    arithmetic."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us",
+        (F.col("value") > 50.0).alias("ok"),
+    )
+    out = W.streaks(
+        e, "ok", out="streak_len", by="user_id",
+        order=["ts_us", "event_id"],
+    )
+    return out.select("event_id", "user_id", "ts_us", "streak_len")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

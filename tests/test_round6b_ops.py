@@ -978,3 +978,23 @@ def test_containment_vs_jaccard_asymmetry(spark):
     }
     assert all(v < 0.1 for v in jac.values())
     dedup.release_caches()
+
+
+def test_streaks_known_pattern(spark):
+    """Hand-built flag sequence (T T F T T T F(null) T): streaks count
+    1,2,0,1,2,3,0,1 — nulls break like false; one window exchange."""
+    from lbf_spark.operators import windows as W
+
+    flags = [True, True, False, True, True, True, None, True]
+    df = spark.createDataFrame(
+        [("e", i, flags[i]) for i in range(8)],
+        "entity string, ts long, ok boolean",
+    )
+    got = [
+        r["streak_len"]
+        for r in W.streaks(df, "ok").orderBy("ts").collect()
+    ]
+    assert got == [1, 2, 0, 1, 2, 3, 0, 1]
+    plan = W.streaks(df, "ok")._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("hashpartitioning(entity") >= 1
+    assert "BatchEvalPython" not in plan
