@@ -263,6 +263,17 @@ def _cmd_table(args) -> int:
         print(json.dumps(TBL.expire_snapshots(
             spark, args.path, keep_last=args.keep_last
         )))
+    elif args.table_cmd == "tag":
+        if args.delete:
+            TBL.delete_tag(spark, args.path, args.name)
+            print(json.dumps({"deleted": args.name}))
+        else:
+            print(json.dumps(TBL.create_tag(
+                spark, args.path, args.name,
+                snapshot_id=args.snapshot_id, replace=args.replace,
+            )))
+    elif args.table_cmd == "tags":
+        print(json.dumps(TBL.list_tags(spark, args.path)))
     elif args.table_cmd == "evolve-spec":
         snap = TBL.evolve_partition_spec(
             spark, args.path, n_buckets=args.n_buckets,
@@ -423,6 +434,8 @@ def build_parser() -> argparse.ArgumentParser:
         ("compact", "rewrite small files (one snapshot)"),
         ("expire", "expire old snapshots"),
         ("evolve-spec", "change the partition spec (metadata-only)"),
+        ("tag", "create/retarget/delete a named snapshot tag"),
+        ("tags", "list snapshot tags"),
         ("orphans", "delete unreachable files"),
         ("export-iceberg", "write Iceberg v2 metadata translation"),
     ]:
@@ -435,6 +448,11 @@ def build_parser() -> argparse.ArgumentParser:
         if name == "evolve-spec":
             tp.add_argument("--n-buckets", type=int, default=None)
             tp.add_argument("--ts-unit-day", type=int, default=None)
+        if name == "tag":
+            tp.add_argument("name")
+            tp.add_argument("--snapshot-id", type=int, default=None)
+            tp.add_argument("--replace", action="store_true")
+            tp.add_argument("--delete", action="store_true")
         _add_session_flags(tp)
         tp.set_defaults(fn=_cmd_table, table_cmd=name)
 

@@ -164,6 +164,12 @@ def spec_to_iceberg(
 _PART_RE = re.compile(r"entity_bucket=(\d+)/ts_day=(-?\d+)/")
 
 
+def _tags(spark, path: str) -> dict:
+    from lbf_spark.sources.table import list_tags
+
+    return list_tags(spark, path)
+
+
 def _data_file_entry(rel_path: str, stats, ts_unit: int, ts_field_id: int) -> dict:
     """One relative data-file path + its manifest stats → an Iceberg
     manifest data_file record (dict shape of the Avro record)."""
@@ -277,6 +283,15 @@ def to_iceberg_metadata(spark: SparkSession, path: str) -> dict:
         "partition-specs": specs_ice,
         "last-partition-id": 1001 + 2 * (len(specs_ice) - 1),
         "current-snapshot-id": head["snapshot_id"],
+        "refs": {
+            **{
+                name: {"snapshot-id": sid, "type": "tag"}
+                for name, sid in _tags(spark, path).items()
+            },
+            "main": {
+                "snapshot-id": head["snapshot_id"], "type": "branch"
+            },
+        },
         "snapshots": snapshots,
         "properties": {
             "compat.bucket-hash": "xxhash64",  # NOT murmur3: layout kept,

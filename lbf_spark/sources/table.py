@@ -929,6 +929,7 @@ def scan(
     n_buckets: int = 16,
     ts_unit_day: int = DAY,
     snapshot_id: int | None = None,
+    tag: str | None = None,
 ) -> DataFrame:
     """Pruned scan: entity/time predicates are rewritten onto the
     partition columns (bucket list, day range) so the source skips whole
@@ -954,6 +955,10 @@ def scan(
     prunes directories; the exact row predicate runs on what remains."""
     from lbf_spark import fsio
 
+    if tag is not None:
+        if snapshot_id is not None:
+            raise ValueError("pass snapshot_id or tag, not both")
+        snapshot_id = resolve_tag(spark, path, tag)
     data_dir = fsio.join(path, "data")
     snaps = _read_snaps(spark, fsio.join(path, "metadata"))
     if not snaps:
@@ -1161,6 +1166,18 @@ def expire_snapshots(
         return {"n_expired_snapshots": 0, "n_deleted_files": 0}
     retained = snaps[-keep_last:]
     expired = snaps[:-keep_last]
+    # retention respects refs (Iceberg): a tagged snapshot cannot
+    # expire — time travel to it must keep working until the tag goes
+    expired_ids = {s["snapshot_id"] for s in expired}
+    pinned = {
+        n: sid for n, sid in list_tags(spark, path).items()
+        if sid in expired_ids
+    }
+    if pinned:
+        raise ValueError(
+            f"snapshots pinned by tags would expire: {pinned} — "
+            "delete_tag first"
+        )
     # files any retained snapshot can see (time travel within retention)
     keep_files: set[str] = set()
     for s in retained:
@@ -1466,3 +1483,78 @@ def hilbert_key(
 
     h = F.aggregate(svals, acc0, step, lambda a: a["d"])
     return df.withColumn(out, h)
+
+
+def create_tag(
+    spark: SparkSession,
+    path: str,
+    name: str,
+    snapshot_id: int | None = None,
+    replace: bool = False,
+) -> dict:
+    """Named REF (Iceberg v2 "refs", tag flavor): pin ``name`` to a
+    snapshot id (default: the current head) as its own
+    ``metadata/ref-<name>.json`` — one file per ref, so creation is
+    the same exclusive-write primitive as a snapshot commit (no
+    read-modify-write of a shared refs file to race on).
+    ``scan(tag=…)`` reads the table as of the ref;
+    ``expire_snapshots`` REFUSES to expire a tagged snapshot (delete
+    the tag first) — retention respects refs, per the Iceberg spec.
+    ``replace=True`` retargets an existing tag atomically."""
+    import re as _re
+
+    from lbf_spark import fsio
+
+    if not _re.fullmatch(r"[A-Za-z0-9._-]{1,64}", name):
+        raise ValueError(f"invalid tag name {name!r}")
+    snaps = _read_snaps(spark, fsio.join(path, "metadata"))
+    if not snaps:
+        raise ValueError("create_tag needs an existing table snapshot")
+    sid = int(snapshot_id) if snapshot_id is not None else snaps[-1][
+        "snapshot_id"
+    ]
+    if sid not in {s["snapshot_id"] for s in snaps}:
+        raise ValueError(f"snapshot {sid} does not exist")
+    ref = {"name": name, "snapshot_id": sid, "type": "tag"}
+    target = fsio.join(path, "metadata", f"ref-{name}.json")
+    if replace:
+        fsio.write_text_atomic(spark, target, json.dumps(ref, indent=1))
+    else:
+        try:
+            fsio.write_text_exclusive(
+                spark, target, json.dumps(ref, indent=1)
+            )
+        except FileExistsError as e:
+            raise ValueError(
+                f"tag {name!r} already exists (replace=True retargets)"
+            ) from e
+    return ref
+
+
+def list_tags(spark: SparkSession, path: str) -> dict[str, int]:
+    """{tag name: snapshot_id} from the per-ref metadata files."""
+    from lbf_spark import fsio
+
+    meta_dir = fsio.join(path, "metadata")
+    out = {}
+    for f in fsio.list_names(spark, meta_dir):
+        if f.startswith("ref-") and f.endswith(".json"):
+            ref = json.loads(fsio.read_text(spark, fsio.join(meta_dir, f)))
+            out[ref["name"]] = ref["snapshot_id"]
+    return out
+
+
+def delete_tag(spark: SparkSession, path: str, name: str) -> None:
+    from lbf_spark import fsio
+
+    target = fsio.join(path, "metadata", f"ref-{name}.json")
+    if not fsio.exists(spark, target):
+        raise ValueError(f"tag {name!r} does not exist")
+    fsio.delete(spark, target)
+
+
+def resolve_tag(spark: SparkSession, path: str, name: str) -> int:
+    tags = list_tags(spark, path)
+    if name not in tags:
+        raise ValueError(f"tag {name!r} does not exist")
+    return tags[name]

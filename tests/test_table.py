@@ -957,3 +957,42 @@ def test_partition_spec_evolution_survives_expiration(
     assert t.count() == int(
         ((tiny_events.ts >= lo) & (tiny_events.ts <= hi)).sum()
     )
+
+
+def test_snapshot_tags(spark, tiny_events, tmp_path):
+    """Named refs: create/resolve/scan-at-tag, duplicate refuses unless
+    replace, retention respects pinned snapshots, delete releases."""
+    import pytest as _pytest
+
+    path = str(tmp_path / "tbltag")
+    ev = fixtures.events_to_spark(spark, tiny_events)
+    half = len(tiny_events) // 2
+    TBL.write_table(ev.limit(half), path, mode="overwrite",
+                    ts_unit_day=10_000)
+    TBL.create_tag(spark, path, "v1")
+    TBL.write_table(ev.exceptAll(ev.limit(half)), path)
+    assert TBL.resolve_tag(spark, path, "v1") == 1
+    assert TBL.scan(spark, path, tag="v1").count() == half
+    assert TBL.scan(spark, path).count() == len(tiny_events)
+    with _pytest.raises(ValueError, match="already exists"):
+        TBL.create_tag(spark, path, "v1")
+    TBL.create_tag(spark, path, "v1", snapshot_id=2, replace=True)
+    assert TBL.scan(spark, path, tag="v1").count() == len(tiny_events)
+    # pin back to snapshot 1: expiration must refuse while pinned
+    TBL.create_tag(spark, path, "old", snapshot_id=1)
+    with _pytest.raises(ValueError, match="pinned by tags"):
+        TBL.expire_snapshots(spark, path, keep_last=1)
+    TBL.delete_tag(spark, path, "old")
+    assert TBL.expire_snapshots(spark, path, keep_last=1)[
+        "n_expired_snapshots"
+    ] == 1
+    # refs surface in the Iceberg export
+    from lbf_spark.sources import iceberg_interop as ICE
+
+    meta = ICE.to_iceberg_metadata(spark, path)
+    assert meta["refs"]["v1"] == {"snapshot-id": 2, "type": "tag"}
+    assert meta["refs"]["main"]["type"] == "branch"
+    with _pytest.raises(ValueError, match="does not exist"):
+        TBL.delete_tag(spark, path, "nope")
+    with _pytest.raises(ValueError, match="invalid tag"):
+        TBL.create_tag(spark, path, "bad/name")
