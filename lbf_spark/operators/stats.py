@@ -445,9 +445,16 @@ def chi2_contingency_stat(
     contrib = F.round(
         (F.col("__o") - e) * (F.col("__o") - e) / e, 6
     ).cast("decimal(18,6)")
+    # densify: a χ² over only OBSERVED cells silently drops the
+    # (o − e)²/e = e contribution of every EMPTY cell — the exact
+    # cells that scream dependence. Full r × c grid, zero-filled.
+    dense = (
+        rt.crossJoin(ct)
+        .join(cells, ["__r", "__c"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
     return (
-        cells.join(F.broadcast(rt), "__r")
-        .join(F.broadcast(ct), "__c")
+        dense
         .crossJoin(F.broadcast(tot))
         .withColumn("__x", contrib)
         .groupBy()
@@ -457,6 +464,67 @@ def chi2_contingency_stat(
             .cast("long")
             .alias("dof"),
         )
+    )
+
+
+def cramers_v(df, row_col: str, col_col: str):
+    """Cramér's V effect size — χ²'s scale-free companion (a χ² of
+    10⁶ over 10¹² rows can be practically nothing; V ∈ [0, 1] says how
+    MUCH association): V = sqrt(χ² / (n · (min(kr, kc) − 1))). Same
+    relational contingency machinery as ``chi2_contingency_stat``
+    (decimal-summed rounded contributions), with n and min(k)−1 carried
+    through the single global aggregation; one IEEE sqrt, round(6).
+    Returns one row: (chi2, dof, n_obs, v)."""
+    from pyspark.sql import functions as F
+
+    cells = df.groupBy(
+        F.col(row_col).alias("__r"), F.col(col_col).alias("__c")
+    ).agg(F.count(F.lit(1)).alias("__o"))
+    rt = cells.groupBy("__r").agg(F.sum("__o").alias("__nr"))
+    ct = cells.groupBy("__c").agg(F.sum("__o").alias("__nc"))
+    tot = cells.agg(
+        F.sum("__o").alias("__n"),
+        F.count_distinct("__r").alias("__kr"),
+        F.count_distinct("__c").alias("__kc"),
+    )
+    e = (
+        F.col("__nr").cast("decimal(38,0)")
+        * F.col("__nc").cast("decimal(38,0)")
+    ).cast("double") / F.col("__n")
+    contrib = F.round(
+        (F.col("__o") - e) * (F.col("__o") - e) / e, 6
+    ).cast("decimal(18,6)")
+    dense = (
+        rt.crossJoin(ct)
+        .join(cells, ["__r", "__c"], "left")
+        .withColumn("__o", F.coalesce(F.col("__o"), F.lit(0)))
+    )
+    agg = (
+        dense
+        .crossJoin(F.broadcast(tot))
+        .withColumn("__x", contrib)
+        .groupBy()
+        .agg(
+            F.sum("__x").cast("double").alias("chi2"),
+            ((F.first("__kr") - 1) * (F.first("__kc") - 1))
+            .cast("long")
+            .alias("dof"),
+            F.first("__n").cast("long").alias("n_obs"),
+            (F.least(F.first("__kr"), F.first("__kc")) - 1)
+            .cast("long")
+            .alias("__kmin1"),
+        )
+    )
+    return agg.select(
+        "chi2",
+        "dof",
+        "n_obs",
+        F.round(
+            F.sqrt(
+                F.col("chi2") / (F.col("n_obs") * F.col("__kmin1"))
+            ),
+            6,
+        ).alias("v"),
     )
 
 

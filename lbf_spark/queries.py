@@ -3382,12 +3382,17 @@ def q89(spark, sf_dir):
     tot as (select sum(o) as n,
                    count(distinct r) as kr, count(distinct c) as kc
             from cells),
+    dense as (
+      select rt.r, ct.c, rt.nr, ct.nc, coalesce(cells.o, 0) as o
+      from rt cross join ct
+      left join cells on cells.r = rt.r and cells.c = ct.c
+    ),
     contrib as (
       select cast(round((o - (nr * nc) * 1.0 / n)
                         * (o - (nr * nc) * 1.0 / n)
                         / ((nr * nc) * 1.0 / n), 6) as decimal(18,6)) as x,
              kr, kc
-      from cells join rt using (r) join ct using (c) cross join tot
+      from dense cross join tot
     )
     select cast(sum(x) as double) as chi2,
            cast((min(kr) - 1) * (min(kc) - 1) as bigint) as dof
@@ -10135,6 +10140,52 @@ def q197(spark, sf_dir):
         order=["ts_us", "event_id"],
     )
     return out.select("event_id", "user_id", "ts_us", "streak_len")
+
+
+@q(
+    "q198_cramers_v",
+    """
+    with cells as (
+      select event_type as r, user_id % 2 as c, count(*) as o
+      from events group by 1, 2
+    ),
+    rt as (select r, sum(o) as nr from cells group by r),
+    ct as (select c, sum(o) as nc from cells group by c),
+    tot as (select sum(o) as n,
+                   count(distinct r) as kr, count(distinct c) as kc
+            from cells),
+    dense as (
+      select rt.r, ct.c, rt.nr, ct.nc, coalesce(cells.o, 0) as o
+      from rt cross join ct
+      left join cells on cells.r = rt.r and cells.c = ct.c
+    ),
+    contrib as (
+      select cast(round((o - (nr * nc) * 1.0 / n)
+                        * (o - (nr * nc) * 1.0 / n)
+                        / ((nr * nc) * 1.0 / n), 6) as decimal(18,6)) as x,
+             n, kr, kc
+      from dense cross join tot
+    )
+    select cast(sum(x) as double) as chi2,
+           cast((min(kr) - 1) * (min(kc) - 1) as bigint) as dof,
+           cast(min(n) as bigint) as n_obs,
+           round(sqrt(cast(sum(x) as double)
+                      / (cast(min(n) as bigint)
+                         * (least(min(kr), min(kc)) - 1))), 6) as v
+    from contrib
+    """,
+)
+def q198(spark, sf_dir):
+    """Cramér's V effect size (stats.py:cramers_v — χ²'s scale-free
+    companion; q90 carries the raw statistic, this says how MUCH
+    association, V ∈ [0,1] = sqrt(χ²/(n·(min k −1)))): same decimal-
+    summed contingency machinery, n and min(k)−1 carried through the
+    one global aggregation, a single IEEE sqrt round(6)ed. The oracle
+    replays margins, contributions and the V arithmetic."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "par", F.col("user_id") % 2
+    )
+    return stats.cramers_v(ev, "event_type", "par")
 
 
 # ---------------------------------------------------------------------

@@ -998,3 +998,31 @@ def test_streaks_known_pattern(spark):
     plan = W.streaks(df, "ok")._jdf.queryExecution().executedPlan().toString()
     assert plan.count("hashpartitioning(entity") >= 1
     assert "BatchEvalPython" not in plan
+
+
+def test_cramers_v_known_tables(spark):
+    """Perfect association → V = 1; independence → V ≈ 0; 2×2
+    hand-computable table matches the closed form."""
+    from lbf_spark.operators import stats
+
+    perfect = spark.createDataFrame(
+        [("a", 0)] * 30 + [("b", 1)] * 30, "r string, c long"
+    )
+    [p] = stats.cramers_v(perfect, "r", "c").collect()
+    assert p["v"] == 1.0 and p["dof"] == 1 and p["n_obs"] == 60
+    indep = spark.createDataFrame(
+        [("a", 0)] * 15 + [("a", 1)] * 15 + [("b", 0)] * 15 + [("b", 1)] * 15,
+        "r string, c long",
+    )
+    [i] = stats.cramers_v(indep, "r", "c").collect()
+    assert i["v"] == 0.0
+    # 2x2 with counts 20/10/10/20: chi2 = 60*(20*20-10*10)^2/(30^4)
+    skewed = spark.createDataFrame(
+        [("a", 0)] * 20 + [("a", 1)] * 10 + [("b", 0)] * 10 + [("b", 1)] * 20,
+        "r string, c long",
+    )
+    [s] = stats.cramers_v(skewed, "r", "c").collect()
+    import math
+    chi2 = 60 * (20 * 20 - 10 * 10) ** 2 / (30 * 30 * 30 * 30)
+    assert abs(s["chi2"] - chi2) < 3e-6  # 4 cells x round(6) quantization
+    assert s["v"] == round(math.sqrt(s["chi2"] / 60), 6)
