@@ -1050,3 +1050,33 @@ def streaks(
         )
         .drop("__ok", "__rn", "__brk")
     )
+
+
+def time_since_event(
+    df: DataFrame,
+    cond,
+    out: str = "since_us",
+    ts_col: str = "ts",
+    by="entity",
+    order=None,
+    include_current: bool = False,
+) -> DataFrame:
+    """Recency feature: time elapsed since the entity's most recent
+    row satisfying ``cond`` (a boolean Column or column name) — "µs
+    since last purchase/error/click", the staleness signal next to
+    ``asof_join``'s cross-table lookups, here within ONE stream so a
+    window does it with zero joins. Rows before the first match carry
+    null. ``include_current=False`` (default) measures to the last
+    STRICTLY PRECEDING match — the leakage-safe training convention
+    (a row must not see its own event); True gives the monitoring
+    convention (a matching row reads 0).
+
+    One conditional running ``max(ts where cond)`` over the same
+    (by, order) spec every other window feature shares — all-JVM."""
+    c = F.col(cond) if isinstance(cond, str) else cond
+    order = order if order is not None else ts_col
+    w0 = _w(by, order)
+    hi = 0 if include_current else -1
+    wc = w0.rowsBetween(Window.unboundedPreceding, hi)
+    last_ts = F.max(F.when(c, F.col(ts_col))).over(wc)
+    return df.withColumn(out, F.col(ts_col) - last_ts)

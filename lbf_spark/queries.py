@@ -10188,6 +10188,125 @@ def q198(spark, sf_dir):
     return stats.cramers_v(ev, "event_type", "par")
 
 
+@q(
+    "q199_time_since_event",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us, event_type
+      from events
+    )
+    select event_id, user_id, ts_us,
+           ts_us - max(case when event_type = 'purchase'
+                            then ts_us end) over (
+             partition by user_id order by ts_us, event_id
+             rows between unbounded preceding and 1 preceding
+           ) as since_us
+    from e
+    """,
+)
+def q199(spark, sf_dir):
+    """Recency feature (windows.py:time_since_event): µs since the
+    user's most recent STRICTLY PRECEDING purchase — the leakage-safe
+    staleness signal (a purchase row must not see itself; rows before
+    the first purchase carry null). One conditional running max over
+    the shared (entity, ts) window spec, zero joins. The oracle
+    replays the window arithmetic."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    out = W.time_since_event(
+        e, F.col("event_type") == "purchase", out="since_us",
+        ts_col="ts_us", by="user_id", order=["ts_us", "event_id"],
+    )
+    return out.select("event_id", "user_id", "ts_us", "since_us")
+
+
+@q(
+    "q200_curate_and_pack",
+    f"""
+    with w as (
+      select doc_id, text, source,
+             list_filter(string_split_regex(text, '\\s+'), x -> x <> '') as ws
+      from documents
+    ),
+    gates as (
+      select doc_id, text, source from w
+      where len(ws) >= 20 and len(ws) <= 100000
+        and round(list_sum(list_transform(ws, x -> length(x))) * 1.0
+                  / greatest(len(ws), 1), 6) between 3.0 and 10.0
+        and round((len(string_split(text, '#')) - 1
+                   + len(string_split(text, '...')) - 1) * 1.0
+                  / greatest(len(ws), 1), 6) < 0.1
+        and round(len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))
+                  * 1.0 / greatest(len(ws), 1), 6) >= 0.8
+    ),
+    rtoks as (select doc_id, {_TOKS_SQL} as tk from gates),
+    rgrams as (
+      select doc_id,
+             unnest([array_to_string(tk[i:i+2], ' ')
+                     for i in range(1, len(tk) - 1)]) as g
+      from rtoks where len(tk) >= 3
+    ),
+    pg as (select doc_id, g, count(*) as c from rgrams group by 1, 2),
+    rep as (
+      select doc_id, sum(c) as total, count(*) as dist from pg group by 1
+    ),
+    s2 as (
+      select g.doc_id, g.text, g.source
+      from gates g left join rep using (doc_id)
+      where round(coalesce(1 - dist * 1.0 / total, 0.0), 6) + 0 <= 0.3
+    ),
+    ded as (select min(doc_id) as doc_id from s2 group by md5(text)),
+    s3 as (select s2.* from s2 join ded using (doc_id)),
+    d as (
+      select doc_id, source, cast(len({_TOKS_SQL}) as bigint) as n_tok
+      from s3
+    ),
+    p as (
+      select doc_id, source, n_tok,
+             coalesce(sum(n_tok) over (partition by source order by doc_id
+                        rows between unbounded preceding and 1 preceding),
+                      0) as cum
+      from d
+    )
+    select doc_id, source, n_tok,
+           cast(floor(cum / 512.0) as bigint) as pack_id
+    from p
+    """,
+)
+def q200(spark, sf_dir):
+    """END-TO-END training-data assembly as ONE lazy plan
+    (plans/corpus.py + the q108 packer): Gopher gates → repetition
+    gate → exact dedup → shard-local ~512-token sequence packing of
+    the SURVIVORS — documents in, packed training sequences out, the
+    whole LLM-data pipeline Catalyst optimizes as a single DAG. The
+    oracle replays every stage including the exclusive prefix sums —
+    one doc mis-gated anywhere shifts every downstream pack_id and
+    fails the hash."""
+    from pyspark.sql import Window as _W
+
+    from lbf_spark.plans.corpus import curate_corpus
+
+    docs = t(spark, sf_dir, "documents")
+    kept = curate_corpus(docs, min_words=20, max_dup_ngram_frac=0.3)[
+        "kept"
+    ]
+    d = kept.select(
+        "doc_id",
+        "source",
+        F.size(dedup.tokens_col("text")).cast("long").alias("n_tok"),
+    )
+    w = (
+        _W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(_W.unboundedPreceding, -1)
+    )
+    cum = F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    return d.withColumn(
+        "pack_id", F.floor(cum / F.lit(512.0)).cast("long")
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

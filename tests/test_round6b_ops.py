@@ -1026,3 +1026,24 @@ def test_cramers_v_known_tables(spark):
     chi2 = 60 * (20 * 20 - 10 * 10) ** 2 / (30 * 30 * 30 * 30)
     assert abs(s["chi2"] - chi2) < 3e-6  # 4 cells x round(6) quantization
     assert s["v"] == round(math.sqrt(s["chi2"] / 60), 6)
+
+
+def test_time_since_event_leakage_convention(spark):
+    """Strictly-preceding (default): a matching row measures to the
+    PREVIOUS match, not itself; include_current=True reads 0; rows
+    before the first match carry null."""
+    from lbf_spark.operators import windows as W
+
+    rows = [("e", 10, False), ("e", 20, True), ("e", 35, False),
+            ("e", 50, True), ("e", 60, False)]
+    df = spark.createDataFrame(rows, "entity string, ts long, hit boolean")
+    strict = {
+        r["ts"]: r["since_us"]
+        for r in W.time_since_event(df, "hit").collect()
+    }
+    assert strict == {10: None, 20: None, 35: 15, 50: 30, 60: 10}
+    incl = {
+        r["ts"]: r["since_us"]
+        for r in W.time_since_event(df, "hit", include_current=True).collect()
+    }
+    assert incl == {10: None, 20: 0, 35: 15, 50: 0, 60: 10}
