@@ -350,3 +350,96 @@ def test_prob_dyad_matches_twin_property(spark, rows, spacing):
         for i in range(k):
             exp.append((event_id, est + spacing // 2 + i * spacing))
     assert got == sorted(exp)
+
+
+@given(
+    costs=st.lists(
+        st.integers(min_value=0, max_value=1 << 40), min_size=1, max_size=60
+    ),
+    n_shards=st.sampled_from([1, 3, 8]),
+)
+@SETTINGS
+def test_cost_balanced_shards_property(spark, costs, n_shards):
+    """Arbitrary costs (zeros, huge values, ties): banded global rank
+    + snake ≡ the python replay, every rank 1..n appears once."""
+    from lbf_spark.operators.distributions import cost_balanced_shards
+
+    df = spark.createDataFrame(
+        [(i, int(c)) for i, c in enumerate(costs)], "id long, cost long"
+    )
+    got = {
+        r["id"]: (r["cost_rank"], r["shard"])
+        for r in cost_balanced_shards(
+            df, n_shards=n_shards, cost_col="cost", id_col="id"
+        ).collect()
+    }
+    order = sorted(range(len(costs)), key=lambda i: (-costs[i], i))
+    for r0, i in enumerate(order):
+        rnd, pos = divmod(r0, n_shards)
+        exp_shard = pos if rnd % 2 == 0 else n_shards - 1 - pos
+        assert got[i] == (r0 + 1, exp_shard), (i, got[i])
+    assert sorted(rk for rk, _s in got.values()) == list(
+        range(1, len(costs) + 1)
+    )
+
+
+@given(
+    pts=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+            st.integers(min_value=0, max_value=(1 << 12) - 1),
+        ),
+        min_size=1,
+        max_size=50,
+    )
+)
+@SETTINGS
+def test_hilbert_key_property(spark, pts):
+    """Arbitrary 12-bit points: the JVM fold equals the classical xy2d
+    and distinct points get distinct keys (injectivity)."""
+    from lbf_spark.sources.table import hilbert_key
+
+    from tests.test_round6b_ops import _xy2d
+
+    df = spark.createDataFrame(
+        [(int(x), int(y)) for x, y in pts], "x long, y long"
+    )
+    got = {
+        (r["x"], r["y"]): r["h"]
+        for r in hilbert_key(df, ["x", "y"], bits=12, out="h").collect()
+    }
+    for (x, y), h in got.items():
+        assert h == _xy2d(12, x, y)
+    assert len(set(got.values())) == len(got)
+
+
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b"]),
+            st.integers(min_value=-50, max_value=50),
+        ),
+        min_size=2,
+        max_size=60,
+    )
+)
+@SETTINGS
+def test_ks_2samp_property(spark, vals):
+    """Arbitrary two-sample splits (ties across sides, degenerate
+    sides): D matches the numpy ECDF twin at round-6; both labels must
+    be present or the operator refuses (checked by construction)."""
+    from lbf_spark.operators import stats as ST
+
+    if len({s for s, _ in vals}) < 2:
+        vals = vals + [("a", 0), ("b", 0)]
+    df = spark.createDataFrame(
+        [(s, float(v)) for s, v in vals], "side string, v double"
+    )
+    [row] = ST.ks_2samp(df, "v", "side").collect()
+    x = np.sort([v for s, v in vals if s == "a"])
+    y = np.sort([v for s, v in vals if s == "b"])
+    allv = np.unique(np.concatenate([x, y]))
+    fa = np.searchsorted(x, allv, side="right") / len(x)
+    fb = np.searchsorted(y, allv, side="right") / len(y)
+    assert row["ks_d"] == round(float(np.abs(fa - fb).max()), 6)
+    assert (row["n_a"], row["n_b"]) == (len(x), len(y))
