@@ -1000,3 +1000,56 @@ def trigram_backoff_score(
             ).alias("lp_avg"),
         )
     )
+
+
+def canary_scan(
+    docs: DataFrame,
+    canaries: list[str],
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact canary-string scan — the memorization/extraction audit
+    (Carlini et al.'s canary methodology): every (doc, canary)
+    occurrence where the canary appears verbatim in the text, with the
+    1-based position of its FIRST occurrence and the occurrence count.
+    Canaries are deliberately-planted GUID-like strings; auditing a
+    corpus for them (pre-training) or a model's samples (post) is the
+    standard leak check.
+
+    Row-local: the canary list ships as a broadcast array literal and
+    each row folds over it with JVM ``instr``/split arithmetic — no
+    join, no shuffle, no Python; output is bounded by actual hits.
+    At 10^12 docs this is one projection over the scan."""
+    if not canaries:
+        raise ValueError("canary list is empty")
+    # literal replace, never regex: a canary may contain metacharacters
+    pairs = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("canary"),
+                F.instr(F.col(text_col), c).alias("first_pos"),
+                (
+                    (
+                        F.length(F.col(text_col))
+                        - F.length(
+                            F.replace(
+                                F.col(text_col), F.lit(c), F.lit("")
+                            )
+                        )
+                    )
+                    / F.lit(len(c))
+                ).cast("int").alias("n_occ"),
+            )
+            for c in canaries
+        ]
+    )
+    hit = F.filter(pairs, lambda s: s["first_pos"] > 0)
+    return (
+        docs.select(F.col(id_col), F.explode(hit).alias("h"))
+        .select(
+            id_col,
+            F.col("h.canary").alias("canary"),
+            F.col("h.first_pos").alias("first_pos"),
+            F.col("h.n_occ").alias("n_occ"),
+        )
+    )

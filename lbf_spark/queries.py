@@ -10307,6 +10307,44 @@ def q200(spark, sf_dir):
     )
 
 
+@q(
+    "q201_canary_scan",
+    """
+    with c as (
+      select substr(text, 11, 24) as canary
+      from documents where doc_id in (0, 75, 150)
+    )
+    select d.doc_id, c.canary,
+           cast(strpos(d.text, c.canary) as int) as first_pos,
+           cast((length(d.text)
+                 - length(replace(d.text, c.canary, '')))
+                / length(c.canary) as int) as n_occ
+    from documents d cross join c
+    where strpos(d.text, c.canary) > 0
+    """,
+)
+def q201(spark, sf_dir):
+    """Canary-string memorization audit (text.py:canary_scan —
+    Carlini-style planted-string leak check): three 24-char substrings
+    lifted from known documents act as canaries; the scan must find
+    every verbatim occurrence with its first position and exact count
+    (length-difference arithmetic over a LITERAL replace — regex
+    metacharacters in a canary can't corrupt the count). Row-local:
+    the canary list is a broadcast array literal folded per row, no
+    join, no shuffle. Each planted canary provably hits its own source
+    doc, so the scan is never vacuous."""
+    docs = t(spark, sf_dir, "documents")
+    canaries = [
+        r["c"]
+        for r in docs.filter(F.col("doc_id").isin(0, 75, 150))
+        .select(F.substring("text", 11, 24).alias("c"))
+        .orderBy("c")
+        .collect()
+    ]
+    out = text.canary_scan(docs, canaries)
+    return out.select("doc_id", "canary", "first_pos", "n_occ")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

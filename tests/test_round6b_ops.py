@@ -1047,3 +1047,30 @@ def test_time_since_event_leakage_convention(spark):
         for r in W.time_since_event(df, "hit", include_current=True).collect()
     }
     assert incl == {10: None, 20: 0, 35: 15, 50: 0, 60: 10}
+
+
+def test_canary_scan_positions_counts_and_metachars(spark):
+    """Known plants: first position and occurrence count exact,
+    regex metacharacters in a canary are inert, misses emit nothing,
+    empty canary list refuses."""
+    import pytest as _pytest
+
+    from lbf_spark.operators import text as TX
+
+    docs = spark.createDataFrame(
+        [
+            (1, "xx SECRET-A yy SECRET-A zz"),
+            (2, "nothing here"),
+            (3, "meta c.n*ry| inside"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r["doc_id"], r["canary"]): (r["first_pos"], r["n_occ"])
+        for r in TX.canary_scan(
+            docs, ["SECRET-A", "c.n*ry|", "absent"]
+        ).collect()
+    }
+    assert got == {(1, "SECRET-A"): (4, 2), (3, "c.n*ry|"): (6, 1)}
+    with _pytest.raises(ValueError, match="empty"):
+        TX.canary_scan(docs, [])
