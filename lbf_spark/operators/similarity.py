@@ -1226,3 +1226,102 @@ def ivfpq_residual_topk(
         .filter(F.col("rnk") <= int(k_top))
         .select("probe_id", id_col, "cluster_id", "adc_dist2", "rnk")
     )
+
+
+def centroid_state_init(
+    df: DataFrame,
+    centroids: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    cent_id: str = "cid",
+    cent_vec: str = "embedding",
+) -> DataFrame:
+    """Mergeable CENTROID STATE for mini-batch k-means maintenance —
+    the IVF-index freshness counterpart of the LSH ingest family: the
+    state is long-form ``(cid, d, s, n)`` with ``s`` the DECIMAL(28,6)
+    sum of the round(6)-quantized d-th components of the cell's
+    members and ``n`` the member count. Decimal sums are associative,
+    so states from disjoint batches MERGE exactly
+    (``centroid_state_update``) and the cell means ``s/n`` are
+    bit-identical however the data arrived — the q184 monoid argument
+    applied per dimension. Assignment here is against the provided
+    seed ``centroids`` (``nearest_centroid_join`` geometry)."""
+    asg = nearest_centroid_join(
+        df, centroids, id_col=id_col, vec_col=vec_col,
+        cent_id=cent_id, cent_vec=cent_vec,
+    ).select(id_col, "cluster_id")
+    comp = (
+        df.select(id_col, vec_col)
+        .join(asg, id_col)
+        .select(
+            F.col("cluster_id").alias("cid"),
+            F.posexplode(F.col(vec_col).cast("array<double>")).alias(
+                "d", "__x"
+            ),
+        )
+    )
+    return comp.groupBy("cid", "d").agg(
+        F.sum(
+            F.round(F.col("__x"), 6).cast("decimal(28,6)")
+        ).alias("s"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+
+def centroid_state_means(state: DataFrame, dim: int) -> DataFrame:
+    """State → per-cell mean VECTORS ``(cid, embedding array<double>)``
+    — the current centroids, reconstructed relationally (array built
+    from the d-sorted struct collection; s/n is one double division
+    per component)."""
+    return (
+        state.withColumn(
+            "__m", F.col("s").cast("double") / F.col("n")
+        )
+        .groupBy("cid")
+        .agg(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct("d", "__m"))
+                ),
+                lambda t: t["__m"],
+            ).alias("embedding")
+        )
+    )
+
+
+def centroid_state_update(
+    state: DataFrame,
+    batch: DataFrame,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fold a batch into the centroid state (mini-batch k-means step,
+    Sculley 2010, relationalized): batch vectors assign to the
+    CURRENT state means (reconstructed via ``centroid_state_means``),
+    their per-dimension decimal sums merge cell-wise with a full-outer
+    join — zero re-scan of history, exactly the additive-rollup monoid
+    per (cid, d). Cells the batch never touches pass through
+    untouched; the state stays exact under any batch arrival order
+    GIVEN the same assignment means (the q202 oracle replays init →
+    means → assignment → merge end-to-end)."""
+    means = centroid_state_means(state, dim)
+    delta = centroid_state_init(
+        batch, means, dim, id_col=id_col, vec_col=vec_col,
+        cent_id="cid", cent_vec="embedding",
+    )
+    d = delta.select(
+        "cid", "d",
+        F.col("s").alias("__ds"), F.col("n").alias("__dn"),
+    )
+    j = state.join(d, ["cid", "d"], "full_outer")
+    zero_s = F.lit("0").cast(state.schema["s"].dataType)
+    zero_n = F.lit(0).cast("bigint")
+    return j.select(
+        "cid", "d",
+        (F.coalesce(F.col("s"), zero_s) + F.coalesce(F.col("__ds"), zero_s))
+        .alias("s"),
+        (F.coalesce(F.col("n"), zero_n) + F.coalesce(F.col("__dn"), zero_n))
+        .alias("n"),
+    )

@@ -10345,6 +10345,97 @@ def q201(spark, sf_dir):
     return out.select("doc_id", "canary", "first_pos", "n_occ")
 
 
+@q(
+    "q202_centroid_state",
+    """
+    with e as (select vec_id, cast(embedding as double[]) as ev
+               from embeddings),
+    cc as (select vec_id as cid, ev as cv from e where vec_id < 8),
+    corp as (select * from e where vec_id >= 16 and vec_id % 2 = 0),
+    bat as (select * from e where vec_id >= 16 and vec_id % 2 = 1),
+    dca as (select corp.vec_id, cc.cid,
+                   round(list_sum([ (ev[i] - cv[i]) * (ev[i] - cv[i])
+                                    for i in range(1, len(ev) + 1)]), 6)
+                     as d2
+            from corp cross join cc),
+    asg as (select vec_id, cid from (
+              select vec_id, cid, row_number() over (
+                partition by vec_id order by d2 asc, cid asc) as rk
+              from dca) where rk = 1),
+    comp as (
+      select a.cid,
+             unnest(range(0, len(ev))) as d,
+             unnest([round(ev[i], 6) for i in range(1, len(ev) + 1)]) as x
+      from corp join asg a on corp.vec_id = a.vec_id
+    ),
+    st0 as (select cid, d, sum(cast(x as decimal(28,6))) as s,
+                   count(*) as n
+            from comp group by cid, d),
+    mm as (select cid, list(cast(s as double) / n order by d) as mv
+           from st0 group by cid),
+    bd as (select bat.vec_id, mm.cid,
+                  round(list_sum([ (ev[i] - mv[i]) * (ev[i] - mv[i])
+                                   for i in range(1, len(ev) + 1)]), 6)
+                    as d2
+           from bat cross join mm),
+    basg as (select vec_id, cid from (
+               select vec_id, cid, row_number() over (
+                 partition by vec_id order by d2 asc, cid asc) as rk
+               from bd) where rk = 1),
+    bcomp as (
+      select a.cid,
+             unnest(range(0, len(ev))) as d,
+             unnest([round(ev[i], 6) for i in range(1, len(ev) + 1)]) as x
+      from bat join basg a on bat.vec_id = a.vec_id
+    ),
+    dl as (select cid, d, sum(cast(x as decimal(28,6))) as s,
+                  count(*) as n
+           from bcomp group by cid, d),
+    merged as (
+      select coalesce(st0.cid, dl.cid) as cid,
+             coalesce(st0.d, dl.d) as d,
+             coalesce(st0.s, 0) + coalesce(dl.s, 0) as s,
+             coalesce(st0.n, 0) + coalesce(dl.n, 0) as n
+      from st0 full outer join dl
+        on st0.cid = dl.cid and st0.d = dl.d
+    )
+    select cid, cast(d as int) as d,
+           round(cast(s as double), 6) + 0 as s_r,
+           cast(n as bigint) as n
+    from merged
+    """,
+)
+def q202(spark, sf_dir):
+    """Mergeable k-means centroid STATE (similarity.py:
+    centroid_state_init/means/update — mini-batch k-means, Sculley
+    2010, as the additive-rollup monoid per (cell, dimension); the
+    IVF-index freshness counterpart of the LSH ingest family): the
+    even half of the corpus initializes per-cell decimal component
+    sums against seed centroids, the odd half arrives as a batch
+    assigned to the STATE-DERIVED means and merges cell-wise with
+    zero history re-scan. The oracle replays seed assignment, the
+    decimal sums, the mean reconstruction, the batch assignment and
+    the full-outer merge — end to end."""
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = emb.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+    corp = emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 0)
+    )
+    bat = emb.filter(
+        (F.col("vec_id") >= 16) & (F.col("vec_id") % 2 == 1)
+    )
+    st0 = S.centroid_state_init(corp, seeds, dim=64)
+    merged = S.centroid_state_update(st0, bat, dim=64)
+    return merged.select(
+        "cid",
+        F.col("d").cast("int").alias("d"),
+        (F.round(F.col("s").cast("double"), 6)).alias("s_r"),
+        "n",
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1074,3 +1074,57 @@ def test_canary_scan_positions_counts_and_metachars(spark):
     assert got == {(1, "SECRET-A"): (4, 2), (3, "c.n*ry|"): (6, 1)}
     with _pytest.raises(ValueError, match="empty"):
         TX.canary_scan(docs, [])
+
+
+def test_centroid_state_monoid_and_means(spark):
+    """State is a per-(cell, dim) monoid: init over two halves merged
+    with the raw full-outer add equals init over the whole (same
+    assignment centroids), and reconstructed means match numpy."""
+    import numpy as np
+
+    from lbf_spark.operators import similarity as S
+
+    rng = np.random.default_rng(23)
+    vecs = np.round(rng.normal(size=(60, 8)), 6)
+    emb = spark.createDataFrame(
+        [(int(i), [float(x) for x in v]) for i, v in enumerate(vecs)],
+        "vec_id long, embedding array<float>",
+    )
+    seeds = emb.filter("vec_id < 3").select(
+        F.col("vec_id").alias("cid"), "embedding"
+    )
+
+    def snap(st):
+        return {
+            (r["cid"], r["d"]): (r["s"], r["n"]) for r in st.collect()
+        }
+
+    whole = snap(S.centroid_state_init(emb, seeds, dim=8))
+    a = S.centroid_state_init(emb.filter("vec_id % 2 = 0"), seeds, dim=8)
+    b = S.centroid_state_init(emb.filter("vec_id % 2 = 1"), seeds, dim=8)
+    from collections import defaultdict
+
+    merged = defaultdict(lambda: (0, 0))
+    for part in (snap(a), snap(b)):
+        for k, (s, n) in part.items():
+            ps, pn = merged[k]
+            merged[k] = (ps + s, pn + n)
+    assert dict(merged) == whole
+
+    # means reconstruction == numpy group means of quantized components
+    means = {
+        r["cid"]: r["embedding"]
+        for r in S.centroid_state_means(
+            S.centroid_state_init(emb, seeds, dim=8), dim=8
+        ).collect()
+    }
+    asg = {
+        r["vec_id"]: r["cluster_id"]
+        for r in S.nearest_centroid_join(emb, seeds).collect()
+    }
+    for cid in means:
+        members = np.array(
+            [vecs[i] for i in range(60) if asg[i] == cid]
+        )
+        exp = members.sum(axis=0) / len(members)
+        assert np.allclose(means[cid], exp, atol=1e-9)
