@@ -1053,3 +1053,64 @@ def canary_scan(
             F.col("h.n_occ").alias("n_occ"),
         )
     )
+
+
+def ngram_novelty(
+    docs: DataFrame,
+    reference: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram NOVELTY vs a reference corpus: the fraction
+    of a doc's distinct shingles never seen in the reference —
+    containment's complement (q196 asks "is this a quote of the
+    corpus?", this asks "how much genuinely NEW text does this batch
+    bring?"), the freshness score crawl prioritization and
+    near-duplicate triage rank by.
+
+    Implementation: the doc's shingle explode left-anti-joins the
+    reference's DISTINCT shingle set; novelty = round(n_new /
+    n_shingles, 6). Docs with < n tokens have no shingles and emit
+    null (nothing to judge). One shuffle on the shingle key; the
+    reference side is a distinct projection, so its cost is its
+    vocabulary, not its corpus size."""
+    from lbf_spark.operators.dedup import shingles_col, tokens_col
+    from lbf_spark.util import fan_out
+
+    ref_sh = (
+        fan_out(reference.select(text_col))
+        .select(
+            F.explode(shingles_col(tokens_col(text_col), n)).alias("sh")
+        )
+        .distinct()
+    )
+    d = fan_out(docs.select(id_col, text_col)).select(
+        F.col(id_col),
+        shingles_col(tokens_col(text_col), n).alias("__sh"),
+    )
+    totals = d.select(id_col, F.size("__sh").alias("n_shingles"))
+    new_counts = (
+        d.select(id_col, F.explode("__sh").alias("sh"))
+        .join(ref_sh, "sh", "left_anti")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_new"))
+    )
+    return (
+        totals.join(new_counts, id_col, "left")
+        .select(
+            id_col,
+            F.col("n_shingles").cast("long").alias("n_shingles"),
+            F.coalesce(F.col("n_new"), F.lit(0)).cast("long").alias(
+                "n_new"
+            ),
+            F.when(
+                F.col("n_shingles") > 0,
+                F.round(
+                    F.coalesce(F.col("n_new"), F.lit(0)).cast("double")
+                    / F.col("n_shingles"),
+                    6,
+                ),
+            ).alias("novelty"),
+        )
+    )

@@ -10436,6 +10436,65 @@ def q202(spark, sf_dir):
     )
 
 
+@q(
+    "q203_ngram_novelty",
+    f"""
+    with ref as (
+      select doc_id, text from documents where doc_id % 2 = 0
+    ),
+    rt as (select doc_id, {_TOKS_SQL} as tk from ref),
+    rsh as (
+      select distinct unnest(
+        case when len(tk) >= 3
+             then list_distinct([array_to_string(tk[i:i+2], ' ')
+                                 for i in range(1, len(tk) - 1)])
+             else [] end) as sh
+      from rt
+    ),
+    bt as (select doc_id, {_TOKS_SQL} as tk
+           from documents where doc_id % 2 = 1),
+    bsh as (
+      select doc_id,
+             case when len(tk) >= 3
+                  then list_distinct([array_to_string(tk[i:i+2], ' ')
+                                      for i in range(1, len(tk) - 1)])
+                  else [] end as shingles
+      from bt
+    ),
+    ex as (select doc_id, unnest(shingles) as sh from bsh),
+    nw as (
+      select ex.doc_id, count(*) as n_new
+      from ex left join rsh on ex.sh = rsh.sh
+      where rsh.sh is null group by ex.doc_id
+    )
+    select b.doc_id,
+           cast(len(b.shingles) as bigint) as n_shingles,
+           cast(coalesce(nw.n_new, 0) as bigint) as n_new,
+           case when len(b.shingles) > 0
+                then round(cast(coalesce(nw.n_new, 0) as double)
+                           / len(b.shingles), 6)
+           end as novelty
+    from bsh b left join nw on b.doc_id = nw.doc_id
+    """,
+)
+def q203(spark, sf_dir):
+    """N-gram novelty scoring (text.py:ngram_novelty — containment's
+    complement: q196 asks "is this a quote of the corpus?", this asks
+    "how much genuinely NEW text does a batch bring?" — the freshness
+    signal crawl prioritization ranks by): odd doc_ids score their
+    distinct-shingle novelty against the even half's shingle
+    vocabulary. Explode + left-anti on the shingle key; the reference
+    side costs its VOCABULARY, never its corpus size. The oracle
+    replays shingling, the anti-join and the ratio."""
+    docs = t(spark, sf_dir, "documents")
+    out = text.ngram_novelty(
+        docs.filter(F.col("doc_id") % 2 == 1),
+        docs.filter(F.col("doc_id") % 2 == 0),
+        n=3,
+    )
+    return out.select("doc_id", "n_shingles", "n_new", "novelty")
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

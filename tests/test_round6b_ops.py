@@ -1128,3 +1128,32 @@ def test_centroid_state_monoid_and_means(spark):
         )
         exp = members.sum(axis=0) / len(members)
         assert np.allclose(means[cid], exp, atol=1e-9)
+
+
+def test_ngram_novelty_bounds_and_known_values(spark):
+    """Doc identical to the reference → novelty 0; fully disjoint
+    vocabulary → 1; short docs (< n tokens) emit null."""
+    from lbf_spark.operators import text as TX
+
+    ref = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id long, text string",
+    )
+    docs = spark.createDataFrame(
+        [
+            (10, "alpha beta gamma delta epsilon zeta"),  # all seen
+            (11, "one two three four five six"),          # all new
+            (12, "hi"),                                   # too short
+            (13, "alpha beta gamma NEW1 NEW2 NEW3"),      # mixed
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r["doc_id"]: (r["n_shingles"], r["n_new"], r["novelty"])
+        for r in TX.ngram_novelty(docs, ref, n=3).collect()
+    }
+    assert got[10] == (4, 0, 0.0)
+    assert got[11] == (4, 4, 1.0)
+    assert got[12] == (0, 0, None)
+    # doc 13: 4 shingles, only "alpha beta gamma" is seen -> 3 new
+    assert got[13] == (4, 3, 0.75)
