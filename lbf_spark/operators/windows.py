@@ -1080,3 +1080,31 @@ def time_since_event(
     wc = w0.rowsBetween(Window.unboundedPreceding, hi)
     last_ts = F.max(F.when(c, F.col(ts_col))).over(wc)
     return df.withColumn(out, F.col(ts_col) - last_ts)
+
+
+def cumulative_distinct(
+    df: DataFrame,
+    col: str,
+    out: str = "n_distinct_so_far",
+    by="entity",
+    order="ts",
+) -> DataFrame:
+    """Running DISTINCT count per entity — "unique items seen so far"
+    (catalog breadth, exploration vs exploitation, vocabulary growth).
+    Exact, no sketch: a row is flagged as its value's FIRST occurrence
+    (row_number over (entity, value) ordered by the event order), and
+    the running sum of flags over the event order is the distinct
+    count — two window specs, two exchanges ((by, col) then (by)),
+    nothing leaves the JVM. Null values count as one distinct value
+    (SQL row_number treats them as a group), matching the oracle."""
+    by_l = [by] if isinstance(by, str) else list(by)
+    order_l = [order] if isinstance(order, str) else list(order)
+    wf = Window.partitionBy(*by_l, col).orderBy(*order_l)
+    wc = _w(by, order).rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        df.withColumn(
+            "__first", (F.row_number().over(wf) == 1).cast("int")
+        )
+        .withColumn(out, F.sum("__first").over(wc).cast("long"))
+        .drop("__first")
+    )

@@ -10495,6 +10495,45 @@ def q203(spark, sf_dir):
     return out.select("doc_id", "n_shingles", "n_new", "novelty")
 
 
+@q(
+    "q204_cumulative_distinct",
+    """
+    with e as (
+      select event_id, user_id, epoch_us(ts) as ts_us, event_type
+      from events
+    ),
+    f as (
+      select event_id, user_id, ts_us,
+             case when row_number() over (
+               partition by user_id, event_type
+               order by ts_us, event_id) = 1 then 1 else 0 end as fst
+      from e
+    )
+    select event_id, user_id, ts_us,
+           cast(sum(fst) over (
+             partition by user_id order by ts_us, event_id
+             rows unbounded preceding) as bigint) as n_distinct_so_far
+    from f
+    """,
+)
+def q204(spark, sf_dir):
+    """Running distinct count (windows.py:cumulative_distinct): per
+    user, how many DISTINCT event types have been seen up to each
+    event — exploration-breadth / vocabulary-growth features, exact
+    with no sketch: first-occurrence flags (row_number over (user,
+    type)) summed over the event order. The oracle replays both
+    windows."""
+    e = _events(spark, sf_dir).select(
+        "event_id", "user_id", "ts_us", "event_type"
+    )
+    out = W.cumulative_distinct(
+        e, "event_type", by="user_id", order=["ts_us", "event_id"]
+    )
+    return out.select(
+        "event_id", "user_id", "ts_us", "n_distinct_so_far"
+    )
+
+
 # ---------------------------------------------------------------------
 # Driver-visibility ordering: the correctness driver evaluates the FIRST
 # 50 registered entries only, so re-order the catalog here so every

@@ -1157,3 +1157,19 @@ def test_ngram_novelty_bounds_and_known_values(spark):
     assert got[12] == (0, 0, None)
     # doc 13: 4 shingles, only "alpha beta gamma" is seen -> 3 new
     assert got[13] == (4, 3, 0.75)
+
+
+def test_cumulative_distinct_known_sequence(spark):
+    """Known sequence a,b,a,c,b,null,null → 1,2,2,3,3,4,4 (null is one
+    distinct group); independent entities never mix."""
+    from lbf_spark.operators import windows as W
+
+    seq = ["a", "b", "a", "c", "b", None, None]
+    rows = [("e1", i, v) for i, v in enumerate(seq)] + [("e2", 0, "a")]
+    df = spark.createDataFrame(rows, "entity string, ts long, v string")
+    got = {
+        (r["entity"], r["ts"]): r["n_distinct_so_far"]
+        for r in W.cumulative_distinct(df, "v").collect()
+    }
+    assert [got[("e1", i)] for i in range(7)] == [1, 2, 2, 3, 3, 4, 4]
+    assert got[("e2", 0)] == 1
