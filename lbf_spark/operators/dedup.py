@@ -178,21 +178,26 @@ def lsh_candidate_pairs(
 ) -> DataFrame:
     """Band the signature, equi-join on (band_id, band_hash) → candidate
     pairs (a < b). One shuffle; hot buckets are real near-dup clusters."""
-    banded = lsh_postings(signed, bands, id_col)
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
-        )
-        .select(
-            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
-        )
-        .distinct()
+    from pyspark import StorageLevel
+
+    # The postings feed both sides of the pair join — persist them so
+    # the signature computation (one md5 + k permutations per shingle)
+    # runs once, and fill eagerly in the broadcast regime (concurrent
+    # build jobs would race the unmaterialized cache — see
+    # _indexed_pair_counts).
+    banded = lsh_postings(signed, bands, id_col).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
+    _SCOPED_CACHES.append(banded)
+    # groupBy-with-count ≡ distinct here (the count is dropped); the
+    # shared helper's broadcast-aware dispatch then lets the candidate
+    # dedup reuse the stream side's id partitioning with no exchange
+    pairs, regime = _indexed_pair_counts(
+        banded, id_col, "_n_bands", keys=("band_id", "band_hash")
+    )
+    if regime:
+        banded.count()
+    return pairs.select("id_a", "id_b")
 
 
 def lsh_index(
@@ -294,6 +299,94 @@ def lsh_incremental_pairs(
     return {"pairs": pairs, "postings": new_post}
 
 
+def _indexed_pair_counts(
+    inv: DataFrame,
+    id_col: str,
+    count_name: str,
+    keys: tuple[str, ...] = ("sh",),
+    carry_size_col: str | None = None,
+) -> tuple[DataFrame, bool]:
+    """Inverted-index self-join → per-(id_a, id_b) shared-shingle count.
+
+    Physical-plan dispatch (results identical either way), decided
+    from the OPTIMIZER'S size estimate of the index frame (driver-side
+    plan stats, nothing executes): when the estimate is under
+    ``$LBF_INDEX_BROADCAST_BYTES`` (default 256 MB), the index side is
+    broadcast EXPLICITLY and the stream side is hash-partitioned by
+    its doc id: every constructed pair (a, b) then lands in the
+    partition owning the stream doc, the count aggregation's
+    ClusteredDistribution([id_a, id_b]) is already satisfied by
+    HashPartitioning(stream id) (a subset of the group keys), and the
+    pair exchange vanishes — measured r7 at sf1.0 that exchange was
+    846 MB (114 M pair rows) plus ~1.7 GB of agg spill, for 3 k result
+    rows. The explicit hint matters: leaving the decision to the
+    planner's 10 MB auto-broadcast threshold made the dispatch flip
+    with cache state and column-width changes (measured r7: a +8 B
+    posting column flipped it to sort-merge and a 2 GB un-deduplicated
+    pair exchange). Above the threshold the naive shape is kept:
+    partitioning by id first would just add a full extra pass over the
+    index, and the pair exchange with map-side partial aggregation is
+    the correct 100-TB shape.
+
+    With ``carry_size_col`` set (a per-doc-constant column present on
+    ``inv``, e.g. the doc's full shingle count), the no-exchange shape
+    additionally carries both docs' values through the aggregation as
+    ``n_a`` / ``n_b`` (min of a constant = the constant) — the caller
+    can then skip its per-doc size lookup joins on the pair stream
+    entirely. In the naive shape the carry is NOT applied (it would
+    widen the 100-TB pair exchange by two longs per row for a lookup
+    that is cheaper as a post-aggregation join there).
+
+    Returns ``(pairs, broadcast_regime)`` — when the flag is true and
+    ``carry_size_col`` was given, ``n_a``/``n_b`` are present on the
+    result. Callers should eagerly materialize any persisted frames
+    this plan references more than once BEFORE executing it: the
+    broadcast shape launches its build jobs concurrently, and
+    unmaterialized caches are then filled redundantly by every
+    concurrent subtree (measured r7: two full tokenize+shingle passes
+    per q23 run, and run-to-run swings up to 3× from the race).
+    """
+
+    def _shape(x_side: DataFrame, y_side: DataFrame, carry: bool) -> DataFrame:
+        cond = F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
+        for k in keys:
+            cond = (F.col(f"x.{k}") == F.col(f"y.{k}")) & cond
+        aggs = [F.count(F.lit(1)).alias(count_name)]
+        if carry:
+            aggs += [
+                F.min(F.col(f"x.{carry_size_col}")).alias("n_a"),
+                F.min(F.col(f"y.{carry_size_col}")).alias("n_b"),
+            ]
+        return (
+            x_side.alias("x")
+            .join(y_side.alias("y"), cond)
+            .groupBy(
+                F.col(f"x.{id_col}").alias("id_a"),
+                F.col(f"y.{id_col}").alias("id_b"),
+            )
+            .agg(*aggs)
+        )
+
+    import os
+
+    try:
+        est = int(
+            inv._jdf.queryExecution().optimizedPlan().stats().sizeInBytes()
+        )
+    except Exception:
+        est = None
+    limit = int(
+        os.environ.get("LBF_INDEX_BROADCAST_BYTES", str(256 * 1024 * 1024))
+    )
+    if est is not None and 0 <= est <= limit:
+        carry = carry_size_col is not None
+        # x streams hash-partitioned by id; y is the broadcast index
+        return _shape(
+            inv.repartition(F.col(id_col)), F.broadcast(inv), carry
+        ), True
+    return _shape(inv, inv, False), False
+
+
 def jaccard_pairs(
     shingled: DataFrame,
     threshold: float,
@@ -348,52 +441,69 @@ def jaccard_pairs(
         F.col(id_col), F.col("shingles"), F.size("shingles").alias("n_sh")
     )
     if candidates is None and max_df is not None:
+        # n_sh rides on every posting row (8 B next to the shingle
+        # string): when the pair join takes the no-exchange shape it is
+        # carried through the aggregation and the per-doc size lookup
+        # joins on the (huge) pair stream disappear.
         inv = _maybe_persist(
-            shingled.select(id_col, F.explode("shingles").alias("sh"))
+            shingled.select(
+                id_col,
+                F.explode("shingles").alias("sh"),
+                F.size("shingles").alias("n_sh"),
+            )
         )
-        # shingles are per-doc distinct ⇒ df = count(*); split hot/rare
-        hot_sh = (
+        # shingles are per-doc distinct ⇒ df = count(*); split hot/rare.
+        # hot_sh is persisted: it feeds FOUR subtrees (both sides of the
+        # rare self-join via the anti-join, plus hot_doc) — unpersisted,
+        # the df aggregation over inv re-ran once per subtree (measured
+        # r7: ~4 full inv passes per q23 run).
+        hot_sh = _maybe_persist(
             inv.groupBy("sh")
             .agg(F.count(F.lit(1)).alias("df"))
             .filter(F.col("df") > max_df)
             .select("sh")
         )
         rare = inv.join(hot_sh, "sh", "left_anti")
-        pairs_rare = (
-            rare.alias("x")
-            .join(
-                rare.alias("y"),
-                (F.col("x.sh") == F.col("y.sh"))
-                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"x.{id_col}").alias("id_a"),
-                F.col(f"y.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_rare"))
+        pairs_rare, sizes_carried = _indexed_pair_counts(
+            rare, id_col, "n_rare", carry_size_col="n_sh"
         )
         # per-doc HOT shingles: a tiny array (few shingles are hot by
-        # definition); exact n_common = n_rare + |hot_a ∩ hot_b|
-        hot_doc = (
+        # definition); exact n_common = n_rare + |hot_a ∩ hot_b|.
+        # Persisted for the same reason: it is joined twice (hot_a /
+        # hot_b) and each unpersisted copy re-joined inv against hot_sh.
+        hot_doc = _maybe_persist(
             inv.join(hot_sh, "sh")
             .groupBy(id_col)
             .agg(F.collect_set("sh").alias("hot_arr"))
         )
+        if sizes_carried and cache:
+            # Eager one-shot fills: the broadcast shape launches its
+            # build jobs concurrently and each would otherwise re-run
+            # the full tokenize+shingle lineage into the unmaterialized
+            # caches (see _indexed_pair_counts docstring). Three cheap
+            # sequential jobs; every later subtree reads the caches.
+            inv.count()
+            hot_sh.count()
+            hot_doc.count()
         empty = F.array().cast("array<string>")
+        keep = ["id_a", "id_b"] + (["n_a", "n_b"] if sizes_carried else [])
         pairs = (
             pairs_rare.join(
-                hot_doc.select(F.col(id_col).alias("id_a"), F.col("hot_arr").alias("hot_a")),
+                hot_doc.select(
+                    F.col(id_col).alias("id_a"), F.col("hot_arr").alias("hot_a")
+                ),
                 "id_a",
                 "left",
             )
             .join(
-                hot_doc.select(F.col(id_col).alias("id_b"), F.col("hot_arr").alias("hot_b")),
+                hot_doc.select(
+                    F.col(id_col).alias("id_b"), F.col("hot_arr").alias("hot_b")
+                ),
                 "id_b",
                 "left",
             )
             .select(
-                "id_a",
-                "id_b",
+                *keep,
                 (
                     F.col("n_rare")
                     + F.size(
@@ -405,21 +515,18 @@ def jaccard_pairs(
             )
         )
     elif candidates is None:
-        inv = shingled.select(id_col, F.explode("shingles").alias("sh"))
-        pairs = (
-            inv.alias("x")
-            .join(
-                inv.alias("y"),
-                (F.col("x.sh") == F.col("y.sh"))
-                & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-            )
-            .groupBy(
-                F.col(f"x.{id_col}").alias("id_a"),
-                F.col(f"y.{id_col}").alias("id_b"),
-            )
-            .agg(F.count(F.lit(1)).alias("n_common"))
+        inv = shingled.select(
+            id_col,
+            F.explode("shingles").alias("sh"),
+            F.size("shingles").alias("n_sh"),
         )
+        pairs, sizes_carried = _indexed_pair_counts(
+            inv, id_col, "n_common", carry_size_col="n_sh"
+        )
+        if sizes_carried and cache:
+            shingled.count()  # eager fill, same race avoidance as above
     else:
+        sizes_carried = False
         pairs = (
             candidates.join(
                 sh.select(F.col(id_col).alias("id_a"), F.col("shingles").alias("sh_a")),
@@ -435,11 +542,13 @@ def jaccard_pairs(
                 F.size(F.array_intersect("sh_a", "sh_b")).alias("n_common"),
             )
         )
-    sizes = sh.select(F.col(id_col), F.col("n_sh"))
+    if not sizes_carried:
+        sizes = sh.select(F.col(id_col), F.col("n_sh"))
+        pairs = pairs.join(
+            sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a"
+        ).join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
     out = (
-        pairs.join(sizes.withColumnsRenamed({id_col: "id_a", "n_sh": "n_a"}), "id_a")
-        .join(sizes.withColumnsRenamed({id_col: "id_b", "n_sh": "n_b"}), "id_b")
-        .withColumn(
+        pairs.withColumn(
             "jaccard",
             F.col("n_common")
             / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast("double"),
@@ -517,19 +626,14 @@ def jaccard_pairs_prefix(
             ).alias("sh"),
         )
     )
-    cands = (
-        prefixes.alias("x")
-        .join(
-            prefixes.alias("y"),
-            (F.col("x.sh") == F.col("y.sh"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("id_a"),
-            F.col(f"y.{id_col}").alias("id_b"),
-        )
-        .distinct()
-    )
+    # distinct via the shared broadcast-aware pair helper (count dropped)
+    pairs, regime = _indexed_pair_counts(prefixes, id_col, "_n_pref")
+    if regime and cache:
+        # eager fills — concurrent broadcast builds would otherwise
+        # race the unmaterialized caches (see _indexed_pair_counts)
+        shingled.count()
+        prefixes.count()
+    cands = pairs.select("id_a", "id_b")
     return jaccard_pairs(
         shingled, threshold, id_col, candidates=cands, cache=cache
     )
@@ -587,6 +691,11 @@ def minhash_dedup_pairs(
     shingled = with_shingles(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
+    _SCOPED_CACHES.append(shingled)
+    # eager fill: signatures, postings (both join sides) and the
+    # verify lookups all read this cache — one tokenize pass, no
+    # concurrent-fill race (see _indexed_pair_counts)
+    shingled.count()
     signed = minhash_signature(shingled, num_hashes, id_col)
     cands = lsh_candidate_pairs(signed, bands, id_col)
     return jaccard_pairs(shingled, threshold, id_col, candidates=cands)
@@ -757,12 +866,25 @@ def dup_clusters(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
+    # Pin co-partitioning ONCE, before the checkpoints: edges hashed by
+    # dst and labels by id, both at exactly n_part partitions (explicit
+    # N ⇒ AQE cannot coalesce one side and break the match). Checkpoints
+    # preserve the physical partitioning, so every round's
+    # edges.dst == labels.id join — and the labels ⋈ nbr_min join after
+    # it — runs co-partitioned with NO exchange; the only per-round
+    # shuffle left is the small per-node groupBy(src). Before this the
+    # round-robin edge checkpoint re-exchanged the full edge list every
+    # round (measured r7: 3 exchanges × rounds at the 10× corpus).
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    edges = edges.repartition(n_part, "dst")
     # pair lineage (LSH join + verify) executes exactly once
     edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(
         eager=True
     )
     labels = _materialize(
-        edges.select(F.col("src").alias("id")).distinct()
+        edges.select(F.col("src").alias("id"))
+        .repartition(n_part, "id")
+        .distinct()
         .withColumn("label", F.col("id"))
     )
     converged = False

@@ -43,17 +43,32 @@ def brute_force_topk(
     key is (rounded sim desc, neighbor id asc) — fully deterministic
     across engines/float orders. Self-matches excluded.
     """
+    from lbf_spark.util import fan_out
+
+    # Norms are computed ONCE per row per side, before the join — the
+    # inline form re-folded the probe norm for every corpus row and the
+    # corpus norm for every probe (3 array folds per pair instead of 1;
+    # measured r7: 2/3 of the q26 stage CPU). Same expression over the
+    # same input ⇒ bit-identical sim = dot / (probe_norm * cand_norm).
+    # fan_out: a single-row-group corpus parquet otherwise leaves the
+    # whole scoring stage on ONE task (broadcast joins preserve the
+    # scan's partitioning; measured r7: q26 ran on 2 tasks, 7.1 s).
     p = F.broadcast(
         probes.select(
-            F.col(id_col).alias("probe_id"), F.col(vec_col).alias("probe_vec")
-        )
+            F.col(id_col).alias("probe_id"),
+            F.col(vec_col).cast("array<double>").alias("probe_vec"),
+        ).withColumn("probe_norm", _norm_col(F.col("probe_vec")))
     )
-    c = corpus.select(
-        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("cand_vec")
+    c = fan_out(corpus).select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("cand_vec"),
+    ).withColumn("cand_norm", _norm_col(F.col("cand_vec")))
+    dot = F.aggregate(
+        F.zip_with("probe_vec", "cand_vec", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
-    sim = cosine_similarity_col(
-        F.col("probe_vec").cast("array<double>"), F.col("cand_vec").cast("array<double>")
-    )
+    sim = dot / (F.col("probe_norm") * F.col("cand_norm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     scored = (
@@ -163,9 +178,20 @@ def exact_near_dup_pairs(
 ) -> DataFrame:
     """O(n²) exact cosine pairs ≥ threshold — correctness oracle / small
     tables only (the DuckDB-checkable ground truth for the LSH path)."""
-    vecs = df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+    from lbf_spark.util import fan_out
+
+    # per-row norm precompute + scan fan-out: same reasoning (and the
+    # same bit-identical regrouping) as brute_force_topk above
+    vecs = fan_out(df).select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("v")
+    ).withColumn("nrm", _norm_col(F.col("v")))
     a, b = vecs.alias("a"), vecs.alias("b")
-    sim = cosine_similarity_col(F.col("a.v"), F.col("b.v"))
+    dot = F.aggregate(
+        F.zip_with(F.col("a.v"), F.col("b.v"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    sim = dot / (F.col("a.nrm") * F.col("b.nrm"))
     if round_digits is not None:
         sim = F.round(sim, round_digits)
     return (
