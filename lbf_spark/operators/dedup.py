@@ -36,7 +36,9 @@ def release_caches() -> int:
     but nukes unrelated caches)."""
     n = 0
     while _SCOPED_CACHES:
-        _SCOPED_CACHES.pop().unpersist()
+        # blocking: callers (and tests) may immediately assert on the
+        # persisted-RDD count; the async default leaves a removal race
+        _SCOPED_CACHES.pop().unpersist(blocking=True)
         n += 1
     return n
 
@@ -197,7 +199,11 @@ def lsh_candidate_pairs(
     )
     if regime:
         banded.count()
-    return pairs.select("id_a", "id_b")
+    out = pairs.select("id_a", "id_b")
+    # verify consumers read this to keep their per-doc lookups
+    # broadcast in the same regime (see jaccard_pairs)
+    out._lbf_broadcast_regime = regime
+    return out
 
 
 def lsh_index(
@@ -305,6 +311,7 @@ def _indexed_pair_counts(
     count_name: str,
     keys: tuple[str, ...] = ("sh",),
     carry_size_col: str | None = None,
+    extra_cond=None,
 ) -> tuple[DataFrame, bool]:
     """Inverted-index self-join → per-(id_a, id_b) shared-shingle count.
 
@@ -349,6 +356,10 @@ def _indexed_pair_counts(
 
     def _shape(x_side: DataFrame, y_side: DataFrame, carry: bool) -> DataFrame:
         cond = F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
+        if extra_cond is not None:
+            # caller-supplied exact-safe prune over x./y. columns,
+            # evaluated per join match BEFORE the pair aggregation
+            cond = cond & extra_cond()
         for k in keys:
             cond = (F.col(f"x.{k}") == F.col(f"y.{k}")) & cond
         aggs = [F.count(F.lit(1)).alias(count_name)]
@@ -525,6 +536,35 @@ def jaccard_pairs(
         )
         if sizes_carried and cache:
             shingled.count()  # eager fill, same race avoidance as above
+    elif getattr(candidates, "_lbf_broadcast_regime", False):
+        # Broadcast regime (stamped by the candidate generator): ONE
+        # broadcast of (id, shingles, n_sh), aliased into both lookups
+        # so the exchange is built once and reused; sizes ride along.
+        # Leaving these joins to the planner flipped them to sort-merge
+        # whenever the shingle cache was materialized (its real stats
+        # exceed the 10 MB auto-broadcast bar), which re-exchanged the
+        # candidate stream WITH attached arrays — measured r7: 568 MB
+        # written + 1.2 GB read per q55 run for 1.06 M candidates.
+        sizes_carried = True
+        sh_b = F.broadcast(
+            sh.select(
+                F.col(id_col).alias("__sid"), "shingles", "n_sh"
+            )
+        )
+        sa, sb = sh_b.alias("sa"), sh_b.alias("sb")
+        pairs = (
+            candidates.join(sa, F.col("id_a") == F.col("sa.__sid"))
+            .join(sb, F.col("id_b") == F.col("sb.__sid"))
+            .select(
+                "id_a",
+                "id_b",
+                F.size(
+                    F.array_intersect(F.col("sa.shingles"), F.col("sb.shingles"))
+                ).alias("n_common"),
+                F.col("sa.n_sh").alias("n_a"),
+                F.col("sb.n_sh").alias("n_b"),
+            )
+        )
     else:
         sizes_carried = False
         pairs = (
@@ -612,28 +652,69 @@ def jaccard_pairs_prefix(
             F.count(F.lit(1)).alias("n_sh"),
         )
     )
+    t = float(threshold)
+    # ε-guarded ceil: 0.8·35 = 28.000000000000004 in doubles — a bare
+    # ceil claims c ≥ 29 and cuts the prefix one below the pigeonhole
+    # bound (a missed pair at exact-integer boundaries); the ε only
+    # ever LENGTHENS the prefix, so results cannot change otherwise.
     prefix_len = (
-        F.col("n_sh") - F.ceil(F.lit(float(threshold)) * F.col("n_sh")) + 1
+        F.col("n_sh")
+        - F.ceil(F.lit(t) * F.col("n_sh") - F.lit(1e-9))
+        + 1
     ).cast("int")
     prefixes = _maybe_persist(
         ordered.select(
-            id_col,
-            F.explode(
+            F.col(id_col),
+            F.col("n_sh"),
+            F.posexplode(
                 F.transform(
                     F.slice(F.col("ord"), F.lit(1), prefix_len),
                     lambda x: x["sh"],
                 )
-            ).alias("sh"),
+            ).alias("pos", "sh"),
         )
     )
+
+    def _ppjoin_prune():
+        # Exact-safe candidate pruning inside the prefix join (PPJoin,
+        # Xiao et al. 2008). Both tests only DROP pairs that provably
+        # cannot reach J ≥ t (ε-slack keeps boundary cases):
+        # • length: J ≤ min/max ⇒ need min ≥ t·max;
+        # • positional: both shingle lists share one global (df, sh)
+        #   order, so for the MINIMAL common shingle at 0-based prefix
+        #   positions (i, j), |a∩b| ≤ 1 + min(na−i−1, nb−j−1); that
+        #   minimal-element match row always exists for a qualifying
+        #   pair and always passes, so surviving the OR-over-matches
+        #   distinct is guaranteed. Measured r7 (10× corpus, t = 0.8):
+        #   12.2 M candidates for 170 k qualifying pairs without it.
+        na, nb = F.col("x.n_sh"), F.col("y.n_sh")
+        len_ok = (
+            F.least(na, nb).cast("double") + F.lit(1e-9)
+            >= F.lit(t) * F.greatest(na, nb)
+        )
+        c_min = F.ceil(
+            F.greatest(
+                F.lit(t / (1.0 + t)) * (na + nb).cast("double"),
+                F.lit(t) * F.greatest(na, nb).cast("double"),
+            )
+            - F.lit(1e-9)
+        )
+        ubound = F.lit(1) + F.least(
+            na - F.col("x.pos") - 1, nb - F.col("y.pos") - 1
+        )
+        return len_ok & (ubound >= c_min)
+
     # distinct via the shared broadcast-aware pair helper (count dropped)
-    pairs, regime = _indexed_pair_counts(prefixes, id_col, "_n_pref")
+    pairs, regime = _indexed_pair_counts(
+        prefixes, id_col, "_n_pref", extra_cond=_ppjoin_prune
+    )
     if regime and cache:
         # eager fills — concurrent broadcast builds would otherwise
         # race the unmaterialized caches (see _indexed_pair_counts)
         shingled.count()
         prefixes.count()
     cands = pairs.select("id_a", "id_b")
+    cands._lbf_broadcast_regime = regime
     return jaccard_pairs(
         shingled, threshold, id_col, candidates=cands, cache=cache
     )
@@ -866,38 +947,42 @@ def dup_clusters(
     edges = e.unionByName(
         e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     )
-    # Pin co-partitioning ONCE, before the checkpoints: edges hashed by
-    # dst and labels by id, both at exactly n_part partitions (explicit
-    # N ⇒ AQE cannot coalesce one side and break the match). Checkpoints
-    # preserve the physical partitioning, so every round's
-    # edges.dst == labels.id join — and the labels ⋈ nbr_min join after
-    # it — runs co-partitioned with NO exchange; the only per-round
-    # shuffle left is the small per-node groupBy(src). Before this the
-    # round-robin edge checkpoint re-exchanged the full edge list every
-    # round (measured r7: 3 exchanges × rounds at the 10× corpus).
-    n_part = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    edges = edges.repartition(n_part, "dst")
     # pair lineage (LSH join + verify) executes exactly once
     edges = edges.checkpoint(eager=True) if reliable else edges.localCheckpoint(
         eager=True
     )
     labels = _materialize(
-        edges.select(F.col("src").alias("id"))
-        .repartition(n_part, "id")
-        .distinct()
+        edges.select(F.col("src").alias("id")).distinct()
         .withColumn("label", F.col("id"))
     )
+    # Node frames (labels, per-node neighbor minima) are usually tiny
+    # next to the edge list; when the MEASURED node count (free — the
+    # checkpoint just materialized labels) is under
+    # $LBF_CLUSTER_BROADCAST_NODES, broadcast them into both per-round
+    # joins: the edge list is then never re-shuffled or sorted — one
+    # small per-node exchange per round instead of three exchanges +
+    # four sorts (checkpointed RDDs lose their partitioning under AQE,
+    # so co-partitioning cannot be pinned across rounds; measured r7).
+    # Components with more nodes than the threshold keep the
+    # shuffle-join rounds — the 100-TB shape.
+    import os as _os
+
+    n_nodes = labels.count()
+    bcast = n_nodes <= int(
+        _os.environ.get("LBF_CLUSTER_BROADCAST_NODES", "2000000")
+    )
+    _b = F.broadcast if bcast else (lambda f: f)
     converged = False
     for _i in range(max_iters):
         nbr = (
-            edges.join(labels, edges["dst"] == labels["id"])
+            edges.join(_b(labels), edges["dst"] == labels["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
         # _materialize truncates lineage — mandatory, see docstring
         # (the plan tree would otherwise double every round)
         stepped = _materialize(
-            labels.join(nbr, labels["id"] == nbr["src"], "left")
+            labels.join(_b(nbr), labels["id"] == nbr["src"], "left")
             .select(
                 labels["id"],
                 labels["label"].alias("_prev"),

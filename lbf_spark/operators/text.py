@@ -577,9 +577,16 @@ def ngram_repetition(
     hash-aggregate stays in whole-stage codegen and its map-side
     partial agg already combines before the (doc, ngram) shuffle."""
     from lbf_spark.operators.dedup import tokens_col as _tok
-    from lbf_spark.util import fan_out
 
-    df = fan_out(df)
+    # Hash-partition the RAW docs by id (8 MB at bench scale) instead
+    # of round-robin fan-out: every downstream aggregation clusters by
+    # doc_id (a superset-key rule satisfies both the (doc, ngram) and
+    # the per-doc groupBy), so the exploded gram stream — 52 MB at
+    # sf1.0, ~n_tokens× the raw bytes at any scale — never crosses an
+    # exchange, and the final doc join is co-partitioned off the same
+    # shuffle. Shuffle-before-explode (guide §3): strictly fewer bytes
+    # than the post-explode exchange this replaces.
+    df = df.repartition(F.col(id_col))
     toks = _tok(text_col)
     grams = F.when(
         F.size(toks) >= n,
@@ -595,7 +602,13 @@ def ngram_repetition(
         F.count(F.when(F.col("g").isNotNull(), F.lit(1))).alias("_distinct"),
         F.max(F.when(F.col("g").isNotNull(), F.col("c")).otherwise(0)).alias("_top"),
     )
-    return df.join(stats, id_col, "left").select(
+    # merge hint: stats is co-partitioned with df off the same shuffle,
+    # so the join is exchange-free — but its small size estimate makes
+    # the planner broadcast it instead, and the broadcast BUILD is the
+    # whole n-gram aggregation: every probe-side task then sits blocked
+    # on the build (measured r7: 44 s of zero-CPU task time per q87
+    # run). The sort-merge join costs only an in-partition sort.
+    return df.join(stats.hint("merge"), id_col, "left").select(
         *df.columns,
         F.round(
             F.when(

@@ -402,15 +402,27 @@ _EVENTS_UNIQ_SQL = (
 
 def _events_uniq(spark, sf_dir):
     """Events deduped to unique (user_id, ts) — as-of matches are then
-    well-defined on both engines (ties otherwise unspecified)."""
-    return (
+    well-defined on both engines (ties otherwise unspecified).
+
+    Persisted + eagerly filled: every as-of consumer references this
+    frame TWICE (the anchor side is a filter of it), and the union
+    as-of plan cannot share the aggregation subtree across the union —
+    unpersisted, the full dedup aggregation ran once per side
+    (measured r7: two identical 16-27 MB aggregation exchanges in
+    q13/q14). The CacheManager dedupes repeated same-plan persists, so
+    a multi-query session holds ONE copy; clearCache releases it."""
+    from pyspark import StorageLevel
+
+    ev = (
         _events(spark, sf_dir)
         .groupBy("user_id", "ts_us")
         .agg(
             F.max("event_id").alias("event_id"),
             F.max_by("value", "event_id").alias("value"),
         )
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ev.count()  # eager one-shot fill (concurrent subtrees would race)
+    return ev
 
 
 @q(

@@ -163,18 +163,44 @@ def write_table(
     )
     pdf = _with_partition_cols(df, n_buckets, ts_unit_day)
     if layout_cols:
+        from lbf_spark.util import fan_out
+
         if layout == "hilbert":
             keyed = hilbert_key(pdf, layout_cols, bits=layout_bits, out="__z")
         elif layout == "zorder":
             keyed = zorder_key(pdf, layout_cols, bits=layout_bits, out="__z")
         else:
             raise ValueError("layout must be 'zorder' or 'hilbert'")
+        # fan_out: repartitionByRange first runs a SAMPLE job over its
+        # child — on a narrow single-row-group scan that sampling (and
+        # the range shuffle's map side) runs on ONE task (measured r7:
+        # a 2 s single-task stage in the q105 write). Round-robin
+        # spreading first is a no-op on multi-file production scans.
         pdf = (
-            keyed
+            fan_out(keyed)
             .repartitionByRange(layout_files, "entity_bucket", "ts_day", "__z")
             .sortWithinPartitions("entity_bucket", "ts_day", "__z")
             .drop("__z")
         )
+    else:
+        # Hash-distribute NARROW inputs by the partition cols before
+        # landing (Iceberg's write.distribution-mode=hash, same as
+        # merge_upsert): one file per touched partition dir instead of
+        # one per (upstream task × dir) — bounded file counts and
+        # write parallelism = number of touched dirs regardless of the
+        # scan's split count (guide §6 output sizing). A caller that
+        # already shuffled (repartition/groupBy upstream) has chosen
+        # its layout — leave it alone (same plan-string probe as
+        # util.fan_out; nothing executes).
+        from lbf_spark.util import _FULL_PARALLEL_MARKERS
+
+        try:
+            _plan = pdf._jdf.queryExecution().executedPlan().toString().lower()
+            _spread = any(m in _plan for m in _FULL_PARALLEL_MARKERS)
+        except Exception:
+            _spread = True  # probe failed: preserve old behavior
+        if not _spread:
+            pdf = pdf.repartition("entity_bucket", "ts_day")
     added = _land_data_files(spark, pdf, path)
     fsio.mkdirs(spark, meta_dir)
     existing = [f for f in fsio.list_names(spark, meta_dir) if f.startswith("snap-") and f.endswith(".json")]
