@@ -474,57 +474,72 @@ def jaccard_pairs(
             .filter(F.col("df") > max_df)
             .select("sh")
         )
-        rare = inv.join(hot_sh, "sh", "left_anti")
+        # Runtime short-circuit (AQE-style, decided from the
+        # materialized tiny hot set, results identical): with NO hot
+        # shingles, rare ≡ inv and the hot correction is identically
+        # zero — skip the anti-join probes on every posting and the
+        # per-pair array-intersect expression, which otherwise
+        # evaluates (on empty arrays) once per constructed pair
+        # (114 M rows at sf1.0). Only with cache on: the count is a
+        # one-job aggregation over the (persisted) index that the
+        # broadcast-regime fill runs anyway.
+        n_hot = hot_sh.count() if cache else None
+        rare = inv if n_hot == 0 else inv.join(hot_sh, "sh", "left_anti")
         pairs_rare, sizes_carried = _indexed_pair_counts(
             rare, id_col, "n_rare", carry_size_col="n_sh"
         )
-        # per-doc HOT shingles: a tiny array (few shingles are hot by
-        # definition); exact n_common = n_rare + |hot_a ∩ hot_b|.
-        # Persisted for the same reason: it is joined twice (hot_a /
-        # hot_b) and each unpersisted copy re-joined inv against hot_sh.
-        hot_doc = _maybe_persist(
-            inv.join(hot_sh, "sh")
-            .groupBy(id_col)
-            .agg(F.collect_set("sh").alias("hot_arr"))
-        )
         if sizes_carried and cache:
-            # Eager one-shot fills: the broadcast shape launches its
+            # Eager one-shot fill: the broadcast shape launches its
             # build jobs concurrently and each would otherwise re-run
             # the full tokenize+shingle lineage into the unmaterialized
-            # caches (see _indexed_pair_counts docstring). Three cheap
-            # sequential jobs; every later subtree reads the caches.
+            # caches (see _indexed_pair_counts docstring).
             inv.count()
-            hot_sh.count()
-            hot_doc.count()
-        empty = F.array().cast("array<string>")
         keep = ["id_a", "id_b"] + (["n_a", "n_b"] if sizes_carried else [])
-        pairs = (
-            pairs_rare.join(
-                hot_doc.select(
-                    F.col(id_col).alias("id_a"), F.col("hot_arr").alias("hot_a")
-                ),
-                "id_a",
-                "left",
+        if n_hot == 0:
+            pairs = pairs_rare.select(
+                *keep, F.col("n_rare").alias("n_common")
             )
-            .join(
-                hot_doc.select(
-                    F.col(id_col).alias("id_b"), F.col("hot_arr").alias("hot_b")
-                ),
-                "id_b",
-                "left",
+        else:
+            # per-doc HOT shingles: a tiny array (few shingles are hot
+            # by definition); exact n_common = n_rare + |hot_a ∩ hot_b|.
+            # Persisted: it is joined twice (hot_a / hot_b) and each
+            # unpersisted copy re-joined inv against hot_sh.
+            hot_doc = _maybe_persist(
+                inv.join(hot_sh, "sh")
+                .groupBy(id_col)
+                .agg(F.collect_set("sh").alias("hot_arr"))
             )
-            .select(
-                *keep,
-                (
-                    F.col("n_rare")
-                    + F.size(
-                        F.array_intersect(
-                            F.coalesce("hot_a", empty), F.coalesce("hot_b", empty)
+            if sizes_carried and cache:
+                hot_doc.count()
+            empty = F.array().cast("array<string>")
+            pairs = (
+                pairs_rare.join(
+                    hot_doc.select(
+                        F.col(id_col).alias("id_a"), F.col("hot_arr").alias("hot_a")
+                    ),
+                    "id_a",
+                    "left",
+                )
+                .join(
+                    hot_doc.select(
+                        F.col(id_col).alias("id_b"), F.col("hot_arr").alias("hot_b")
+                    ),
+                    "id_b",
+                    "left",
+                )
+                .select(
+                    *keep,
+                    (
+                        F.col("n_rare")
+                        + F.size(
+                            F.array_intersect(
+                                F.coalesce("hot_a", empty),
+                                F.coalesce("hot_b", empty),
+                            )
                         )
-                    )
-                ).alias("n_common"),
+                    ).alias("n_common"),
+                )
             )
-        )
     elif candidates is None:
         inv = shingled.select(
             id_col,
@@ -972,25 +987,33 @@ def dup_clusters(
         _os.environ.get("LBF_CLUSTER_BROADCAST_NODES", "2000000")
     )
     _b = F.broadcast if bcast else (lambda f: f)
-    converged = False
-    for _i in range(max_iters):
+
+    def _one_step(lbls: DataFrame, keep_prev: str | None) -> DataFrame:
         nbr = (
-            edges.join(_b(labels), edges["dst"] == labels["id"])
+            edges.join(_b(lbls), edges["dst"] == lbls["id"])
             .groupBy("src")
             .agg(F.min("label").alias("nbr_min"))
         )
-        # _materialize truncates lineage — mandatory, see docstring
-        # (the plan tree would otherwise double every round)
-        stepped = _materialize(
-            labels.join(_b(nbr), labels["id"] == nbr["src"], "left")
-            .select(
-                labels["id"],
-                labels["label"].alias("_prev"),
-                F.least(
-                    labels["label"], F.coalesce(nbr["nbr_min"], labels["label"])
-                ).alias("label"),
-            )
+        cols = [lbls["id"]]
+        if keep_prev is not None:
+            cols.append(lbls[keep_prev].alias("_prev"))
+        return lbls.join(_b(nbr), lbls["id"] == nbr["src"], "left").select(
+            *cols,
+            F.least(
+                lbls["label"], F.coalesce(nbr["nbr_min"], lbls["label"])
+            ).alias("label"),
         )
+
+    converged = False
+    for _i in range(max_iters):
+        # TWO propagation steps per checkpoint+convergence probe: the
+        # fixed per-round cost (checkpoint job, count job, broadcast
+        # builds) is the dominant term once the joins are small, and a
+        # monotone min-label fixpoint after two steps implies the
+        # fixpoint after one — at most one wasted (cheap) step at
+        # convergence, half the rounds on long-diameter components.
+        # The un-truncated plan holds two steps — bounded, then cut.
+        stepped = _materialize(_one_step(_one_step(labels, "label"), "_prev"))
         # one node-sized scan probes the fixpoint (data already
         # materialized eagerly by the checkpoint)
         n_changed = stepped.filter(F.col("label") != F.col("_prev")).count()

@@ -10562,9 +10562,33 @@ def q204(spark, sf_dir):
 #    p-values / q51 subsample / q103 audio keep their rows-only rows,
 #    but each is ALSO hash-proved by a certificate twin (q110-q113)
 #    that went driver-green in round 5.
-# `_DRIVER_GREEN` = rows proven green in CORRECTNESS_r03 ∪ r04 ∪ r05.
+# `_DRIVER_GREEN` = rows proven green in CORRECTNESS_r03 ∪ r04 ∪ r05
+# ∪ r06 — fold each round's green set in as soon as its CORRECTNESS
+# file lands, or the next window wastes slots re-checking them.
 # ---------------------------------------------------------------------
 _DRIVER_GREEN = {
+    # round 6 (all 50 green — CORRECTNESS_r06.json)
+    "q118_cdc_replay_cert", "q119_shuffle_shards",
+    "q120_token_budget_mixture", "q121_incremental_refresh",
+    "q122_pit_training_matrix", "q123_pit_leakage_cert",
+    "q124_incremental_maintenance_cert", "q125_data_expectations",
+    "q126_psi_feature_drift", "q127_hash_split", "q128_oof_target_encode",
+    "q129_tscv_folds", "q130_feature_hash", "q131_bloom_semi_join",
+    "q132_snapshot_diff", "q133_autocorr", "q134_cusum_drift",
+    "q135_snapshot_rollback", "q136_augment_group_cert",
+    "q137_sketch_bounds_cert", "q138_attribution_last_touch",
+    "q139_negative_sampling", "q140_time_decay_ewma", "q141_trend",
+    "q142_quantile_normalize", "q143_duplicate_spans",
+    "q144_split_decontaminate", "q145_retrieval_recall",
+    "q146_subsample_ci", "q147_heavy_hitter_cert", "q148_trimmed_mean",
+    "q149_pmi", "q150_panel_corr", "q151_stream_hh_cert",
+    "q152_patch_extract_cert", "q153_bpe_train_cert", "q154_robust_scale",
+    "q155_interpolate", "q156_caption_augment", "q157_embedding_drift",
+    "q158_aspect_bucket_pack", "q159_mutual_information",
+    "q160_crossmodal_alignment", "q161_dedup_representatives",
+    "q162_semantic_dedup", "q163_temperature_mixture",
+    "q164_tile_overlap_cert", "q165_diversity_sample",
+    "q166_multimodal_curation", "q167_cluster_atomic_split",
     # round 5 (all 50 green, incl. the r4 hash-reds now fixed)
     "q77_compaction_plan", "q78_zorder_key", "q91_key_skew_profile",
     "q105_zorder_write_roundtrip", "q106_phash_neardup",

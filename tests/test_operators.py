@@ -1070,7 +1070,11 @@ def test_jaccard_release_caches_leaves_nothing_persisted(spark, docs):
     assert len(spark.sparkContext._jsc.getPersistentRDDs()) > base
     released = dedup.release_caches()
     assert released >= 1
-    assert len(spark.sparkContext._jsc.getPersistentRDDs()) == base
+    # ≤, not ==: the ContextCleaner may concurrently GC earlier tests'
+    # (by-design unreleasable) localCheckpoint blocks, dropping the
+    # count BELOW the baseline — the invariant under test is only that
+    # the dedup pass itself left nothing behind
+    assert len(spark.sparkContext._jsc.getPersistentRDDs()) <= base
     # rerun after release still correct
     again = dedup.jaccard_pairs(
         dedup.with_shingles(docs, "doc_id", "text", 3), threshold=0.5
