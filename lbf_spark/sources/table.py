@@ -145,6 +145,8 @@ def write_table(
     here would race a concurrent writer — a losing overwrite would
     wipe the winner's just-committed files before the manifest race
     was decided."""
+    from pyspark import StorageLevel
+
     from lbf_spark import fsio
 
     spark = df.sparkSession
@@ -176,13 +178,19 @@ def write_table(
         # the range shuffle's map side) runs on ONE task (measured r7:
         # a 2 s single-task stage in the q105 write). Round-robin
         # spreading first is a no-op on multi-file production scans.
+        # The persist makes the sample job and the write job share ONE
+        # evaluation of the scan+key lineage (the sampler otherwise
+        # re-executes it in full — measured r7: ~1.6 s of the q105
+        # land); released right after the land below.
+        _layout_cache = fan_out(keyed).persist(StorageLevel.MEMORY_AND_DISK)
         pdf = (
-            fan_out(keyed)
+            _layout_cache
             .repartitionByRange(layout_files, "entity_bucket", "ts_day", "__z")
             .sortWithinPartitions("entity_bucket", "ts_day", "__z")
             .drop("__z")
         )
     else:
+        _layout_cache = None
         # Hash-distribute NARROW inputs by the partition cols before
         # landing (Iceberg's write.distribution-mode=hash, same as
         # merge_upsert): one file per touched partition dir instead of
@@ -202,6 +210,8 @@ def write_table(
         if not _spread:
             pdf = pdf.repartition("entity_bucket", "ts_day")
     added = _land_data_files(spark, pdf, path)
+    if _layout_cache is not None:
+        _layout_cache.unpersist()
     fsio.mkdirs(spark, meta_dir)
     existing = [f for f in fsio.list_names(spark, meta_dir) if f.startswith("snap-") and f.endswith(".json")]
     parent = existing[-1] if existing else None
@@ -1440,20 +1450,21 @@ def zorder_key(
         for c in cols
     ]
 
-    def _zbits(i):
-        total = None
+    # Static shift/mask expression tree (≤ 62 terms), not an
+    # F.aggregate over a sequence: higher-order functions evaluate
+    # interpreted per element while this unrolled form stays inside
+    # whole-stage codegen — measured r7: the fold form alone added
+    # 1.3 s to the q105 write at sf1.0. Identical integers:
+    # (c >> i) & 1 << (i·m+j) ≡ floor(c/2^i) % 2 · 2^(i·m+j) for the
+    # clamped non-negative range.
+    z = None
+    for i in range(bits):
         for j, c in enumerate(clamped):
-            bit = F.floor(c / F.pow(F.lit(2.0), i)).cast("long") % 2
-            term = bit * F.pow(F.lit(2.0), i * m + j).cast("long")
-            total = term if total is None else total + term
-        return total
-
-    z = F.aggregate(
-        F.sequence(F.lit(0), F.lit(bits - 1)),
-        F.lit(0).cast("long"),
-        lambda acc, i: acc + _zbits(i),
-    )
-    return df.withColumn(out, z)
+            term = F.shiftleft(
+                F.shiftright(c, i).bitwiseAND(F.lit(1)), i * m + j
+            )
+            z = term if z is None else z + term
+    return df.withColumn(out, z.cast("long"))
 
 
 def hilbert_key(
