@@ -666,14 +666,23 @@ def test_stream_dedup_ingest_e2e(spark, tmp_path):
     b2 = [(20, base + " three"), (21, uniq[1]), (22, uniq[2])]
     src = tmp_path / "dd_src"
     src.mkdir()
-    for name, rows in (("a", b1), ("b", b2)):
+    for i, (name, rows) in enumerate((("a", b1), ("b", b2))):
+        p = src / f"{name}.parquet"
         pq.write_table(
             pa.Table.from_pydict(
                 {"doc_id": [r[0] for r in rows],
                  "text": [r[1] for r in rows]}
             ),
-            str(src / f"{name}.parquet"),
+            str(p),
         )
+        # FileStreamSource orders micro-batches by file modification
+        # time; near-simultaneous writes can tie (coarse mtime under
+        # load) and process b before a, which flips which cluster
+        # member survives. Pin strictly increasing mtimes so batch
+        # order (and the asserted keeper set) is deterministic.
+        import os as _os
+
+        _os.utime(p, (1_700_000_000 + 60 * i, 1_700_000_000 + 60 * i))
     store = str(tmp_path / "dd_store")
     stream = (
         spark.readStream.schema("doc_id long, text string")
