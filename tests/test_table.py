@@ -996,3 +996,48 @@ def test_snapshot_tags(spark, tiny_events, tmp_path):
         TBL.delete_tag(spark, path, "nope")
     with _pytest.raises(ValueError, match="invalid tag"):
         TBL.create_tag(spark, path, "bad/name")
+
+
+def test_file_stats_driver_path_matches_spark_job(spark, tmp_path, monkeypatch):
+    """The pyarrow driver-side stats fast path must be BIT-IDENTICAL to
+    the Spark read-back job it replaces for small local writes: same
+    keys, same [ts_min, ts_max, n_rows, hot] values, same top-8
+    ordering under count ties (desc count, asc str(entity)), null
+    entities counted in n_rows/ts bounds but never ranked."""
+    import pandas as pd
+
+    rows = []
+    # >8 entities incl. ties and a null-entity group, spread over ts
+    for i, (ent, n) in enumerate(
+        [("e01", 5), ("e02", 5), ("e03", 4), ("e04", 4), ("e05", 3),
+         ("e06", 3), ("e07", 2), ("e08", 2), ("e09", 2), ("e10", 1),
+         (None, 3)]
+    ):
+        for j in range(n):
+            rows.append({"entity": ent, "ts": 1000 * i + j, "v": float(j)})
+    df = spark.createDataFrame(pd.DataFrame(rows))
+    path = str(tmp_path / "stats_tbl")
+    snap = TBL.write_table(df, path, mode="overwrite", ts_unit_day=10_000)
+    files = snap["added_files"]
+    data_dir = path + "/data"
+
+    local = TBL._file_ts_stats_local(data_dir, files)
+    assert local is not None and set(local) == set(files)
+    # force the Spark job (threshold 0 disables the fast path)
+    monkeypatch.setenv("LBF_STATS_DRIVER_BYTES", "0")
+    via_spark = TBL._file_ts_stats_inner(spark, data_dir, files)
+    assert local == via_spark
+    # the committed snapshot used one of the two — also identical
+    assert snap["file_stats"] == via_spark
+    # hot ordering: ties broken by string order, capped at 8
+    for st in local.values():
+        assert len(st[3]) <= 8
+    # string-entity table exercises the str cast equivalence
+    rows2 = [{"entity": f"s{i % 3}", "ts": i, "v": 0.0} for i in range(30)]
+    df2 = spark.createDataFrame(pd.DataFrame(rows2))
+    path2 = str(tmp_path / "stats_tbl2")
+    snap2 = TBL.write_table(df2, path2, mode="overwrite", ts_unit_day=10_000)
+    monkeypatch.delenv("LBF_STATS_DRIVER_BYTES")
+    l2 = TBL._file_ts_stats_local(path2 + "/data", snap2["added_files"])
+    s2 = TBL._file_ts_stats_inner(spark, path2 + "/data", snap2["added_files"])
+    assert l2 == s2 == snap2["file_stats"]
