@@ -188,9 +188,13 @@ def _cmd_dedup(args) -> int:
         .withColumn("is_keeper", F.col("cluster_id") == F.col("doc_id"))
     )
     out.write.mode("overwrite").parquet(fsio.join(args.out, "clusters"))
+    # counts are consuming actions on the cluster plan — they must run
+    # BEFORE release_caches() (which now also frees the dup_clusters
+    # label checkpoint blocks, unrecoverable by lineage)
+    summary = {"docs": docs.count(),
+               "keepers": out.filter("is_keeper").count()}
     dedup.release_caches()
-    print(json.dumps({"docs": docs.count(),
-                      "keepers": out.filter("is_keeper").count()}))
+    print(json.dumps(summary))
     return 0
 
 

@@ -27,19 +27,29 @@ TOKEN_RE = "[^a-z0-9]+"
 # that run MANY dedup passes in one session release them explicitly.
 _SCOPED_CACHES: list[DataFrame] = []
 
+# Eagerly-materialized local checkpoints whose data outlives their
+# builder (dup_clusters' returned labels): release_caches frees their
+# blocks too — after the consuming actions, per the same contract.
+_SCOPED_CHECKPOINTS: list[DataFrame] = []
+
 
 def release_caches() -> int:
-    """Unpersist every frame jaccard_pairs persisted so far and return
+    """Unpersist every frame jaccard_pairs persisted so far (and free
+    the blocks of every scope-registered local checkpoint) and return
     how many were released. Call after the consuming action(s) of a
     dedup pass complete — the scoped-ownership answer to the default
     session-lifetime persist (`spark.catalog.clearCache()` also works
-    but nukes unrelated caches)."""
+    but nukes unrelated caches — and does NOT free checkpoint blocks)."""
+    from lbf_spark.util import free_local_checkpoint
+
     n = 0
     while _SCOPED_CACHES:
         # blocking: callers (and tests) may immediately assert on the
         # persisted-RDD count; the async default leaves a removal race
         _SCOPED_CACHES.pop().unpersist(blocking=True)
         n += 1
+    while _SCOPED_CHECKPOINTS:
+        n += 1 if free_local_checkpoint(_SCOPED_CHECKPOINTS.pop()) else 0
     return n
 
 
@@ -927,11 +937,16 @@ def dup_clusters(
       nodes — and a few dozen rounds OOM the driver just stringifying
       the plan (observed at the 10× bench corpus). Truncation makes
       each round's plan O(1).
-    * ``reliable=False`` (default, single-box): ``localCheckpoint``
-      blocks cannot be freed through any public API (verified), so a
-      run retains ≤ rounds × |nodes| rows of executor storage until
-      the session ends — bounded by ``max_iters`` and small next to
-      the (also retained) edge checkpoint. An evicted/lost block is
+    * ``reliable=False`` (default, single-box): each superseded
+      round's blocks are freed the moment the next round's checkpoint
+      materializes (``util.free_local_checkpoint`` — the LogicalRDD's
+      backing RDD unpersisted via py4j; the r7 builder note that this
+      was impossible was wrong), the edge checkpoint is freed after
+      the last round, and the RETURNED labels frame is registered in
+      the module release scope — ``release_caches()`` frees it after
+      the consuming actions (measured r7: without this, three same-JVM
+      q55@10x repeats grew the pair stage 246 → 566 s CPU from
+      accumulated storage + GC pressure). An evicted/lost block is
       NOT recoverable (local checkpoints truncate the recompute
       lineage too) — single-box semantics.
     * ``reliable=True`` (cluster): rounds go through reliable
@@ -1005,6 +1020,9 @@ def dup_clusters(
         )
 
     converged = False
+    from lbf_spark.util import free_local_checkpoint
+
+    ck = labels  # the live checkpoint FRAME (labels becomes a projection)
     for _i in range(max_iters):
         # TWO propagation steps per checkpoint+convergence probe: the
         # fixed per-round cost (checkpoint job, count job, broadcast
@@ -1017,10 +1035,25 @@ def dup_clusters(
         # one node-sized scan probes the fixpoint (data already
         # materialized eagerly by the checkpoint)
         n_changed = stepped.filter(F.col("label") != F.col("_prev")).count()
+        if not reliable:
+            # the superseded round's blocks are dead the moment the new
+            # checkpoint materialized (and the probe above ran on the
+            # NEW frame) — free them, or a long propagation retains
+            # rounds × |nodes| rows of storage for the whole session
+            free_local_checkpoint(ck)
+        ck = stepped
         labels = stepped.drop("_prev")
         if n_changed == 0:
             converged = True
             break
+    if not reliable:
+        # nothing acts on the edge list after the last round; its
+        # blocks (the big retained frame — the whole verified pair
+        # computation) go now, even on the non-convergence raise path
+        free_local_checkpoint(edges)
+        # the RETURNED labels stay live until the caller's consuming
+        # actions finish — scope-registered, freed by release_caches()
+        _SCOPED_CHECKPOINTS.append(ck)
     if not converged:
         msg = (
             f"dup_clusters did not converge in max_iters={max_iters} rounds; "

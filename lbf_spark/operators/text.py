@@ -758,9 +758,16 @@ def train_bpe(
             break
         a, b = top[0]["a"], top[0]["b"]
         merges.append((a, b))
-        syms = syms.withColumn(
+        new_syms = syms.withColumn(
             "syms", _merge_pair_col(F.col("syms"), a, b, a + b)
         ).localCheckpoint(eager=True)
+        # the superseded round's blocks are dead once the new eager
+        # checkpoint materialized — free them (util helper), or
+        # n_merges node-sized frames pile up for the session lifetime
+        from lbf_spark.util import free_local_checkpoint
+
+        free_local_checkpoint(syms)
+        syms = new_syms
     return merges, syms
 
 
