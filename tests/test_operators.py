@@ -1338,3 +1338,67 @@ def test_negative_sample_pairs_deterministic_and_complete(spark):
     c = D.negative_sample_pairs(df, "doc_id", k=3, pool_m=8, seed=2).toPandas()
     merged = a.merge(c, on=["anchor_id", "neg_rank"], suffixes=("_a", "_c"))
     assert (merged.neg_id_a != merged.neg_id_c).any()
+
+
+def test_dup_clusters_frees_checkpoint_blocks(spark):
+    """Iterative rounds must not accumulate localCheckpoint storage:
+    superseded label rounds and the edge checkpoint are freed as the
+    algorithm proceeds, and release_caches() frees the returned labels
+    frame — after a consumed pass + release, RDD storage returns to
+    baseline (measured r7: the retained blocks grew a repeated q55@10x
+    pair stage 246 -> 566 s CPU). Labels must be correct and the freed
+    result must not be re-consumable-by-accident (callers respect the
+    actions-before-release contract)."""
+    from pyspark.sql import functions as F
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+    # chain of diameter 9 (many rounds) + triangle + isolated pair
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(10, 19)]
+        + [(1, 2), (2, 3), (1, 3), (100, 101)],
+        "id_a long, id_b long",
+    )
+    labels = dedup.dup_clusters(pairs)
+    got = sorted((r.doc_id, r.cluster_id) for r in labels.collect())
+    want = sorted(
+        [(i, 10) for i in range(10, 20)]
+        + [(1, 1), (2, 1), (3, 1), (100, 100), (101, 100)]
+    )
+    assert got == want
+    # while the result is live: at most ONE checkpoint frame beyond
+    # baseline (the returned labels); every superseded round + the
+    # edge list are already freed
+    live = len(jsc.getRDDStorageInfo())
+    assert live <= base + 1, (base, live)
+    assert dedup.release_caches() >= 1
+    assert len(jsc.getRDDStorageInfo()) <= base
+    # a fresh pass after release is correct (nothing stale is reused)
+    again = dedup.dup_clusters(pairs.filter(F.col("id_a") >= 100))
+    assert sorted((r.doc_id, r.cluster_id) for r in again.collect()) == [
+        (100, 100), (101, 100)
+    ]
+    dedup.release_caches()
+
+
+def test_train_bpe_frees_superseded_rounds(spark):
+    """BPE training keeps at most the LIVE symbol frame in block
+    storage — one frame per merge round would otherwise pile up for
+    the session; merges must equal the single-process reference."""
+    from lbf_spark.operators import text as T
+
+    spark.catalog.clearCache()
+    jsc = spark.sparkContext._jsc.sc()
+    base = len(jsc.getRDDStorageInfo())
+    wf = [("low", 5), ("lower", 2), ("newest", 6), ("widest", 3)]
+    words = spark.createDataFrame(wf, "word string, freq long")
+    merges, syms = T.train_bpe(words, 8)
+    assert merges == T.train_bpe_reference(wf, 8)
+    assert len(merges) == 8
+    # only the final (returned) syms frame may remain
+    assert len(jsc.getRDDStorageInfo()) <= base + 1
+    from lbf_spark.util import free_local_checkpoint
+
+    assert free_local_checkpoint(syms)
+    assert len(jsc.getRDDStorageInfo()) <= base
